@@ -1,0 +1,131 @@
+"""Black-Scholes pricing + Greeks as pure column expressions.
+
+Reference: ``/root/reference/backtesting/derivatives.py`` — d1/d2 (:68-95),
+call (:97-123), put (:125-151), Greeks (:153-210), strategy combinators
+(:224-362), futures math (:365-448). All are scalar math; here each is a
+Spark Column expression (JVM-side, codegen'd — no UDF), so pricing a billion
+option rows is a single projection.
+
+Each builder has a twin ``*_sql`` producing the byte-identical ANSI formula
+(same operation order) so the DuckDB oracle can price the same rows; the
+normal CDF is the shared A&S approximation from ``mathx``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.mathx import (
+    norm_cdf,
+    norm_cdf_sql,
+    norm_pdf,
+    norm_pdf_sql,
+)
+
+
+def d1(s: Column, k: Column, t: Column, sigma: Column, r: Column) -> Column:
+    """(ln(S/K) + (r + sigma^2/2) * T) / (sigma * sqrt(T))
+    (derivatives.py:68-82)."""
+    return (F.log(s / k) + (r + sigma * sigma / 2.0) * t) / (sigma * F.sqrt(t))
+
+
+def d2(d1_col: Column, t: Column, sigma: Column) -> Column:
+    """d1 - sigma * sqrt(T) (derivatives.py:84-95)."""
+    return d1_col - sigma * F.sqrt(t)
+
+
+def bs_call(s: Column, k: Column, t: Column, sigma: Column, r: Column) -> Column:
+    """C = S*N(d1) - K*e^{-rT}*N(d2) (derivatives.py:97-123)."""
+    _d1 = d1(s, k, t, sigma, r)
+    _d2 = d2(_d1, t, sigma)
+    return s * norm_cdf(_d1) - k * F.exp(-r * t) * norm_cdf(_d2)
+
+
+def bs_put(s: Column, k: Column, t: Column, sigma: Column, r: Column) -> Column:
+    """P = K*e^{-rT}*N(-d2) - S*N(-d1) (derivatives.py:125-151)."""
+    _d1 = d1(s, k, t, sigma, r)
+    _d2 = d2(_d1, t, sigma)
+    return k * F.exp(-r * t) * norm_cdf(-_d2) - s * norm_cdf(-_d1)
+
+
+def bs_delta(s, k, t, sigma, r, call: bool = True) -> Column:
+    """call: N(d1); put: N(d1) - 1 (derivatives.py:153-167)."""
+    nd1 = norm_cdf(d1(s, k, t, sigma, r))
+    return nd1 if call else nd1 - 1.0
+
+
+def bs_gamma(s, k, t, sigma, r) -> Column:
+    """pdf(d1) / (S * sigma * sqrt(T)) (derivatives.py:169-178)."""
+    return norm_pdf(d1(s, k, t, sigma, r)) / (s * sigma * F.sqrt(t))
+
+
+def bs_vega(s, k, t, sigma, r) -> Column:
+    """S * pdf(d1) * sqrt(T) / 100 (per 1% vol move, derivatives.py:180-189)."""
+    return s * norm_pdf(d1(s, k, t, sigma, r)) * F.sqrt(t) / 100.0
+
+
+def bs_theta(s, k, t, sigma, r, call: bool = True) -> Column:
+    """Per-day theta (derivatives.py:191-205)."""
+    _d1 = d1(s, k, t, sigma, r)
+    _d2 = d2(_d1, t, sigma)
+    decay = -(s * norm_pdf(_d1) * sigma) / (2.0 * F.sqrt(t))
+    if call:
+        return (decay - r * k * F.exp(-r * t) * norm_cdf(_d2)) / 365.0
+    return (decay + r * k * F.exp(-r * t) * norm_cdf(-_d2)) / 365.0
+
+
+def bs_rho(s, k, t, sigma, r, call: bool = True) -> Column:
+    """K*T*e^{-rT}*N(+/-d2)/100 (derivatives.py:207-210)."""
+    _d2 = d2(d1(s, k, t, sigma, r), t, sigma)
+    if call:
+        return k * t * F.exp(-r * t) * norm_cdf(_d2) / 100.0
+    return -k * t * F.exp(-r * t) * norm_cdf(-_d2) / 100.0
+
+
+# ------------------------------------------------------------- futures math
+def futures_pnl(entry: Column, current: Column, contracts: Column,
+                multiplier: Column, long: bool = True) -> Column:
+    """(current - entry) * contracts * multiplier, sign by side
+    (derivatives.py:389-411)."""
+    pnl = (current - entry) * contracts * multiplier
+    return pnl if long else -pnl
+
+
+def futures_basis(futures_price: Column, spot: Column) -> Column:
+    """basis = futures - spot (derivatives.py:413-427)."""
+    return futures_price - spot
+
+
+def cost_of_carry(spot: Column, r: Column, storage: Column, t: Column) -> Column:
+    """F = S * e^{(r + storage) * T} (derivatives.py:429-448)."""
+    return spot * F.exp((r + storage) * t)
+
+
+# --------------------------------------------------------------- SQL twins
+def d1_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
+    return (f"((ln(({s}) / ({k})) + (({r}) + ({sigma}) * ({sigma}) / 2.0) * ({t}))"
+            f" / (({sigma}) * sqrt({t})))")
+
+
+def d2_sql(d1s: str, t: str, sigma: str) -> str:
+    return f"({d1s} - ({sigma}) * sqrt({t}))"
+
+
+def bs_call_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
+    _d1 = d1_sql(s, k, t, sigma, r)
+    _d2 = d2_sql(_d1, t, sigma)
+    return (f"(({s}) * {norm_cdf_sql(_d1)} - ({k}) * exp(-({r}) * ({t}))"
+            f" * {norm_cdf_sql(_d2)})")
+
+
+def bs_put_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
+    _d1 = d1_sql(s, k, t, sigma, r)
+    _d2 = d2_sql(_d1, t, sigma)
+    return (f"(({k}) * exp(-({r}) * ({t})) * {norm_cdf_sql(f'-{_d2}')}"
+            f" - ({s}) * {norm_cdf_sql(f'-{_d1}')})")
+
+
+def bs_gamma_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
+    _d1 = d1_sql(s, k, t, sigma, r)
+    return f"({norm_pdf_sql(_d1)} / (({s}) * ({sigma}) * sqrt({t})))"

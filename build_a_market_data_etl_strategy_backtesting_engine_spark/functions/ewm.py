@@ -1,0 +1,91 @@
+"""Exponentially-weighted moving statistics (EWM / MACD).
+
+Spark has no native EWM window aggregate (SURVEY §7.7.2). Two implementations:
+
+1. ``ewm_mean`` — Arrow-batched ``applyInPandas`` per symbol running pandas
+   ``ewm(span).mean()``: exact pandas parity (the reference's semantics at
+   ``/root/reference/backtesting/ml_strategy.py:151-155``,
+   ``portfolio_optimization.py:39-41``). Per-symbol groups scale out across
+   the cluster; within a symbol EWM is inherently sequential.
+
+2. ``ewm_mean_expr`` — closed-form column expression for the adjust=True
+   weighting: y_t = sum_i x_i*(1-a)^(-i) / sum_i (1-a)^(-i) over an unbounded
+   running window (the (1-a)^t factor cancels in the ratio). Pure built-ins,
+   stays JVM-side; numerically valid while (1-a)^(-n) stays in double range
+   (n < ~700/ln(1/(1-a)) rows per partition) — fine for bar-level series,
+   use the pandas path for very long tick series.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewm_alpha(span: int) -> float:
+    return 2.0 / (span + 1.0)
+
+
+def ewm_mean(
+    df: DataFrame,
+    span: int,
+    value_col: str = "close",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    out_col: str = "ewm",
+) -> DataFrame:
+    """pandas-exact EWM mean (adjust=True) per symbol."""
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` double"
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        pdf[out_col] = pdf[value_col].ewm(span=span, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(_run, schema=schema)
+
+
+def ewm_mean_expr(
+    value_col: str,
+    span: int,
+    w: Window,
+) -> Column:
+    """Closed-form EWM over window spec ``w`` (must be partitioned+ordered)."""
+    alpha = ewm_alpha(span)
+    beta_inv = 1.0 / (1.0 - alpha)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w) - 1
+    u = F.pow(F.lit(beta_inv), i)
+    num = F.sum(F.col(value_col) * u).over(w_cum)
+    den = F.sum(u).over(w_cum)
+    return num / den
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    value_col: str = "close",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MACD line/signal/histogram, pandas-exact (ml_strategy.py:151-155)."""
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `macd` double, `macd_signal` double, `macd_hist` double"
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        fast_e = pdf[value_col].ewm(span=fast, adjust=True).mean()
+        slow_e = pdf[value_col].ewm(span=slow, adjust=True).mean()
+        pdf["macd"] = fast_e - slow_e
+        pdf["macd_signal"] = pdf["macd"].ewm(span=signal, adjust=True).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(_run, schema=schema)

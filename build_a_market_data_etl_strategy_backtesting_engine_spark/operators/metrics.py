@@ -1,0 +1,215 @@
+"""Performance metrics — one-row-per-symbol aggregates over backtest results.
+
+Reference: ``/root/reference/backtesting/metrics.py`` (PerformanceMetrics,
+defaults risk_free_rate=0.02, periods_per_year=252, :11-34; full set
+assembled by get_all_metrics :279-301). Each metric is a guarded aggregate
+expression; the whole suite evaluates as ONE hash aggregation over the
+results frame (plus a windowed pre-pass for the streak metrics, which need
+gaps-and-islands).
+
+Determinism: first/last-in-time use ``min_by/max_by(value, ts)``; the streak
+islands use explicit window ordering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RISK_FREE_RATE = 0.02
+PERIODS_PER_YEAR = 252
+
+
+def _sharpe(r: Column, rf_per_period: float, ppy: float) -> Column:
+    ex_mean = F.avg(r - rf_per_period)
+    ex_std = F.stddev_samp(r - rf_per_period)
+    return F.when(ex_std > 0, ex_mean / ex_std * math.sqrt(ppy)).otherwise(F.lit(0.0))
+
+
+def _sortino(r: Column, rf_per_period: float, ppy: float) -> Column:
+    ex = r - rf_per_period
+    downside = F.stddev_samp(F.when(ex < 0, ex))
+    return F.when(downside > 0, F.avg(ex) / downside * math.sqrt(ppy)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def compute_metrics(
+    results: DataFrame,
+    returns_col: str = "net_returns",
+    equity_col: str = "equity",
+    position_col: str = "position",
+    symbol_col: str | None = "symbol",
+    ts_col: str = "ts",
+    risk_free_rate: float = RISK_FREE_RATE,
+    periods_per_year: int = PERIODS_PER_YEAR,
+    include_streaks: bool = True,
+) -> DataFrame:
+    """Compute the full scalar metric suite.
+
+    Accepts either ``net_returns`` or ``equity`` (derives the other like
+    metrics.py:28-34). Output: one row per symbol with columns
+    total_return, cagr, volatility, sharpe_ratio, sortino_ratio, max_drawdown,
+    calmar_ratio, win_rate, profit_factor, num_trades, exposure, avg_win,
+    avg_loss, n_periods [, max_consecutive_wins, max_consecutive_losses].
+    """
+    group = [symbol_col] if symbol_col else []
+    cols = set(results.columns)
+    df = results
+    if returns_col not in cols and equity_col in cols:
+        w = Window.partitionBy(*group).orderBy(ts_col)
+        df = df.withColumn(
+            returns_col,
+            F.coalesce(F.col(equity_col) / F.lag(equity_col, 1).over(w) - 1,
+                       F.lit(0.0)),
+        )
+        cols.add(returns_col)
+
+    w = Window.partitionBy(*group).orderBy(ts_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # drawdown pre-pass: equity (or synthetic cumprod equity), running max
+    if equity_col in cols:
+        eq = F.col(equity_col)
+    else:
+        eq = F.exp(F.sum(F.log1p(returns_col)).over(w_all))
+    df = df.withColumn("_eq", eq)
+    df = df.withColumn("_runmax", F.max("_eq").over(w_all))
+    df = df.withColumn("_dd", (F.col("_eq") - F.col("_runmax")) / F.col("_runmax"))
+
+    # trade detection (metrics.py:194-206): position.diff() != 0
+    if position_col in cols:
+        df = df.withColumn(
+            "_trade_flag",
+            (F.col(position_col)
+             - F.coalesce(F.lag(position_col, 1).over(w), F.lit(0.0)) != 0)
+            .cast("int"),
+        )
+        exposure_expr = (
+            F.sum((F.col(position_col) != 0).cast("long")) / F.count(F.lit(1))
+        )
+        num_trades_expr = F.sum("_trade_flag")
+    else:
+        df = df.withColumn("_trade_flag", F.lit(None).cast("int"))
+        exposure_expr = F.lit(1.0)
+        num_trades_expr = F.sum((F.col(returns_col) != 0).cast("long"))
+
+    r = F.col(returns_col)
+    rf = risk_free_rate / periods_per_year
+    n = F.count(F.lit(1))
+    total_return = F.exp(F.sum(F.log1p(r))) - 1
+    years = n / F.lit(float(periods_per_year))
+    cagr = F.when(
+        years > 0, F.pow(total_return + 1, F.lit(1.0) / years) - 1
+    ).otherwise(F.lit(0.0))
+    max_dd = F.min("_dd")
+
+    aggs = [
+        n.alias("n_periods"),
+        total_return.alias("total_return"),
+        cagr.alias("cagr"),
+        (F.stddev_samp(r) * math.sqrt(periods_per_year)).alias("volatility"),
+        _sharpe(r, rf, periods_per_year).alias("sharpe_ratio"),
+        _sortino(r, rf, periods_per_year).alias("sortino_ratio"),
+        max_dd.alias("max_drawdown"),
+        F.when(F.abs(max_dd) > 0, cagr / F.abs(max_dd)).otherwise(F.lit(0.0))
+        .alias("calmar_ratio"),
+        # win_rate: wins / non-zero periods (metrics.py:166-178)
+        F.when(
+            F.sum((r != 0).cast("long")) > 0,
+            F.sum((r > 0).cast("long")) / F.sum((r != 0).cast("long")),
+        ).otherwise(F.lit(0.0)).alias("win_rate"),
+        # profit_factor: gross profit / |gross loss| (metrics.py:180-192)
+        F.when(
+            F.abs(F.sum(F.when(r < 0, r))) > 0,
+            F.sum(F.when(r > 0, r)) / F.abs(F.sum(F.when(r < 0, r))),
+        ).otherwise(
+            F.when(F.sum(F.when(r > 0, r)) > 0, F.lit(float("inf")))
+            .otherwise(F.lit(0.0))
+        ).alias("profit_factor"),
+        num_trades_expr.alias("num_trades"),
+        exposure_expr.alias("exposure"),
+        F.coalesce(F.avg(F.when(r > 0, r)), F.lit(0.0)).alias("avg_win"),
+        F.coalesce(F.avg(F.when(r < 0, r)), F.lit(0.0)).alias("avg_loss"),
+    ]
+    out = df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+
+    if include_streaks:
+        streaks = consecutive_streaks(df, returns_col, group, ts_col)
+        if group:
+            out = out.join(streaks, on=group, how="left")
+        else:
+            out = out.crossJoin(streaks)
+    return out
+
+
+def consecutive_streaks(
+    results: DataFrame,
+    returns_col: str = "net_returns",
+    group: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Max consecutive win / loss streaks via gaps-and-islands
+    (metrics.py:208-238).
+
+    flag = sign bucket of return; island id = running count of flag changes;
+    streak length = row_number within (group, island); answer = max streak
+    where flag says win (resp. loss).
+    """
+    group = list(group)
+    w = Window.partitionBy(*group).orderBy(ts_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = F.col(returns_col)
+    flag = F.when(r > 0, 1).when(r < 0, -1).otherwise(0)
+    df = results.withColumn("_flag", flag)
+    changed = (
+        F.when(
+            F.lag("_flag", 1).over(w).isNull()
+            | (F.col("_flag") != F.lag("_flag", 1).over(w)),
+            1,
+        ).otherwise(0)
+    )
+    df = df.withColumn("_grp", F.sum(changed).over(w_all))
+    w_island = Window.partitionBy(*group, "_grp").orderBy(ts_col)
+    df = df.withColumn("_streak", F.row_number().over(w_island))
+    aggs = [
+        F.coalesce(F.max(F.when(F.col("_flag") == 1, F.col("_streak"))),
+                   F.lit(0)).alias("max_consecutive_wins"),
+        F.coalesce(F.max(F.when(F.col("_flag") == -1, F.col("_streak"))),
+                   F.lit(0)).alias("max_consecutive_losses"),
+    ]
+    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+
+
+def drawdown_series(
+    results: DataFrame,
+    equity_col: str = "equity",
+    symbol_col: str | None = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-bar drawdown = (equity - running_max)/running_max
+    (metrics.py:133-150, risk_monitor.py:95-106)."""
+    group = [symbol_col] if symbol_col else []
+    w_all = (
+        Window.partitionBy(*group)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = F.max(equity_col).over(w_all)
+    return results.withColumn("running_max", runmax).withColumn(
+        "drawdown", (F.col(equity_col) - runmax) / runmax
+    )
+
+
+def summary(metrics_row: dict) -> dict:
+    """Shape a collected metrics row like ``BacktestEngine.get_summary``
+    (engine.py:85-99)."""
+    keys = [
+        "total_return", "cagr", "volatility", "sharpe_ratio", "sortino_ratio",
+        "max_drawdown", "calmar_ratio", "win_rate", "profit_factor",
+        "num_trades", "exposure", "avg_win", "avg_loss",
+    ]
+    return {k: metrics_row.get(k) for k in keys}

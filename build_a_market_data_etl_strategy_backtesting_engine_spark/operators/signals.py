@@ -1,0 +1,208 @@
+"""Indicators + trading-signal generation as pure window expressions.
+
+Reference: ``/root/reference/backtesting/strategy.py`` (mean-reversion :69-111,
+MA-cross :114-153, momentum :178-194, buy&hold :197-215) and the indicator set
+of ``backtesting/ml_strategy.py:125-175`` (RSI, MACD, Bollinger, rolling vol,
+volume ratio).
+
+pandas-parity rules (SURVEY §7.7.7):
+- ``rolling(N)`` yields NaN for the first N-1 rows and NaN comparisons are
+  False in signal masks. Spark's ``avg().over(rowsBetween(-(N-1),0))`` yields
+  partial-window values instead, so every rolling expression is gated with
+  ``row_number() >= N`` -> NULL during warm-up; ``when`` treats NULL
+  comparisons as false exactly like the pandas NaN masks.
+- every window has an explicit orderBy; all state is per-symbol
+  (``partitionBy(symbol)``) so a thousand symbols parallelize across the
+  cluster and one sort per symbol-partition is the only shuffle.
+
+A "strategy" in this engine is any function ``DataFrame -> DataFrame`` adding
+a ``signal`` int column in {-1, 0, 1}; these are the built-ins, and arbitrary
+user pandas logic plugs in through ``apply_pandas_strategy`` (the reference's
+``BaseStrategy.generate_signals`` subclass hook, strategy.py:34-41).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sym_window(symbol_col: str = "symbol", ts_col: str = "ts") -> Window:
+    return Window.partitionBy(symbol_col).orderBy(ts_col)
+
+
+def _rn(w) -> Column:
+    return F.row_number().over(w)
+
+
+def rolling_mean(col: str, n: int, w) -> Column:
+    """pandas ``rolling(n).mean()``: NULL for the first n-1 rows."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(_rn(w) >= n, F.avg(col).over(frame))
+
+
+def rolling_std(col: str, n: int, w) -> Column:
+    """pandas ``rolling(n).std()`` (sample std), NULL warm-up."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(_rn(w) >= n, F.stddev_samp(col).over(frame))
+
+
+def rolling_sum(col: str, n: int, w) -> Column:
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(_rn(w) >= n, F.sum(col).over(frame))
+
+
+def pct_change(col: str, w, periods: int = 1) -> Column:
+    """``col / lag(col, n) - 1`` — NULL on warm-up rows like pandas."""
+    return F.col(col) / F.lag(col, periods).over(w) - 1
+
+
+def simple_returns(df: DataFrame, price_col: str = "close",
+                   symbol_col: str = "symbol", ts_col: str = "ts",
+                   out_col: str = "returns", fill_first: bool = True) -> DataFrame:
+    """Per-symbol simple returns; first row 0 where the reference fills
+    (portfolio.py:193 ``pct_change().fillna(0)``)."""
+    w = sym_window(symbol_col, ts_col)
+    r = pct_change(price_col, w)
+    if fill_first:
+        r = F.coalesce(r, F.lit(0.0))
+    return df.withColumn(out_col, r)
+
+
+# ---------------------------------------------------------------- indicators
+
+def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
+             symbol_col: str = "symbol", ts_col: str = "ts",
+             out_col: str = "rsi") -> DataFrame:
+    """Simple-average RSI (NOT Wilder smoothing), matching
+    ``ml_strategy.py:144-149``: gain = mean_n(max(delta,0)),
+    loss = mean_n(max(-delta,0)), rsi = 100 - 100/(1+gain/loss)."""
+    w = sym_window(symbol_col, ts_col)
+    delta = F.col(price_col) - F.lag(price_col, 1).over(w)
+    df = df.withColumn("_gain", F.when(delta > 0, delta).otherwise(
+        F.when(delta.isNotNull(), F.lit(0.0))))
+    df = df.withColumn("_loss", F.when(delta < 0, -delta).otherwise(
+        F.when(delta.isNotNull(), F.lit(0.0))))
+    # pandas: delta has 1 NaN then rolling(n) -> first valid at row n+1
+    frame = w.rowsBetween(-(n - 1), 0)
+    gain = F.when(_rn(w) >= n + 1, F.avg("_gain").over(frame))
+    loss = F.when(_rn(w) >= n + 1, F.avg("_loss").over(frame))
+    rs = gain / loss
+    rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
+    # loss == 0 -> rs = inf -> pandas RSI = 100; guard the division by zero
+    rsi = F.when(loss == 0, F.lit(100.0)).otherwise(rsi)
+    return df.withColumn(out_col, rsi).drop("_gain", "_loss")
+
+
+def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
+                   price_col: str = "close", symbol_col: str = "symbol",
+                   ts_col: str = "ts") -> DataFrame:
+    """SMA_n +/- k*STD_n (ml_strategy.py:157-161)."""
+    w = sym_window(symbol_col, ts_col)
+    mid = rolling_mean(price_col, n, w)
+    sd = rolling_std(price_col, n, w)
+    return (df.withColumn("bb_mid", mid)
+              .withColumn("bb_upper", mid + k * sd)
+              .withColumn("bb_lower", mid - k * sd))
+
+
+def with_rolling_volatility(df: DataFrame, n: int = 20,
+                            price_col: str = "close",
+                            symbol_col: str = "symbol", ts_col: str = "ts",
+                            out_col: str = "volatility") -> DataFrame:
+    """``pct_change().rolling(n).std()`` (ml_strategy.py:174-175)."""
+    w = sym_window(symbol_col, ts_col)
+    df = df.withColumn("_r", pct_change(price_col, w))
+    # pandas: 1 NaN from pct_change, so first valid at row n+1
+    frame = w.rowsBetween(-(n - 1), 0)
+    vol = F.when(_rn(w) >= n + 1, F.stddev_samp("_r").over(frame))
+    return df.withColumn(out_col, vol).drop("_r")
+
+
+def with_volume_ratio(df: DataFrame, n: int = 20, volume_col: str = "volume",
+                      symbol_col: str = "symbol", ts_col: str = "ts",
+                      out_col: str = "volume_ratio") -> DataFrame:
+    """volume / rolling(n).mean(volume) (ml_strategy.py:167-168)."""
+    w = sym_window(symbol_col, ts_col)
+    return df.withColumn(out_col, F.col(volume_col) / rolling_mean(volume_col, n, w))
+
+
+# ---------------------------------------------------------------- strategies
+
+def mean_reversion_signal(df: DataFrame, n: int = 20, num_std: float = 2.0,
+                          price_col: str = "close", symbol_col: str = "symbol",
+                          ts_col: str = "ts", out_col: str = "signal") -> DataFrame:
+    """z = (close - SMA_n)/STD_n; +1 if z < -k, -1 if z > k, else 0
+    (strategy.py:69-111)."""
+    w = sym_window(symbol_col, ts_col)
+    z = (F.col(price_col) - rolling_mean(price_col, n, w)) / rolling_std(price_col, n, w)
+    sig = (F.when(z < -num_std, 1).when(z > num_std, -1).otherwise(0)
+           .cast("int"))
+    return df.withColumn(out_col, sig)
+
+
+def ma_cross_signal(df: DataFrame, fast: int = 10, slow: int = 50,
+                    price_col: str = "close", symbol_col: str = "symbol",
+                    ts_col: str = "ts", out_col: str = "signal") -> DataFrame:
+    """+1 while SMA_fast > SMA_slow else 0 (strategy.py:114-153)."""
+    w = sym_window(symbol_col, ts_col)
+    f_ma = rolling_mean(price_col, fast, w)
+    s_ma = rolling_mean(price_col, slow, w)
+    sig = F.when(f_ma > s_ma, 1).otherwise(0).cast("int")
+    return df.withColumn(out_col, sig)
+
+
+def momentum_signal(df: DataFrame, lookback: int = 20, threshold: float = 0.0,
+                    price_col: str = "close", symbol_col: str = "symbol",
+                    ts_col: str = "ts", out_col: str = "signal") -> DataFrame:
+    """N-period momentum: +1 if pct_change(lookback) > threshold, -1 if
+    < -threshold (strategy.py:178-194)."""
+    w = sym_window(symbol_col, ts_col)
+    mom = pct_change(price_col, w, periods=lookback)
+    sig = (F.when(mom > threshold, 1).when(mom < -threshold, -1).otherwise(0)
+           .cast("int"))
+    return df.withColumn(out_col, sig)
+
+
+def buy_and_hold_signal(df: DataFrame, out_col: str = "signal") -> DataFrame:
+    """Constant long (strategy.py:197-215)."""
+    return df.withColumn(out_col, F.lit(1).cast("int"))
+
+
+BUILTIN_STRATEGIES: dict[str, Callable[..., DataFrame]] = {
+    "mean_reversion": mean_reversion_signal,
+    "ma_cross": ma_cross_signal,
+    "momentum": momentum_signal,
+    "buy_and_hold": buy_and_hold_signal,
+}
+
+
+def apply_pandas_strategy(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.Series],
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    out_col: str = "signal",
+) -> DataFrame:
+    """User-extension hook: run arbitrary pandas signal logic per symbol.
+
+    ``fn`` receives one symbol's bars as a ts-sorted pandas DataFrame and
+    returns an int Series of signals — the Spark equivalent of subclassing
+    ``BaseStrategy.generate_signals`` (strategy.py:34-41). Executes as an
+    Arrow-batched GROUPED_MAP; each symbol is one group, so a wide universe
+    scales out while any single symbol stays exact and sequential.
+    """
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` int"
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        pdf[out_col] = pd.Series(fn(pdf)).fillna(0).astype("int32")
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(_run, schema=schema_str)

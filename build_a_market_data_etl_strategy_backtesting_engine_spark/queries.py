@@ -1,0 +1,1030 @@
+"""Operator-coverage queries + DuckDB oracle SQL (the correctness surface).
+
+Every implemented operator from SURVEY.md §2 appears here as a pair:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` built from the engine's
+operators, and the semantically identical ANSI SQL runnable by DuckDB over
+the same parquet tables. The driver hash-compares both at sf=0.01.
+
+Cross-engine FP discipline
+--------------------------
+- raw parquet values, lags, divisions, products of identical operands are
+  IEEE-deterministic -> emitted unrounded (bit-exact on both engines);
+- order-sensitive reductions (sums, avgs, stddev, exp∘sum∘log1p) differ at
+  1e-13..1e-15 relative -> rounded at the OUTPUT edge only, with the digit
+  count chosen so rounding granularity >> error;
+- float constants are injected into SQL via ``_dlit`` (e-notation forces
+  DOUBLE literals in DuckDB; plain decimals would parse as DECIMAL);
+- ``events.ts`` is TIMESTAMP(NANOS) parquet; Spark reads int64 ns ->
+  truncated to µs at load. Oracle SQL mirrors with
+  ``make_timestamp(epoch_us(ts))``; emitted timestamps are epoch-µs BIGINT;
+- comparisons/filters on FP-noise operands (z-score vs threshold, IQR
+  bounds) are safe: a flip needs a data point within ~1e-12 of the cut,
+  impossible with 2-decimal synthetic data.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+    events_as_ticks,
+    load_tables,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    backtest,
+    bars,
+    cleaner,
+    metrics as metrics_ops,
+    signals,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+    derivatives as deriv,
+    ewm as ewm_fns,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.io import (
+    latest_trades,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (
+    normalize_trades,
+)
+
+# ---------------------------------------------------------------- registry
+
+_SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        _SPARK[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_SPARK)
+
+
+def oracle_queries() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _dlit(x: float) -> str:
+    """Render a Python float as a DuckDB DOUBLE literal (e-notation avoids
+    the DECIMAL parse of plain literals)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+# shared constants (Python-computed once, injected verbatim into both engines)
+COMMISSION = 0.001
+SLIPPAGE = 0.0005
+RATE = float(COMMISSION) + float(SLIPPAGE)
+CASH = 100_000.0
+RF_PER = 0.02 / 252
+SQRT_PPY = math.sqrt(252)
+
+# DuckDB CTE fragments -------------------------------------------------------
+# events -> ticks with µs-truncated timestamps (matches Spark's parquet read)
+TICKS_CTE = (
+    "ticks AS (SELECT make_timestamp(epoch_us(ts)) AS ts, event_type AS symbol, "
+    "value AS price, CAST(user_id AS DOUBLE) AS volume, event_id AS seq FROM events)"
+)
+
+
+def _bars_cte(minutes: int, name: str = "bars") -> str:
+    return (
+        f"{name} AS (SELECT symbol, time_bucket(INTERVAL '{minutes} minutes', ts) "
+        f"AS bts, arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, "
+        f"arg_max(price, ts) AS close, sum(volume) AS volume, count(*) AS n_ticks "
+        f"FROM ticks GROUP BY symbol, bts)"
+    )
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return events_as_ticks(t["events"])
+
+
+# ======================================================== relational surface
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1-shaped scan+filter+hash-agg: predicate pushed to parquet,
+    map-side partial aggregation, no window. (SURVEY §2.3 group-agg row.)"""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                      * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_revenue_by_nation",
+    """
+    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q02(spark, sf_dir):
+    """Star join: fact(orders) ⋈ dims — dims broadcast (no fact shuffle for
+    the joins; the only shuffle is the final group-by)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "q03_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q03(spark, sf_dir):
+    """Anti join (reference has no set ops — part of the SQL surface we add)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "q04_top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q04(spark, sf_dir):
+    """Per-group top-k via rank window (SURVEY §2.8)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ============================================================== ETL / clean
+
+@_register(
+    "q05_normalize_trades",
+    """
+    SELECT event_type AS symbol, count(*) AS n,
+           round(sum(value), 4) AS sum_price,
+           round(sum(CAST(user_id AS DOUBLE)), 1) AS sum_volume,
+           min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q05(spark, sf_dir):
+    """Feed normalization: events re-encoded as alias-keyed JSON frames
+    (`t`/`s`/`p`/`v`, unix-ms ts), pushed through the normalizer; rows with
+    missing price (the 'error' type here) must be dropped
+    (etl/normalizer.py:41-51)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    raw = t["events"].select(
+        F.to_json(
+            F.struct(
+                (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+                F.col("event_type").alias("s"),
+                F.when(F.col("event_type") != "error", F.col("value")).alias("p"),
+                F.col("user_id").cast("double").alias("v"),
+            )
+        ).alias("value")
+    )
+    out = normalize_trades(raw)
+    return out.groupBy(F.col("symbol")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 4).alias("sum_price"),
+        F.round(F.sum("volume"), 1).alias("sum_volume"),
+        F.unix_millis(F.min("ts")).alias("min_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+    )
+
+
+@_register(
+    "q06_dedup_keep_first",
+    f"""
+    WITH {TICKS_CTE},
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY volume, symbol
+                                   ORDER BY ts, seq) AS rn
+      FROM ticks)
+    SELECT symbol, count(*) AS n, round(sum(price), 4) AS sum_price,
+           CAST(sum(seq) AS BIGINT) AS sum_seq
+    FROM dd WHERE rn = 1 GROUP BY symbol
+    """,
+)
+def q06(spark, sf_dir):
+    """keep='first' dedup with explicit (ts, seq) ordering
+    (cleaner.py:109-132; determinism per SURVEY §7.7.5). Key: (volume=user_id,
+    symbol) — a genuinely duplicated pair in the synthetic data."""
+    ticks = _ticks(spark, sf_dir)
+    dd = cleaner.deduplicate(ticks, subset=["volume", "symbol"], keep="first",
+                             order_col="ts", tiebreaker="seq")
+    return dd.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 4).alias("sum_price"),
+        F.sum("seq").alias("sum_seq"),
+    )
+
+
+@_register(
+    "q07_validate_prices",
+    f"""
+    WITH {TICKS_CTE}
+    SELECT CASE WHEN price >= 1.0e0 AND price <= 400.0e0
+                THEN 'valid' ELSE 'invalid' END AS status,
+           count(*) AS n, round(sum(price), 4) AS sum_price
+    FROM ticks GROUP BY 1
+    """,
+)
+def q07(spark, sf_dir):
+    """validate_prices split (cleaner.py:199-228): both branches from one
+    scan (Catalyst shares it), union with a status tag."""
+    ticks = _ticks(spark, sf_dir)
+    valid, invalid = cleaner.validate_prices(ticks, "price", 1.0, 400.0)
+    tagged = valid.withColumn("status", F.lit("valid")).unionByName(
+        invalid.withColumn("status", F.lit("invalid"))
+    )
+    return tagged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 4).alias("sum_price"),
+    )
+
+
+@_register(
+    "q08_outliers_iqr",
+    """
+    WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                      quantile_cont(l_extendedprice, 0.75) AS q3
+               FROM lineitem)
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+    FROM lineitem, q
+    WHERE l_extendedprice BETWEEN q1 - 1.5e0 * (q3 - q1)
+                              AND q3 + 1.5e0 * (q3 - q1)
+    """,
+)
+def q08(spark, sf_dir):
+    """IQR outlier filter, exact interpolated quartiles (cleaner.py:39-47;
+    percentile NOT percentile_approx per SURVEY §7.7.8)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    kept = cleaner.remove_outliers_iqr(li, "l_extendedprice", k=1.5)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@_register(
+    "q09_outliers_zscore",
+    """
+    WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+    SELECT count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events, s
+    WHERE abs(value - mu) / sd < 2.0e0
+    """,
+)
+def q09(spark, sf_dir):
+    """Z-score outlier filter, sample std (cleaner.py:49-52)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    kept = cleaner.remove_outliers_zscore(ev, "value", k=2.0)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@_register(
+    "q10_gapfill_ffill",
+    f"""
+    WITH {TICKS_CTE},
+    hourly AS (SELECT symbol, time_bucket(INTERVAL '60 minutes', ts) AS h,
+                      round(avg(price), 6) AS v
+               FROM ticks GROUP BY symbol, h),
+    bounds AS (SELECT symbol, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY symbol),
+    spine AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    j AS (SELECT s.symbol, s.h, hr.v
+          FROM spine s LEFT JOIN hourly hr ON hr.symbol = s.symbol AND hr.h = s.h),
+    f AS (SELECT symbol, h,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY symbol ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM j)
+    SELECT symbol, count(*) AS n_slots, count(v) AS n_filled,
+           round(sum(v), 2) AS sum_v
+    FROM f GROUP BY symbol
+    """,
+)
+def q10(spark, sf_dir):
+    """Gap fill: hourly means reindexed onto a complete per-symbol spine,
+    forward-filled (cleaner.py:159-197). Spine = sequence+explode, JVM-side."""
+    ticks = _ticks(spark, sf_dir)
+    hourly = (
+        ticks.groupBy("symbol", F.window("ts", "60 minutes").alias("w"))
+        .agg(F.round(F.avg("price"), 6).alias("v"))
+        .select("symbol", F.col("w.start").alias("ts"), "v")
+    )
+    filled = cleaner.fill_missing_timestamps(
+        hourly, freq_seconds=3600, method="ffill", value_cols=["v"]
+    )
+    return filled.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.count("v").alias("n_filled"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+
+
+# ================================================================== bars
+
+@_register(
+    "q11_ohlcv_15min",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)}
+    SELECT symbol, epoch_us(bts) AS bar_us, open, high, low, close,
+           volume, n_ticks
+    FROM bars
+    """,
+)
+def q11(spark, sf_dir):
+    """Tick->OHLCV, the flagship aggregation (tick_to_ohlcv.py:23-108):
+    epoch-aligned tumbling buckets, min_by/max_by first/last, empty buckets
+    absent. Raw values -> bit-exact across engines, no rounding."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "open", "high", "low", "close", "volume", "n_ticks",
+    )
+
+
+@_register(
+    "q12_resample_1h",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)},
+    hourly AS (
+      SELECT symbol, time_bucket(INTERVAL '60 minutes', bts) AS hts,
+             arg_min(open, bts) AS open, max(high) AS high, min(low) AS low,
+             arg_max(close, bts) AS close, sum(volume) AS volume
+      FROM bars GROUP BY symbol, hts)
+    SELECT symbol, epoch_us(hts) AS bar_us, open, high, low, close, volume
+    FROM hourly
+    """,
+)
+def q12(spark, sf_dir):
+    """OHLCV downsample 15min -> 1H (resampler.py:25-109): first/max/min/
+    last/sum with deterministic in-bucket ordering."""
+    ticks = _ticks(spark, sf_dir)
+    b15 = bars.ticks_to_ohlcv(ticks, "15min")
+    b1h = bars.resample_ohlcv(b15, "1H")
+    return b1h.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "open", "high", "low", "close", "volume",
+    )
+
+
+# ========================================================== window analytics
+
+@_register(
+    "q13_bar_returns",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           coalesce(close / lag(close) OVER (PARTITION BY symbol ORDER BY bts)
+                    - 1.0e0, 0.0e0) AS ret
+    FROM bars
+    """,
+)
+def q13(spark, sf_dir):
+    """Per-symbol simple returns over 1H bars (pct_change, strategy.py:27-28).
+    Division of identical operands -> bit-exact, unrounded."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    r = signals.simple_returns(b, price_col="close", out_col="ret")
+    return r.select("symbol", F.unix_micros("ts").alias("bar_us"), "ret")
+
+
+@_register(
+    "q14_ma_cross_signal",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    ma AS (
+      SELECT symbol, bts, close, row_number() OVER w AS rn,
+             avg(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS f,
+             avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s
+      FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    sig AS (
+      SELECT symbol,
+             CASE WHEN (CASE WHEN rn >= 5 THEN f END)
+                       > (CASE WHEN rn >= 20 THEN s END)
+                  THEN 1 ELSE 0 END AS signal
+      FROM ma)
+    SELECT symbol, CAST(sum(signal) AS BIGINT) AS n_long, count(*) AS n_bars
+    FROM sig GROUP BY symbol
+    """,
+)
+def q14(spark, sf_dir):
+    """MA-cross signal (strategy.py:114-153) with pandas NaN-warm-up
+    semantics: rolling means NULL for the first N-1 rows, NULL comparison ->
+    signal 0 (SURVEY §7.7.7)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    sig = signals.ma_cross_signal(b, fast=5, slow=20)
+    return sig.groupBy("symbol").agg(
+        F.sum("signal").cast("bigint").alias("n_long"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+
+
+@_register(
+    "q15_momentum_signal",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    m AS (
+      SELECT symbol,
+             close / lag(close, 10) OVER (PARTITION BY symbol ORDER BY bts)
+               - 1.0e0 AS mom
+      FROM bars)
+    SELECT symbol,
+           CASE WHEN mom > 2.0e-2 THEN 1 WHEN mom < -2.0e-2 THEN -1
+                ELSE 0 END AS signal,
+           count(*) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q15(spark, sf_dir):
+    """N-period momentum signal (strategy.py:178-194)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    sig = signals.momentum_signal(b, lookback=10, threshold=0.02)
+    return sig.groupBy("symbol", "signal").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================== backtest kernel
+
+def _kernel_cte(n: int = 20, k: float = 1.5) -> str:
+    """DuckDB CTE chain replicating bars(1H) -> price normalize -> z-score
+    mean-reversion signal -> the 9-step vectorized kernel."""
+    return f"""{TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+           FROM bars),
+    zs AS (SELECT symbol, bts, p,
+                  (p - (CASE WHEN rn >= {n} THEN avg(p) OVER wN END))
+                    / (CASE WHEN rn >= {n} THEN stddev_samp(p) OVER wN END) AS z
+           FROM px WINDOW wN AS (PARTITION BY symbol ORDER BY bts
+                                 ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)),
+    sg AS (SELECT symbol, bts, p,
+                  CASE WHEN z < {_dlit(-k)} THEN 1
+                       WHEN z > {_dlit(k)} THEN -1 ELSE 0 END AS signal
+           FROM zs),
+    k1 AS (SELECT symbol, bts, p AS price, signal,
+                  CAST(signal AS DOUBLE) * 1.0e0 AS position FROM sg),
+    k2 AS (SELECT *,
+                  position - coalesce(lag(position) OVER w, 0.0e0) AS trade,
+                  coalesce(price / lag(price) OVER w - 1.0e0, 0.0e0) AS returns,
+                  coalesce(lag(position) OVER w, 0.0e0) AS prev_pos
+           FROM k1 WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    k3 AS (SELECT *, prev_pos * returns AS strategy_returns,
+                  abs(trade) * {_dlit(RATE)} AS costs FROM k2),
+    k4 AS (SELECT *, strategy_returns - costs AS net_returns FROM k3),
+    kern AS (SELECT *,
+                    exp(sum(ln(1.0e0 + net_returns)) OVER (
+                      PARTITION BY symbol ORDER BY bts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                      * {_dlit(CASH)} AS equity
+             FROM k4)"""
+
+
+def _kernel_spark(spark, sf_dir) -> DataFrame:
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.mean_reversion_signal(px, n=20, num_std=1.5, price_col="px")
+    return backtest.backtest_signals(
+        sig, position_size=1.0, commission=COMMISSION, slippage=SLIPPAGE,
+        initial_cash=CASH, price_col="px",
+    )
+
+
+@_register(
+    "q16_backtest_meanrev",
+    f"""
+    WITH {_kernel_cte()}
+    SELECT symbol, epoch_us(bts) AS bar_us, signal, position, trade, returns,
+           strategy_returns, costs, net_returns,
+           round(equity / {_dlit(CASH)}, 6) AS equity_ratio
+    FROM kern
+    """,
+)
+def q16(spark, sf_dir):
+    """The 9-step vectorized backtest kernel (portfolio.py:169-220) on a
+    20-bar/1.5σ mean-reversion signal: one window-sort shuffle per symbol;
+    equity via the exp∘sum∘log1p cumprod idiom (SURVEY §7.7.1)."""
+    res = _kernel_spark(spark, sf_dir)
+    return res.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"), "signal", "position",
+        "trade", "returns", "strategy_returns", "costs", "net_returns",
+        F.round(F.col("equity") / F.lit(CASH), 6).alias("equity_ratio"),
+    )
+
+
+@_register(
+    "q17_metrics_suite",
+    f"""
+    WITH {_kernel_cte()},
+    m1 AS (
+      SELECT symbol, count(*) AS n,
+             exp(sum(ln(1.0e0 + net_returns))) - 1.0e0 AS tr,
+             stddev_samp(net_returns) AS sd,
+             avg(net_returns - {_dlit(RF_PER)}) AS ex_mean,
+             stddev_samp(net_returns - {_dlit(RF_PER)}) AS ex_sd,
+             stddev_samp(net_returns - {_dlit(RF_PER)})
+               FILTER (WHERE net_returns - {_dlit(RF_PER)} < 0.0e0) AS down_sd,
+             count(*) FILTER (WHERE net_returns <> 0.0e0) AS n_nonzero,
+             count(*) FILTER (WHERE net_returns > 0.0e0) AS n_win,
+             sum(net_returns) FILTER (WHERE net_returns > 0.0e0) AS gross_win,
+             sum(net_returns) FILTER (WHERE net_returns < 0.0e0) AS gross_loss,
+             count(*) FILTER (WHERE position <> 0.0e0) AS n_exposed,
+             count(*) FILTER (WHERE position - coalesce(lag_pos, 0.0e0)
+                              <> 0.0e0) AS n_trades,
+             avg(net_returns) FILTER (WHERE net_returns > 0.0e0) AS a_win,
+             avg(net_returns) FILTER (WHERE net_returns < 0.0e0) AS a_loss
+      FROM (SELECT *, lag(position) OVER (PARTITION BY symbol ORDER BY bts)
+                        AS lag_pos FROM kern)
+      GROUP BY symbol),
+    dd AS (
+      SELECT symbol, min((equity - rm) / rm) AS max_dd
+      FROM (SELECT symbol, equity,
+                   max(equity) OVER (PARTITION BY symbol ORDER BY bts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+            FROM kern)
+      GROUP BY symbol),
+    fl AS (SELECT symbol, bts,
+                  CASE WHEN net_returns > 0.0e0 THEN 1
+                       WHEN net_returns < 0.0e0 THEN -1 ELSE 0 END AS flag
+           FROM kern),
+    ch AS (SELECT symbol, bts, flag,
+                  CASE WHEN lag(flag) OVER w IS NULL
+                         OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
+           FROM fl WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    grp AS (SELECT symbol, bts, flag,
+                   sum(chg) OVER (PARTITION BY symbol ORDER BY bts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM ch),
+    st AS (SELECT symbol, flag,
+                  row_number() OVER (PARTITION BY symbol, g ORDER BY bts) AS sk
+           FROM grp),
+    streaks AS (
+      SELECT symbol,
+             CAST(coalesce(max(sk) FILTER (WHERE flag = 1), 0) AS INTEGER)
+               AS max_consecutive_wins,
+             CAST(coalesce(max(sk) FILTER (WHERE flag = -1), 0) AS INTEGER)
+               AS max_consecutive_losses
+      FROM st GROUP BY symbol)
+    SELECT m1.symbol, n AS n_periods,
+           round(tr, 6) AS total_return,
+           round(power(tr + 1.0e0, 1.0e0 / (n / 252.0e0)) - 1.0e0, 6) AS cagr,
+           round(sd * {_dlit(SQRT_PPY)}, 6) AS volatility,
+           round(CASE WHEN ex_sd > 0.0e0
+                      THEN ex_mean / ex_sd * {_dlit(SQRT_PPY)}
+                      ELSE 0.0e0 END, 6) AS sharpe_ratio,
+           round(CASE WHEN down_sd > 0.0e0
+                      THEN ex_mean / down_sd * {_dlit(SQRT_PPY)}
+                      ELSE 0.0e0 END, 6) AS sortino_ratio,
+           round(max_dd, 6) AS max_drawdown,
+           round(CASE WHEN abs(max_dd) > 0.0e0
+                      THEN (power(tr + 1.0e0, 1.0e0 / (n / 252.0e0)) - 1.0e0)
+                           / abs(max_dd)
+                      ELSE 0.0e0 END, 6) AS calmar_ratio,
+           round(CASE WHEN n_nonzero > 0 THEN n_win / n_nonzero
+                      ELSE 0.0e0 END, 6) AS win_rate,
+           CASE WHEN abs(gross_loss) > 0.0e0
+                THEN round(gross_win / abs(gross_loss), 6)
+                WHEN gross_win > 0.0e0 THEN NULL
+                ELSE 0.0e0 END AS profit_factor,
+           CAST(n_trades AS BIGINT) AS num_trades,
+           round(n_exposed / n, 6) AS exposure,
+           round(coalesce(a_win, 0.0e0), 6) AS avg_win,
+           round(coalesce(a_loss, 0.0e0), 6) AS avg_loss,
+           max_consecutive_wins, max_consecutive_losses
+    FROM m1 JOIN dd ON m1.symbol = dd.symbol
+            JOIN streaks ON m1.symbol = streaks.symbol
+    """,
+)
+def q17(spark, sf_dir):
+    """Full scalar metric suite incl. gaps-and-islands streaks
+    (metrics.py:36-301) over the kernel results — ONE aggregation pass plus
+    the windowed drawdown/streak pre-pass."""
+    res = _kernel_spark(spark, sf_dir)
+    m = metrics_ops.compute_metrics(res)
+    pf = F.col("profit_factor")
+    return m.select(
+        "symbol", "n_periods",
+        F.round("total_return", 6).alias("total_return"),
+        F.round("cagr", 6).alias("cagr"),
+        F.round("volatility", 6).alias("volatility"),
+        F.round("sharpe_ratio", 6).alias("sharpe_ratio"),
+        F.round("sortino_ratio", 6).alias("sortino_ratio"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+        F.round("calmar_ratio", 6).alias("calmar_ratio"),
+        F.round("win_rate", 6).alias("win_rate"),
+        F.when(pf == float("inf"), F.lit(None).cast("double"))
+        .otherwise(F.round(pf, 6)).alias("profit_factor"),
+        F.col("num_trades").cast("bigint").alias("num_trades"),
+        F.round("exposure", 6).alias("exposure"),
+        F.round("avg_win", 6).alias("avg_win"),
+        F.round("avg_loss", 6).alias("avg_loss"),
+        "max_consecutive_wins", "max_consecutive_losses",
+    )
+
+
+@_register(
+    "q18_var_cvar",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    r AS (SELECT symbol,
+                 coalesce(close / lag(close) OVER (PARTITION BY symbol
+                   ORDER BY bts) - 1.0e0, 0.0e0) AS ret
+          FROM bars),
+    v AS (SELECT symbol, quantile_cont(ret, 0.05) AS var_95 FROM r
+          GROUP BY symbol)
+    SELECT r.symbol, round(min(var_95), 9) AS var_95,
+           round(avg(CASE WHEN ret <= var_95 THEN ret END), 6) AS cvar_95
+    FROM r JOIN v ON r.symbol = v.symbol
+    GROUP BY r.symbol
+    """,
+)
+def q18(spark, sf_dir):
+    """VaR (exact interpolated percentile, matching pandas quantile) + CVaR
+    (risk_monitor.py:56-93): two-pass — quantile, then conditional mean."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    r = signals.simple_returns(b, price_col="close", out_col="ret").select(
+        "symbol", "ret"
+    )
+    v = r.groupBy("symbol").agg(
+        F.expr("percentile(ret, 0.05)").alias("var_95")
+    )
+    joined = r.join(F.broadcast(v), on="symbol")
+    return joined.groupBy("symbol").agg(
+        F.round(F.first("var_95"), 9).alias("var_95"),
+        F.round(F.avg(F.when(F.col("ret") <= F.col("var_95"), F.col("ret"))), 6)
+        .alias("cvar_95"),
+    )
+
+
+@_register(
+    "q19_latest_trades",
+    f"""
+    WITH {TICKS_CTE}
+    SELECT seq, epoch_us(ts) AS us, price
+    FROM ticks WHERE symbol = 'click'
+    ORDER BY ts DESC LIMIT 100
+    """,
+)
+def q19(spark, sf_dir):
+    """Latest-N point lookup (database_writer.py:165-190): pushed-down
+    symbol filter + TakeOrderedAndProject, no full sort."""
+    ticks = _ticks(spark, sf_dir)
+    out = latest_trades(ticks, "click", 100)
+    return out.select("seq", F.unix_micros("ts").alias("us"), "price")
+
+
+@_register(
+    "q20_ewm_mean",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    seq AS (SELECT symbol, bts, close,
+                   row_number() OVER (PARTITION BY symbol ORDER BY bts) - 1 AS i
+            FROM bars WHERE symbol = 'click'),
+    e AS (SELECT symbol, bts,
+                 sum(close * power({_dlit(1.0 / (1.0 - 2.0 / 13.0))}, i)) OVER w
+                   / sum(power({_dlit(1.0 / (1.0 - 2.0 / 13.0))}, i)) OVER w AS ewm
+          FROM seq WINDOW w AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us, round(ewm, 4) AS ewm
+    FROM e
+    """,
+)
+def q20(spark, sf_dir):
+    """EWM mean span=12 via the closed-form adjust=True weighting as pure
+    window expressions (SURVEY §7.7.2). The pandas-exact ``applyInPandas``
+    twin (``ewm_fns.ewm_mean``) is asserted equal to this within 1e-9 in
+    tests/test_functions.py — the oracle pair uses the expression form so
+    both engines share the summation structure."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H").filter(F.col("symbol") == "click")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    e = b.withColumn("ewm", ewm_fns.ewm_mean_expr("close", 12, w))
+    return e.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("ewm", 4).alias("ewm"),
+    )
+
+
+# ============================================== corpus / LLM-pipeline ops
+
+@_register(
+    "q21_token_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q21(spark, sf_dir):
+    """Token counting over the documents corpus (whitespace tokenizer) —
+    text-analysis primitive for training-data pipelines."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@_register(
+    "q22_bow_fingerprint_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS fingerprint
+      FROM documents),
+    g AS (SELECT fingerprint, count(*) AS c FROM fp GROUP BY fingerprint)
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM g) AS n_distinct,
+           CAST(coalesce((SELECT sum(c) FROM g WHERE c > 1), 0) AS BIGINT)
+             AS n_in_dup_groups
+    FROM fp
+    """,
+)
+def q22(spark, sf_dir):
+    """Exact near-dup by bag-of-words fingerprint: md5 of the sorted token
+    multiset — order-insensitive exact dedup, one hash-agg."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    fp = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+        .alias("fingerprint"),
+    )
+    g = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("bigint").alias("n_in_dup_groups"),
+    )
+
+
+_MINHASH_PERMS = 8
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5(sh || '|{h}')) AS m{h}" for h in range(_MINHASH_PERMS)
+    )
+    allm = " || '|' || ".join(f"m{h}" for h in range(_MINHASH_PERMS))
+    b0 = " || '|' || ".join(f"m{h}" for h in range(4))
+    b1 = " || '|' || ".join(f"m{h}" for h in range(4, 8))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    SELECT doc_id, md5({allm}) AS sig, md5({b0}) AS band0, md5({b1}) AS band1
+    FROM m
+    """
+
+
+@_register("q23_minhash_signatures", _minhash_sql())
+def q23(spark, sf_dir):
+    """MinHash signatures over 5-char shingles, 8 md5-keyed permutations,
+    banded 4+4 for LSH bucketing — the scale path for near-dup detection:
+    shingle explosion is map-side, one shuffle groups by doc, band buckets
+    join candidates without the O(n^2) pair scan."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 5)").alias("sh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}"))))
+            .alias(f"m{h}")
+            for h in range(_MINHASH_PERMS)
+        ]
+    )
+    allm = F.concat_ws("|", *[f"m{h}" for h in range(_MINHASH_PERMS)])
+    b0 = F.concat_ws("|", *[f"m{h}" for h in range(4)])
+    b1 = F.concat_ws("|", *[f"m{h}" for h in range(4, 8)])
+    return mins.select(
+        "doc_id", F.md5(allm).alias("sig"),
+        F.md5(b0).alias("band0"), F.md5(b1).alias("band1"),
+    )
+
+
+@_register(
+    "q24_embedding_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id,
+             round(list_dot_product(v, qv)
+                   / sqrt(list_dot_product(v, v) * list_dot_product(qv, qv)),
+                   6) AS cos_sim
+      FROM e, q WHERE vec_id <> 0)
+    SELECT vec_id, cos_sim FROM sims
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q24(spark, sf_dir):
+    """Brute-force cosine top-k similarity search over the embedding column
+    (the exact baseline; LSH-bucketed variant is the 100TB path). Query
+    vector broadcast; dot products fold JVM-side via zip_with/aggregate."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / F.sqrt(dot(F.col("v"), F.col("v"))
+                         * dot(F.col("qv"), F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@_register(
+    "q25_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to',
+             'in', 'and', 'is', 'it'))) AS INTEGER) AS n_stop,
+           round(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to',
+             'in', 'and', 'is', 'it'))) / len(toks), 6) AS stop_ratio,
+           round(list_sum(list_transform(toks, x -> length(x)))
+                 / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def q25(spark, sf_dir):
+    """Per-document quality scoring: token count, stopword ratio, mean token
+    length — the language-ID/quality primitives of a corpus pipeline, all
+    JVM-side higher-order functions (no UDF)."""
+    stop = ["the", "a", "of", "to", "in", "and", "is", "it"]
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(stop))
+    )
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
+        F.round(tok_len_sum / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+@_register(
+    "q26_black_scholes",
+    f"""
+    SELECT p_partkey,
+           round({deriv.bs_call_sql('p_retailprice',
+                                    "(p_retailprice * 1.05e0)",
+                                    '0.5e0', '0.3e0', '0.02e0')}, 6) AS call_px,
+           round({deriv.bs_put_sql('p_retailprice',
+                                   "(p_retailprice * 1.05e0)",
+                                   '0.5e0', '0.3e0', '0.02e0')}, 6) AS put_px,
+           round({deriv.bs_gamma_sql('p_retailprice',
+                                     "(p_retailprice * 1.05e0)",
+                                     '0.5e0', '0.3e0', '0.02e0')}, 8) AS gamma
+    FROM part
+    """,
+)
+def q26(spark, sf_dir):
+    """Black-Scholes pricing as pure column expressions (derivatives.py:
+    97-210) — JVM-side A&S normal CDF, no UDF; the SQL twin is generated
+    from the same formula builders."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    s = F.col("p_retailprice")
+    k = s * F.lit(1.05)
+    t, sig, r = F.lit(0.5), F.lit(0.3), F.lit(0.02)
+    return p.select(
+        "p_partkey",
+        F.round(deriv.bs_call(s, k, t, sig, r), 6).alias("call_px"),
+        F.round(deriv.bs_put(s, k, t, sig, r), 6).alias("put_px"),
+        F.round(deriv.bs_gamma(s, k, t, sig, r), 8).alias("gamma"),
+    )

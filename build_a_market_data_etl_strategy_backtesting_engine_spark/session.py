@@ -1,0 +1,120 @@
+"""SparkSession construction with scale-ready defaults.
+
+The reference engine (see ``/root/reference/data_processing/resampler.py:17-23``)
+parallelizes with a ProcessPoolExecutor at file granularity; here partitioning,
+AQE and Arrow replace all of that. One builder used by tests, bench and the
+driver entry point so every run gets the same conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness-at-scale, not just local runs:
+# - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+#   essential when a symbol (or LSH bucket) is hot.
+# - Arrow on: every applyInPandas/pandas_udf edge transfers columnar batches.
+# - UTC session timezone: parquet TIMESTAMP_NTZ wall-clock == epoch math, and
+#   matches the DuckDB oracle which is timezone-naive.
+# - Broadcast threshold left at default 10MB; dimension tables (region/nation/
+#   symbol metadata) broadcast automatically; big fact-fact joins shuffle.
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # parquet ns timestamps: read as NTZ (wall clock), never shift.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # parquet TIMESTAMP(NANOS) is otherwise unreadable; surface as int64 ns
+    # and convert at the ingest boundary (load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # our sinks default to zstd like the reference's parquet writer
+    # (tick_to_ohlcv.py:161).
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.shuffle.partitions": "32",
+    # Keep partition sizes bounded when scanning large inputs; at 100TB the
+    # scheduler gets ~128MB splits which is the sweet spot for parquet.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_spark(
+    app_name: str = "mdetl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit with ``spark-submit --master yarn/k8s``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the driver testdata parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Views make the whole surface queryable
+    through ``spark.sql`` which mirrors how the DuckDB oracle sees the data.
+    """
+    from pyspark.sql import functions as F
+
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    # events.parquet carries TIMESTAMP(NANOS); Spark reads it only as int64.
+    # Truncate ns -> us at the boundary (floor division, matching DuckDB's
+    # ns->us truncation) and expose a real TimestampType.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if n == "events":
+                # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
+                # precision past 2^53 and lands ±128ns off.
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
+
+
+def events_as_ticks(events):
+    """Map the driver's ``events`` table onto the tick shape
+    ``(ts, symbol, price, volume, seq)`` — event_type plays the symbol,
+    value the price, user_id the volume, event_id the deterministic
+    tiebreaker (SURVEY FIXTURES §B)."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        F.col("ts"),
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+        F.col("user_id").cast("double").alias("volume"),
+        F.col("event_id").alias("seq"),
+    )
