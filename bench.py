@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Comparison protocol per BASELINE.md: the honest comparable at this scale is
+per-row throughput of (1) clean + tick->OHLCV, (2) vectorized backtest kernel
++ metrics — the reference's two headline workloads — plus the relational and
+corpus-pipeline queries that define our wider surface. Each query is fully
+materialized through a noop sink (no collect bottleneck, no sink IO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark import (  # noqa: E402
+    get_spark,
+    queries as q,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    backtest,
+    bars,
+    cleaner,
+    metrics as metrics_ops,
+    signals,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E402
+    events_as_ticks,
+    load_tables,
+)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_clean_ohlcv(spark, sf_dir):
+    """Reference workload 1: clean (dedup+validate+IQR) + tick->1min OHLCV."""
+    ticks = events_as_ticks(load_tables(spark, sf_dir, ["events"])["events"])
+    clean = cleaner.clean_pipeline(ticks, dedup_subset=["symbol", "ts"],
+                                   outlier_method="iqr", outlier_k=3.0)
+    _materialize(bars.ticks_to_ohlcv(clean, "1min", tiebreaker="seq"))
+
+
+def bench_backtest_metrics(spark, sf_dir):
+    """Reference workload 2: 15min bars -> mean-reversion -> kernel -> metrics."""
+    ticks = events_as_ticks(load_tables(spark, sf_dir, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.mean_reversion_signal(px, n=20, num_std=1.5, price_col="px")
+    res = backtest.backtest_signals(sig, price_col="px", initial_cash=100_000.0)
+    _materialize(metrics_ops.compute_metrics(res))
+
+
+def bench_from_query(name):
+    fn = q.spark_queries()[name]
+
+    def run(spark, sf_dir):
+        _materialize(fn(spark, sf_dir))
+
+    run.__name__ = name
+    return run
+
+
+BENCHES = {
+    "clean_ohlcv": bench_clean_ohlcv,
+    "backtest_metrics": bench_backtest_metrics,
+    "pricing_summary": bench_from_query("q01_pricing_summary"),
+    "star_join": bench_from_query("q02_revenue_by_nation"),
+    "metrics_suite": bench_from_query("q17_metrics_suite"),
+    "minhash_signatures": bench_from_query("q23_minhash_signatures"),
+    "embedding_topk": bench_from_query("q24_embedding_topk"),
+    "black_scholes": bench_from_query("q26_black_scholes"),
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    # warm the JVM + parquet footers once so timings measure the queries
+    load_tables(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM events").collect()
+
+    timings = {}
+    for name, fn in BENCHES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "config": {
+            "spark": spark.version,
+            "master": f"local[{cpus}]",
+            "shuffle_partitions":
+                spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

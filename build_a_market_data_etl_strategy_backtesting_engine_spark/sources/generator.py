@@ -79,7 +79,9 @@ def generate_mock_ticks(
 
     return base.select(
         (F.to_timestamp(F.lit(start_time))
-         + F.make_dt_interval(0, 0, 0, F.col("id") * F.lit(tick_interval_ms / 1000.0))
+         + F.make_dt_interval(
+             F.lit(0), F.lit(0), F.lit(0),
+             F.col("id") * F.lit(tick_interval_ms / 1000.0))
          ).alias("ts"),
         "symbol",
         F.exp(log_price).alias("price"),

@@ -1,0 +1,188 @@
+"""Tests for the scalar function libraries: Black-Scholes (the reference's
+strongest test suite, test_derivatives.py), erf accuracy, EWM pandas parity,
+and the feed normalizer cases from test_etl_pipeline.py."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+    derivatives as deriv,
+    ewm as ewm_fns,
+    mathx,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (
+    normalize_quotes,
+    normalize_trades,
+)
+
+
+def test_erf_accuracy(spark):
+    xs = np.linspace(-4, 4, 201)
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = df.select(mathx.erf(F.col("x")).alias("e")).toPandas()["e"].values
+    exp = np.array([math.erf(x) for x in xs])
+    assert np.abs(got - exp).max() < 1.5e-7
+
+
+def _bs_frame(spark):
+    rows = []
+    for s in [80.0, 100.0, 120.0]:
+        for t in [0.1, 0.5, 1.0]:
+            for sig in [0.1, 0.3]:
+                rows.append((s, 100.0, t, sig, 0.05))
+    return spark.createDataFrame(rows, "s double, k double, t double, sigma double, r double")
+
+
+def test_put_call_parity(spark):
+    """C - P = S - K*e^{-rT} to 1e-9 (test_derivatives.py:81-97) — holds
+    exactly because our N(x)+N(-x) == 1 by construction."""
+    df = _bs_frame(spark)
+    out = df.select(
+        (deriv.bs_call(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"), F.col("r"))
+         - deriv.bs_put(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"), F.col("r"))
+         - (F.col("s") - F.col("k") * F.exp(-F.col("r") * F.col("t"))))
+        .alias("gap")
+    ).toPandas()
+    assert np.abs(out["gap"]).max() < 1e-9
+
+
+def test_greek_bounds(spark):
+    """delta_call in [0,1], delta_put in [-1,0], gamma > 0, vega > 0
+    (test_derivatives.py:99-143)."""
+    df = _bs_frame(spark)
+    out = df.select(
+        deriv.bs_delta(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                       F.col("r"), call=True).alias("dc"),
+        deriv.bs_delta(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                       F.col("r"), call=False).alias("dp"),
+        deriv.bs_gamma(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                       F.col("r")).alias("g"),
+        deriv.bs_vega(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                      F.col("r")).alias("v"),
+    ).toPandas()
+    assert ((out.dc >= 0) & (out.dc <= 1)).all()
+    assert ((out.dp >= -1) & (out.dp <= 0)).all()
+    assert (out.g > 0).all()
+    assert (out.v > 0).all()
+
+
+def test_itm_call_at_least_intrinsic(spark):
+    """ITM option >= intrinsic value (test_derivatives.py:52-65)."""
+    df = spark.createDataFrame([(120.0, 100.0, 0.5, 0.2, 0.05)],
+                               "s double, k double, t double, sigma double, r double")
+    c = df.select(deriv.bs_call(F.col("s"), F.col("k"), F.col("t"),
+                                F.col("sigma"), F.col("r")).alias("c")).collect()[0].c
+    assert c >= 20.0
+
+
+def test_ewm_pandas_parity(spark):
+    rng = np.random.default_rng(7)
+    n = 300
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1h"),
+        "symbol": "A",
+        "close": 100 + np.cumsum(rng.normal(0, 1, n)),
+    })
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    got = (ewm_fns.ewm_mean(sdf, span=12, value_col="close")
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    exp = pdf["close"].ewm(span=12, adjust=True).mean()
+    np.testing.assert_allclose(got["ewm"], exp, rtol=1e-12)
+
+    # closed-form expression twin agrees with pandas to 1e-9
+    w = Window.partitionBy("symbol").orderBy("ts")
+    got2 = (sdf.withColumn("e", ewm_fns.ewm_mean_expr("close", 12, w))
+            .toPandas().sort_values("ts").reset_index(drop=True))
+    np.testing.assert_allclose(got2["e"], exp, rtol=1e-9)
+
+
+def test_macd_pandas_parity(spark):
+    rng = np.random.default_rng(9)
+    n = 200
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1h"),
+        "symbol": "A",
+        "close": 100 + np.cumsum(rng.normal(0, 1, n)),
+    })
+    sdf = spark.createDataFrame(pdf).repartition(2)
+    got = (ewm_fns.macd(sdf).toPandas().sort_values("ts")
+           .reset_index(drop=True))
+    fast = pdf["close"].ewm(span=12, adjust=True).mean()
+    slow = pdf["close"].ewm(span=26, adjust=True).mean()
+    macd_line = fast - slow
+    sig = macd_line.ewm(span=9, adjust=True).mean()
+    np.testing.assert_allclose(got["macd"], macd_line, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got["macd_signal"], sig, rtol=1e-10, atol=1e-12)
+
+
+# --------------------------------------------------------------- normalizer
+
+def _normalize_one(spark, payload: str):
+    df = spark.createDataFrame([Row(value=payload)])
+    return normalize_trades(df).collect()
+
+
+def test_normalizer_basic(spark):
+    rows = _normalize_one(
+        spark, '{"timestamp": 1700000000, "symbol": "AAPL", "price": 150.5, "volume": 10}'
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.symbol == "AAPL" and r.price == 150.5 and r.volume == 10.0
+    assert r.ts.year == 2023  # unix seconds path
+
+
+def test_normalizer_nested_aliases_ms(spark):
+    rows = _normalize_one(
+        spark, '{"data": {"t": 1700000000123, "s": "MSFT", "p": "370.1", "v": 5}}'
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.symbol == "MSFT" and r.price == 370.1
+    assert r.ts.microsecond == 123000  # unix millis path
+
+
+def test_normalizer_drops_invalid(spark):
+    """Missing symbol or price -> row dropped (normalizer.py:41-51);
+    malformed JSON dropped too."""
+    assert _normalize_one(spark, '{"price": 1.0}') == []
+    assert _normalize_one(spark, '{"symbol": "X"}') == []
+    assert _normalize_one(spark, "not json{{") == []
+
+
+def test_normalizer_volume_default_zero(spark):
+    rows = _normalize_one(spark, '{"symbol": "X", "price": 2.5, "timestamp": 1700000000}')
+    assert rows[0].volume == 0.0
+
+
+def test_normalize_quotes(spark):
+    df = spark.createDataFrame(
+        [Row(value='{"symbol": "AAPL", "bid": 99.5, "ask": 100.5, '
+                   '"bs": 10, "as": 12, "timestamp": 1700000000}')]
+    )
+    r = normalize_quotes(df).collect()[0]
+    assert r.bid_price == 99.5 and r.ask_price == 100.5
+    assert r.bid_size == 10.0 and r.ask_size == 12.0
+
+
+def test_generator_partition_invariance(spark):
+    """Seeded generator must produce identical rows regardless of
+    parallelism (hash-derived randomness, not F.rand)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.generator import (
+        generate_mock_ticks,
+    )
+
+    a = generate_mock_ticks(spark, {"AAPL": 100.0}, n_ticks=500,
+                            num_partitions=1).toPandas().sort_values("seq")
+    b = generate_mock_ticks(spark, {"AAPL": 100.0}, n_ticks=500,
+                            num_partitions=7).toPandas().sort_values("seq")
+    np.testing.assert_allclose(a["price"].values, b["price"].values, rtol=1e-12)
+    np.testing.assert_allclose(a["volume"].values, b["volume"].values)
