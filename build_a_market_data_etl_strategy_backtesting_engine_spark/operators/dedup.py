@@ -1,0 +1,348 @@
+"""Deduplication suite for large-scale corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Beyond-reference operators (SURVEY §7.6). Design rules for 100TB:
+
+- shingling/hashing is map-side (explode + xxhash64/md5, codegen'd);
+- candidate generation is ALWAYS bucket-join (LSH bands / simhash chunks),
+  never the O(n^2) cross join;
+- verification (exact Jaccard / Hamming / cosine) runs only on candidate
+  pairs, whose cardinality is data-dependent but tiny next to n^2;
+- every shuffle key is a hash bucket -> uniformly distributed, skew-safe
+  (AQE skew-join handles pathological buckets like empty-text shingles).
+
+``md5``-based variants exist where the DuckDB oracle needs a portable hash
+(queries.py); the production path uses ``xxhash64`` (one 64-bit mix vs a
+full crypto digest — ~5x cheaper in the shingle hot loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: (hash, n_docs, doc_ids) for groups >1.
+    One map-side hash + one shuffle."""
+    h = F.md5(F.col(text_col))
+    return (
+        docs.select(doc_id_col, h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list(doc_id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def distinct_by_content(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(doc_id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+def char_shingles(
+    docs: DataFrame, k: int = 5, text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each doc into its k-char shingles: (doc_id, sh). Map-side."""
+    return docs.select(
+        doc_id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1),
+                                            F.lit(1)))
+        ).alias("_i"),
+        F.col(text_col),
+    ).select(
+        doc_id_col, F.expr(f"substring({text_col}, _i, {k})").alias("sh")
+    )
+
+
+def word_ngrams(
+    docs: DataFrame, n: int = 3, text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-grams as (doc_id, gram) rows via a transform over the token
+    array (no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select(doc_id_col, F.explode(grams).alias("gram"))
+
+
+# ------------------------------------------------------------------ MinHash
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of ``xxhash64(sh, seed)``
+    for each of ``num_hashes`` seeds. One explode + one groupBy(doc_id) with
+    ``num_hashes`` min-aggregates (map-side combinable)."""
+    sh = char_shingles(docs, k, text_col, doc_id_col)
+    return sh.groupBy(doc_id_col).agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}")
+          for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any full band become candidate
+    pairs. Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+
+    The join is per-band on the band hash — uniform keys, no n^2. At 100TB
+    the band tables are written bucketed by band hash so repeated dedup runs
+    skip the shuffle."""
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)]
+        band_frames.append(
+            signatures.select(
+                F.col(doc_id_col).alias("doc"),
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bh"),
+            )
+        )
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def minhash_similarity(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    num_hashes: int = 16,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching minhash
+    components. Two broadcast-able joins against the signature table."""
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    a = signatures.select(F.col(doc_id_col).alias("doc_a"),
+                          *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    b = signatures.select(F.col(doc_id_col).alias("doc_b"),
+                          *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    matches = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in mh_cols
+    )
+    return joined.select(
+        "doc_a", "doc_b", "n_shared_bands",
+        (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup pipeline: signatures -> LSH candidates ->
+    similarity filter. Returns (doc_a, doc_b, est_jaccard) above threshold."""
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, doc_id_col)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, doc_id_col)
+    sims = minhash_similarity(sigs, pairs, num_hashes, doc_id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum +/-1 votes of each
+    token's hash bit; sign -> bit. Expressed as one aggregate over exploded
+    tokens with 64 conditional sums — heavy but fully codegen'd; for the
+    100TB path prefer fewer bits or the MinHash route.
+
+    Returns (doc_id, simhash: long)."""
+    toks = docs.select(
+        doc_id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(doc_id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+                           ).otherwise(F.lit(0).cast("long"))
+    return votes.select(doc_id_col, acc.alias("simhash"))
+
+
+def simhash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    doc_id_col: str = "doc_id",
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming using the
+    pigeonhole trick: split 64 bits into ``chunks`` chunks; any pair within
+    distance < chunks must share one exact chunk -> bucket-join per chunk,
+    then verify exact Hamming via bit_count(xor). No cross join."""
+    width = 64 // chunks
+    frames = []
+    for c in range(chunks):
+        chunk = F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        frames.append(
+            hashes.select(F.col(doc_id_col).alias("doc"),
+                          F.col("simhash").alias("sh"),
+                          F.lit(c).alias("chunk"), chunk.alias("ck")))
+    banded = frames[0]
+    for f in frames[1:]:
+        banded = banded.unionByName(f)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.ck") == F.col("b.ck"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard for given candidate pairs (the verify stage
+    after LSH): |A∩B| via gram-level join, |A∪B| = |A|+|B|-|A∩B|."""
+    grams = word_ngrams(docs, n, text_col, doc_id_col).distinct()
+    sizes = grams.groupBy(doc_id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        candidate_pairs
+        .join(grams.select(F.col(doc_id_col).alias("doc_a"),
+                           F.col("gram")), "doc_a")
+        .join(grams.select(F.col(doc_id_col).alias("doc_b"),
+                           F.col("gram")), ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        candidate_pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.select(F.col(doc_id_col).alias("doc_a"),
+                           F.col("n_grams").alias("na")), "doc_a")
+        .join(sizes.select(F.col(doc_id_col).alias("doc_b"),
+                           F.col("n_grams").alias("nb")), "doc_b")
+    )
+    return out.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold, bucketed by random
+    hyperplane signs (sign-LSH): vectors agreeing on all ``n_planes`` signs
+    land in one bucket; exact cosine verifies within buckets.
+
+    Hyperplanes are seed-deterministic (numpy), broadcast as literals. For
+    recall-critical use, run with several plane seeds and union."""
+    import numpy as np
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = embeddings.select(F.col(id_col).alias("doc"), v.alias("v"))
+
+    def dot_const(vcol: Column, plane) -> Column:
+        return F.aggregate(
+            F.zip_with(vcol, F.array(*[F.lit(float(p)) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+
+    bucket = F.concat_ws(
+        "", *[(dot_const(F.col("v"), planes[i]) > 0).cast("int").cast("string")
+              for i in range(n_planes)]
+    )
+    bucketed = df.withColumn("bucket", bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(F.col("a.v"), F.col("a.v"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(F.col("b.v"), F.col("b.v"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+                (dot / (na * nb)).alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

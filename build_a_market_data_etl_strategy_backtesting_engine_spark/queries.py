@@ -1028,3 +1028,417 @@ def q26(spark, sf_dir):
         F.round(deriv.bs_put(s, k, t, sig, r), 6).alias("put_px"),
         F.round(deriv.bs_gamma(s, k, t, sig, r), 8).alias("gamma"),
     )
+
+
+# ================================ extended corpus / risk / indicator queries
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    dedup as dedup_ops,
+    risk as risk_ops,
+    text as text_ops,
+)
+
+
+def _simhash16_sql(dialect: str) -> str:
+    """16-bit md5-derived SimHash as portable SQL (dialect: 'duck'|'spark').
+
+    bit i of a token = bit (i%4) of hex digit (i//4) of md5(token); per-doc
+    bit = sign of the +/-1 vote sum. Identical text in both dialects except
+    strpos/instr naming."""
+    pos = "strpos" if dialect == "duck" else "instr"
+    votes = []
+    for i in range(16):
+        j, k = i // 4 + 1, i % 4
+        val = (f"({pos}('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
+               )
+        bit = f"(CAST(floor({val} / {2 ** k}) AS INTEGER) % 2)"
+        votes.append(f"sum(2 * {bit} - 1) AS v{i}")
+    return ", ".join(votes)
+
+
+_SIMHASH_BITS_OUT = "|| ".join(
+    f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END) " for i in range(16)
+)
+
+
+@_register(
+    "q27_simhash16",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    v AS (SELECT doc_id, {_simhash16_sql('duck')} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_BITS_OUT} AS simhash16 FROM v
+    """,
+)
+def q27(spark, sf_dir):
+    """16-bit SimHash (md5-derived, oracle-portable twin of the production
+    64-bit xxhash64 simhash in operators/dedup.py): per-bit +/-1 token votes,
+    sign -> bit."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vote_exprs = []
+    for i in range(16):
+        j, k = i // 4 + 1, i % 4
+        val = f"(instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
+        bit = f"(CAST(floor({val} / {2 ** k}) AS INTEGER) % 2)"
+        vote_exprs.append(F.expr(f"sum(2 * {bit} - 1)").alias(f"v{i}"))
+    votes = toks.groupBy("doc_id").agg(*vote_exprs)
+    bits = F.concat(*[
+        F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(16)
+    ])
+    return votes.select("doc_id", bits.alias("simhash16"))
+
+
+@_register(
+    "q28_ngram_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    p AS (SELECT a.source AS source,
+                 len(list_intersect(a.grams, b.grams)) AS ni,
+                 len(a.grams) AS na, len(b.grams) AS nb
+          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT source, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN ni / (na + nb - ni) >= 5.0e-2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_similar,
+           round(avg(ni / (na + nb - ni)), 6) AS avg_jaccard,
+           round(max(ni / (na + nb - ni)), 6) AS max_jaccard
+    FROM p GROUP BY source
+    """,
+)
+def q28(spark, sf_dir):
+    """Exact word-3-gram Jaccard over same-source candidate pairs
+    (the verify stage of a near-dup pipeline), aggregated per source."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = (
+        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
+        .join(d.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source")), "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    j = dedup_ops.ngram_jaccard_pairs(d, cand.select("source", "doc_a", "doc_b"), n=3)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("jaccard") >= 0.05).cast("int")).cast("bigint")
+        .alias("n_similar"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+def _minhash_bands_sql() -> str:
+    mins = ", ".join(
+        f"min(md5(sh || '|{h}')) AS m{h}" for h in range(_MINHASH_PERMS)
+    )
+    b0 = " || '|' || ".join(f"m{h}" for h in range(4))
+    b1 = " || '|' || ".join(f"m{h}" for h in range(4, 8))
+    return f"""
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5({b0}) AS bh FROM m
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5({b1}) AS bh FROM m)
+    """
+
+
+@_register(
+    "q29_lsh_candidate_pairs",
+    f"""
+    WITH {_minhash_bands_sql()},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT count(*) AS n_pairs,
+           CAST(coalesce(sum(n_shared_bands), 0) AS BIGINT) AS total_band_hits,
+           coalesce(min(doc_a), -1) AS min_doc_a
+    FROM pairs
+    """,
+)
+def q29(spark, sf_dir):
+    """LSH banding candidate generation (4+4 bands over the md5 minhash
+    signatures): bucket-join on band hash — the no-n^2 candidate path."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = dedup_ops.char_shingles(d, 5)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}")))).alias(f"m{h}")
+          for h in range(_MINHASH_PERMS)]
+    )
+    bands = mins.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4)])).alias("bh"),
+    ).unionByName(
+        mins.select(
+            "doc_id", F.lit(1).alias("band"),
+            F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4, 8)])).alias("bh"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("n_shared_bands"), F.lit(0)).cast("bigint")
+        .alias("total_band_hits"),
+        F.coalesce(F.min("doc_a"), F.lit(-1)).alias("min_doc_a"),
+    )
+
+
+def _planes_sql() -> tuple[str, list]:
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 64))
+    arrs = [
+        "[" + ", ".join(_dlit(float(x)) for x in p) + "]" for p in planes
+    ]
+    return arrs, planes
+
+
+_PLANE_ARRS, _PLANES = _planes_sql()
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"(CASE WHEN list_dot_product(v, {arr}) > 0.0e0 THEN '1' ELSE '0' END)"
+    for arr in _PLANE_ARRS
+) + ")"
+
+
+@_register(
+    "q30_embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.v, b2.v)
+               / sqrt(list_dot_product(a.v, a.v)
+                      * list_dot_product(b2.v, b2.v)) AS cosine
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 2.5e-1
+    """,
+)
+def q30(spark, sf_dir):
+    """Embedding near-dup via sign-LSH (8 seeded hyperplanes -> bucket join,
+    exact cosine verify within buckets) — no n^2 cross join."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = dedup_ops.embedding_near_dups(
+        e, threshold=0.25, n_planes=8, seed=42
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@_register(
+    "q31_language_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+      FROM documents),
+    s AS (SELECT doc_id, lang,
+            len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','that','for'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','que'))) AS s_es,
+            len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que'))) AS s_fr,
+            len(toks) AS n_tokens,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+            length(text) AS n_chars
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                ELSE 'unknown' END AS pred_lang,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(n_alpha / n_chars, 6) AS alpha_ratio
+    FROM s
+    """,
+)
+def q31(spark, sf_dir):
+    """Stopword-vote language ID + alpha ratio (text.predict_language):
+    deterministic tie priority en > de > es > fr."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    c = F.col("text")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return d.select(
+        "doc_id", "lang",
+        text_ops.predict_language("text").alias("pred_lang"),
+        text_ops.token_count("text").alias("n_tokens"),
+        F.round(alpha / F.length(c), 6).alias("alpha_ratio"),
+    )
+
+
+@_register(
+    "q32_trailing_stops",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           max(close) OVER (PARTITION BY symbol ORDER BY bts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * {_dlit(1.0 - 0.05)} AS stop_price,
+           close <= max(close) OVER (PARTITION BY symbol ORDER BY bts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * {_dlit(1.0 - 0.05)} AS stop_hit
+    FROM bars
+    """,
+)
+def q32(spark, sf_dir):
+    """Vectorized trailing-stop ratchet (risk_monitor.py:415-538): stop =
+    running_max * (1 - trail), hit = price <= stop — pure running-max
+    window, no state machine."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    out = risk_ops.trailing_stops(b, trail_pct=0.05, price_col="close")
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "stop_price", "stop_hit",
+    )
+
+
+@_register(
+    "q33_risk_alerts",
+    f"""
+    WITH {_kernel_cte()},
+    dd AS (SELECT symbol, bts, net_returns,
+                  (equity - max(equity) OVER w) / max(equity) OVER w AS ddv
+           FROM kern WINDOW w AS (PARTITION BY symbol ORDER BY bts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    alerts AS (
+      SELECT 'drawdown' AS alert_type,
+             CASE WHEN ddv < {_dlit(-0.02 * 1.5)} THEN 'critical'
+                  WHEN ddv < {_dlit(-0.02)} THEN 'warning' END AS level
+      FROM dd
+      UNION ALL
+      SELECT 'daily_loss',
+             CASE WHEN net_returns < {_dlit(-0.01 * 2.0)} THEN 'critical'
+                  WHEN net_returns < {_dlit(-0.01)} THEN 'warning' END
+      FROM dd)
+    SELECT alert_type, level, count(*) AS n
+    FROM alerts WHERE level IS NOT NULL
+    GROUP BY alert_type, level
+    """,
+)
+def q33(spark, sf_dir):
+    """Risk-monitor alert rules (risk_monitor.py:120-276) over kernel
+    results: drawdown and per-period loss breaches, warning/critical tiers."""
+    res = _kernel_spark(spark, sf_dir)
+    alerts = risk_ops.monitor(res, max_drawdown_pct=0.02,
+                              max_daily_loss_pct=0.01)
+    return alerts.groupBy("alert_type", "level").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q34_position_sizing",
+    f"""
+    WITH {_kernel_cte()},
+    m AS (SELECT symbol,
+                 count(*) FILTER (WHERE net_returns > 0.0e0)
+                   / count(*) FILTER (WHERE net_returns <> 0.0e0) AS p,
+                 avg(net_returns) FILTER (WHERE net_returns > 0.0e0) AS aw,
+                 avg(net_returns) FILTER (WHERE net_returns < 0.0e0) AS al,
+                 stddev_samp(net_returns) * {_dlit(SQRT_PPY)} AS vol
+          FROM kern GROUP BY symbol)
+    SELECT symbol,
+           round(least(greatest(((p * (aw / abs(al)) - (1.0e0 - p))
+                                 / (aw / abs(al))) / 4.0e0, 0.0e0),
+                       2.5e-1), 6) AS kelly,
+           round(CASE WHEN vol > 0.0e0
+                      THEN least({_dlit(0.15)} / vol, 2.0e0)
+                      ELSE 0.0e0 END, 6) AS vol_target_size
+    FROM m
+    """,
+)
+def q34(spark, sf_dir):
+    """Position sizing (risk_monitor.py:332-412): quarter-Kelly clipped to
+    [0, 0.25] from win stats; volatility-target size capped at 2x."""
+    res = _kernel_spark(spark, sf_dir)
+    m = metrics_ops.compute_metrics(res, include_streaks=False)
+    return m.select(
+        "symbol",
+        F.round(
+            risk_ops.kelly_fraction(F.col("win_rate"), F.col("avg_win"),
+                                    F.col("avg_loss")), 6).alias("kelly"),
+        F.round(
+            risk_ops.volatility_target_size(0.15, F.col("volatility"), 2.0),
+            6).alias("vol_target_size"),
+    )
+
+
+@_register(
+    "q35_rolling_indicators",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    d AS (SELECT symbol, bts, close,
+                 row_number() OVER w AS rn,
+                 close - lag(close) OVER w AS delta,
+                 coalesce(close / lag(close) OVER w - 1.0e0, NULL) AS r
+          FROM bars WHERE symbol = 'click'
+          WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    g AS (SELECT *,
+                 CASE WHEN delta > 0.0e0 THEN delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS gain,
+                 CASE WHEN delta < 0.0e0 THEN -delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS loss
+          FROM d),
+    w14 AS (SELECT *,
+                 CASE WHEN rn >= 15 THEN avg(gain) OVER w END AS ag,
+                 CASE WHEN rn >= 15 THEN avg(loss) OVER w END AS al
+          FROM g WINDOW w AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    bb AS (SELECT *,
+                 CASE WHEN rn >= 20 THEN avg(close) OVER w20 END AS mid,
+                 CASE WHEN rn >= 20 THEN stddev_samp(close) OVER w20 END AS sd,
+                 CASE WHEN rn >= 21 THEN stddev_samp(r) OVER w20 END AS vol20
+          FROM w14 WINDOW w20 AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN al = 0.0e0 THEN 100.0e0
+                      ELSE 100.0e0 - 100.0e0 / (1.0e0 + ag / al) END, 6)
+             AS rsi,
+           round(mid, 6) AS bb_mid,
+           round(mid + 2.0e0 * sd, 6) AS bb_upper,
+           round(mid - 2.0e0 * sd, 6) AS bb_lower,
+           round(vol20, 6) AS volatility
+    FROM bb
+    """,
+)
+def q35(spark, sf_dir):
+    """Indicator battery with pandas warm-up parity: simple-average RSI(14),
+    Bollinger(20, 2), rolling volatility(20) (ml_strategy.py:125-175)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H").filter(F.col("symbol") == "click")
+    b = signals.with_rsi(b, 14, price_col="close")
+    b = signals.with_bollinger(b, 20, 2.0, price_col="close")
+    b = signals.with_rolling_volatility(b, 20, price_col="close")
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("rsi", 6).alias("rsi"),
+        F.round("bb_mid", 6).alias("bb_mid"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+        F.round("volatility", 6).alias("volatility"),
+    )
