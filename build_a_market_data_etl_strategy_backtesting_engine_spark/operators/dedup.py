@@ -202,18 +202,22 @@ def simhash(
     toks = docs.select(
         doc_id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
     votes = toks.groupBy(doc_id_col).agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.shiftrightunsigned("h", i).bitwiseAND(one) != 0, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
-                           ).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(one, i)
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select(doc_id_col, acc.alias("simhash"))
 
 

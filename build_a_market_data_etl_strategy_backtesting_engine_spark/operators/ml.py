@@ -1,0 +1,144 @@
+"""ML strategy bridge: feature engineering, time splits, walk-forward
+validation, batch inference.
+
+Reference: ``/root/reference/backtesting/ml_strategy.py`` — feature set
+(:125-175), train/test time split 80/20 (:412-434), walk-forward windows
+(:437-488), model predict bridge (:50-71), ensemble vote (:312-356).
+
+Spark design: features are the §2.4 window expressions (signals.py), splits
+are timestamp filters (no shuffle — partition pruning when stored by date),
+inference is an Arrow-batched pandas UDF wrapping any ``predict``-style
+callable, ensembles are a weighted column average + threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import signals
+
+
+def engineer_features(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """The reference feature battery (ml_strategy.py:125-175): returns, SMA
+    ratios, RSI, Bollinger position, rolling volatility, volume ratio."""
+    w = signals.sym_window(symbol_col, ts_col)
+    df = bars
+    df = df.withColumn("ret_1", signals.pct_change(price_col, w))
+    df = df.withColumn("ret_5", signals.pct_change(price_col, w, 5))
+    df = df.withColumn(
+        "sma_ratio_10",
+        F.col(price_col) / signals.rolling_mean(price_col, 10, w))
+    df = df.withColumn(
+        "sma_ratio_20",
+        F.col(price_col) / signals.rolling_mean(price_col, 20, w))
+    df = signals.with_rsi(df, 14, price_col, symbol_col, ts_col)
+    df = signals.with_bollinger(df, 20, 2.0, price_col, symbol_col, ts_col)
+    df = df.withColumn(
+        "bb_pos",
+        (F.col(price_col) - F.col("bb_lower"))
+        / (F.col("bb_upper") - F.col("bb_lower")))
+    df = signals.with_rolling_volatility(df, 20, price_col, symbol_col, ts_col)
+    if "volume" in bars.columns:
+        df = signals.with_volume_ratio(df, 20, "volume", symbol_col, ts_col)
+    return df
+
+
+def make_labels(
+    df: DataFrame,
+    horizon: int = 1,
+    threshold: float = 0.0,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """Forward-return labels: +1/-1/0 on the next-``horizon`` return
+    (ml_strategy.py:86-98); the lead is per symbol, no look-ahead leak into
+    features."""
+    w = signals.sym_window(symbol_col, ts_col)
+    fwd = F.lead(price_col, horizon).over(w) / F.col(price_col) - 1
+    lab = (F.when(fwd > threshold, 1)
+           .when(fwd < -threshold, -1).otherwise(0)).cast("int")
+    return df.withColumn("label", lab)
+
+
+def time_split(
+    df: DataFrame, train_frac: float = 0.8, ts_col: str = "ts"
+) -> tuple[DataFrame, DataFrame]:
+    """Time-ordered train/test split (ml_strategy.py:412-434): cut at the
+    train_frac quantile of ts — a filter, not a shuffle."""
+    cut = df.select(
+        F.expr(f"percentile(unix_micros({ts_col}), {float(train_frac)!r})")
+    ).first()[0]
+    cut_expr = F.unix_micros(F.col(ts_col)) <= F.lit(int(cut))
+    return df.filter(cut_expr), df.filter(~cut_expr)
+
+
+def walk_forward_splits(
+    df: DataFrame, n_splits: int = 5, ts_col: str = "ts"
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Expanding-window walk-forward (ml_strategy.py:437-488): split the time
+    axis into n_splits+1 equal slices; fold i trains on slices [0..i] and
+    tests on slice i+1. Pure timestamp filters."""
+    lo, hi = df.select(
+        F.min(F.unix_micros(ts_col)), F.max(F.unix_micros(ts_col))
+    ).first()
+    step = (hi - lo) // (n_splits + 1)
+    folds = []
+    for i in range(1, n_splits + 1):
+        cut, end = lo + i * step, lo + (i + 1) * step
+        us = F.unix_micros(F.col(ts_col))
+        folds.append((df.filter(us <= cut),
+                      df.filter((us > cut) & (us <= end if i < n_splits
+                                              else F.lit(True)))))
+    return folds
+
+
+def predict_with_model(
+    df: DataFrame,
+    model_predict: Callable[[pd.DataFrame], "pd.Series | list"],
+    feature_cols: Sequence[str],
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Batch inference: any fitted model's ``predict`` callable applied over
+    Arrow batches (ml_strategy.py:50-71's predict bridge). The model must be
+    picklable (broadcast to executors once)."""
+    cols = list(feature_cols)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` double"
+
+    def _run(it):
+        for pdf in it:
+            x = pdf[cols].fillna(0.0)
+            pdf[out_col] = pd.Series(model_predict(x)).astype(float).values
+            yield pdf
+
+    return df.mapInPandas(_run, schema)
+
+
+def ensemble_signal(
+    df: DataFrame,
+    signal_cols: Sequence[str],
+    weights: Sequence[float] | None = None,
+    threshold: float = 0.5,
+    out_col: str = "signal",
+) -> DataFrame:
+    """Weighted signal vote -> thresholded ensemble (ml_strategy.py:312-356):
+    avg = sum(w_i * s_i)/sum(w), signal = +1 if avg > thr, -1 if < -thr."""
+    cols = list(signal_cols)
+    ws = list(weights) if weights else [1.0] * len(cols)
+    num = sum(F.col(c) * F.lit(float(w)) for c, w in zip(cols, ws))
+    avg = num / F.lit(float(sum(ws)))
+    sig = (F.when(avg > threshold, 1)
+           .when(avg < -threshold, -1).otherwise(0)).cast("int")
+    return df.withColumn(out_col, sig)

@@ -1,0 +1,125 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas``.
+
+Beyond-reference operators (SURVEY §7.6): images/audio/video ride as
+``binary`` columns (MEDIA_SCHEMA in schemas.py); decode / feature-extract /
+resize / frame-sample run as mapInPandas stages so each Arrow batch crosses
+the Python boundary once.
+
+The actual codec work is STUBBED in this container (no PIL/ffmpeg —
+environment rule: no installs): ``decode_image`` raises
+``NotImplementedError`` unless a decoder import succeeds, and
+``fake_decode_stats`` provides a deterministic stand-in so the Spark-side
+plumbing — schema, batching, partition sizing — is real and tested. On a
+real cluster, swap the stub for PIL/torchvision inside the same UDF body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = ("media_id long, kind string, n_bytes int, sha256 string, "
+                 "width int, height int, feature_norm double")
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(content: bytes) -> "object":
+    """Real decode path — requires PIL, absent in this container."""
+    Image = _try_import_pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires PIL/Pillow; not available in this "
+            "environment — use fake_decode_stats for plumbing tests"
+        )
+    import io
+
+    return Image.open(io.BytesIO(content))
+
+
+def media_features(
+    media: DataFrame,
+    batch_size_hint: int = 256,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Per-item features over the binary column via mapInPandas.
+
+    Deterministic stub stats (size, sha256, a pseudo 'feature_norm' from the
+    digest) keep the pipeline testable; ``use_real_decoder=True`` switches to
+    the PIL path (raises here, by design). Partitioning note: binary rows are
+    large — size ``spark.sql.files.maxPartitionBytes`` / repartition so an
+    Arrow batch (~batch_size_hint rows) fits executor memory.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0).astype("int32"),
+                "sha256": pdf["content"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()),
+            })
+            if use_real_decoder:
+                imgs = pdf["content"].map(decode_image)  # raises w/o PIL
+                out["width"] = imgs.map(lambda i: i.width).astype("int32")
+                out["height"] = imgs.map(lambda i: i.height).astype("int32")
+            else:
+                out["width"] = pdf.get(
+                    "width", pd.Series([None] * len(pdf))).astype("Int32")
+                out["height"] = pdf.get(
+                    "height", pd.Series([None] * len(pdf))).astype("Int32")
+            # deterministic pseudo-embedding norm from the content digest
+            out["feature_norm"] = out["sha256"].map(
+                lambda h: int(h[:8], 16) / 0xFFFFFFFF)
+            yield out
+
+    return media.mapInPandas(_run, DECODE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plan: explode (media_id, frame_ts_ms) rows from
+    duration metadata — the shuffle-free fan-out that precedes per-frame
+    decode. Pure expressions; the decode itself is the stubbed UDF above."""
+    n_frames = F.greatest(
+        (F.col("duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_frames - 1),
+                        lambda i: i * every_ms)
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded bytes) for
+    plumbing tests, conforming to MEDIA_SCHEMA."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append((i, kind, bytearray(payload), f"fake/{kind}",
+                     64, 48, 5000 if kind == "video" else None, {}))
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,226 @@
+"""Event-driven simulation: limit order book matching + sequential portfolio.
+
+Reference semantics, ported exactly (cited per method):
+- ``/root/reference/backtesting/order_book.py`` — Order/Trade dataclasses
+  (:36-72), book heaps (:75-203), market-order fill with slippage (:268-300),
+  marketable-limit immediate fill (:302-331), resting-limit match on tick
+  (:391-460), rejection rules (:259-266).
+- ``/root/reference/backtesting/engine.py:167-230`` — event-driven engine:
+  desired-position diff -> market orders of 100 shares per signal unit
+  (:194-195), cash check, mark-to-market per bar.
+- ``/root/reference/backtesting/portfolio.py:39-92`` — execute_trade
+  (commission+slippage, insufficient-cash rejection).
+
+Spark design (SURVEY §3.4): these are inherently sequential per symbol —
+the ONE operator family where imperative code is the correct answer. Batch:
+``applyInPandas`` per symbol with the loop inside the group (cross-symbol
+parallelism, exact within-symbol sequencing). Streaming: the same kernel
+drops into ``transformWithStateInPandas`` keyed by symbol. A shared cash
+account across symbols forces a single group — same limit as the reference
+(documented divergence: we default to per-symbol cash budgets to stay
+parallel; pass ``shared_cash=True`` to replicate global-cash coupling).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _Book:
+    """Per-symbol price-time-priority book (order_book.py:75-203)."""
+    bids: list = field(default_factory=list)  # (-price, seq, order)
+    asks: list = field(default_factory=list)  # (price, seq, order)
+    seq: int = 0
+
+    def add(self, order: dict) -> None:
+        self.seq += 1
+        if order["side"] == "buy":
+            heapq.heappush(self.bids, (-order["price"], self.seq, order))
+        else:
+            heapq.heappush(self.asks, (order["price"], self.seq, order))
+
+    def best_bid(self):
+        return -self.bids[0][0] if self.bids else None
+
+    def best_ask(self):
+        return self.asks[0][0] if self.asks else None
+
+
+def simulate_order_book(
+    orders: DataFrame,
+    ticks: DataFrame,
+    slippage_pct: float = 0.001,
+    symbol_col: str = "symbol",
+) -> DataFrame:
+    """Replay orders + ticks through the matching engine per symbol.
+
+    Inputs: ``orders(order_id, ts, symbol, side, order_type, quantity,
+    price, stop_price)`` and ``ticks(ts, symbol, price, ...)``; both streams
+    are merged in time order per symbol (order events act before the tick at
+    equal timestamps, matching the reference's submit-then-process flow).
+
+    Output: trade fills ``(trade_id, ts, symbol, side, quantity, price,
+    order_id)``.
+
+    Matching rules (order_book.py):
+    - market order: fill at last price +/- slippage_pct (buy pays up, sell
+      receives less) (:268-300); rejected if no last price yet.
+    - limit order: marketable (buy >= best ask / latest price, sell <=) ->
+      immediate fill at the limit (conservative, :302-331); else rests.
+    - each tick: resting buy limits with price >= tick fill at limit; sells
+      with price <= tick fill at limit (:427-460).
+    """
+    out_schema = ("trade_id string, ts timestamp, symbol string, side string, "
+                  "quantity double, price double, order_id string")
+    slip = float(slippage_pct)
+
+    o = orders.select(
+        F.col("ts"), F.col(symbol_col).alias("symbol"),
+        F.lit("order").alias("kind"), F.col("order_id"), F.col("side"),
+        F.col("order_type"), F.col("quantity"),
+        F.col("price").cast("double").alias("price"),
+    )
+    t = ticks.select(
+        F.col("ts"), F.col(symbol_col).alias("symbol"),
+        F.lit("tick").alias("kind"), F.lit(None).cast("string").alias("order_id"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("string").alias("order_type"),
+        F.lit(None).cast("double").alias("quantity"),
+        F.col("price").cast("double").alias("price"),
+    )
+    merged = o.unionByName(t)
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # orders (kind='order') sort before ticks at equal ts
+        pdf = pdf.sort_values(["ts", "kind"]).reset_index(drop=True)
+        book = _Book()
+        last = None
+        fills = []
+        n = 0
+
+        def fill(order_id, side, qty, px, ts):
+            nonlocal n
+            n += 1
+            fills.append((f"{pdf['symbol'].iloc[0]}-{n}", ts,
+                          pdf["symbol"].iloc[0], side, qty, px, order_id))
+
+        for row in pdf.itertuples(index=False):
+            if row.kind == "tick":
+                last = row.price
+                # match resting limits against the tick (order_book.py:427-460)
+                while book.bids and -book.bids[0][0] >= last:
+                    _, _, od = heapq.heappop(book.bids)
+                    fill(od["order_id"], "buy", od["quantity"], od["price"],
+                         row.ts)
+                while book.asks and book.asks[0][0] <= last:
+                    _, _, od = heapq.heappop(book.asks)
+                    fill(od["order_id"], "sell", od["quantity"], od["price"],
+                         row.ts)
+            else:
+                if row.order_type == "market":
+                    if last is None:
+                        continue  # rejected: no reference price (:277-280)
+                    px = last * (1 + slip) if row.side == "buy" else last * (1 - slip)
+                    fill(row.order_id, row.side, row.quantity, px, row.ts)
+                elif row.order_type == "limit":
+                    if row.price is None or not row.price == row.price:
+                        continue  # rejected: limit requires price (:259-261)
+                    marketable = last is not None and (
+                        (row.side == "buy" and row.price >= last)
+                        or (row.side == "sell" and row.price <= last)
+                    )
+                    if marketable:
+                        fill(row.order_id, row.side, row.quantity, row.price,
+                             row.ts)
+                    else:
+                        book.add({"order_id": row.order_id, "side": row.side,
+                                  "quantity": row.quantity, "price": row.price})
+        return pd.DataFrame(
+            fills, columns=["trade_id", "ts", "symbol", "side", "quantity",
+                            "price", "order_id"],
+        )
+
+    return merged.groupBy("symbol").applyInPandas(_run, out_schema)
+
+
+def event_driven_backtest(
+    bars: DataFrame,
+    initial_cash: float = 1_000_000.0,
+    commission: float = 0.001,
+    slippage: float = 0.0005,
+    shares_per_unit: float = 100.0,
+    price_col: str = "close",
+    signal_col: str = "signal",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    shared_cash: bool = False,
+) -> DataFrame:
+    """Event-driven engine (engine.py:167-230): iterate bars in time order,
+    trade toward desired position = signal * shares_per_unit via market
+    orders with commission+slippage, reject on insufficient cash, mark to
+    market each bar.
+
+    Output per bar: ``(symbol, ts, price, signal, position, cash, equity)``.
+    ``shared_cash=True`` runs everything in one group (global cash account,
+    sequential like the reference); default is per-symbol cash =
+    initial_cash / n_symbols, preserving parallelism.
+    """
+    out_schema = (f"{symbol_col} string, {ts_col} timestamp, price double, "
+                  "signal int, position double, cash double, equity double")
+    comm, slip = float(commission), float(slippage)
+
+    if shared_cash:
+        grouped = bars.withColumn("_g", F.lit(1)).groupBy("_g")
+        budget = float(initial_cash)
+    else:
+        n_sym = bars.select(symbol_col).distinct().count()
+        grouped = bars.groupBy(symbol_col)
+        budget = float(initial_cash) / max(n_sym, 1)
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, symbol_col]).reset_index(drop=True)
+        cash = budget
+        positions: dict[str, float] = {}
+        last_px: dict[str, float] = {}
+        rows = []
+        for row in pdf.itertuples(index=False):
+            sym = getattr(row, symbol_col)
+            px = getattr(row, price_col)
+            sig = getattr(row, signal_col) or 0
+            last_px[sym] = px
+            desired = sig * shares_per_unit
+            cur = positions.get(sym, 0.0)
+            delta = desired - cur
+            if delta != 0:
+                # buy pays slippage up, sell receives slippage down
+                exec_px = px * (1 + slip) if delta > 0 else px * (1 - slip)
+                cost = abs(delta) * exec_px
+                fee = cost * comm
+                if delta > 0 and cost + fee > cash:
+                    pass  # rejected: insufficient cash (portfolio.py:60-66)
+                else:
+                    cash -= delta * exec_px
+                    cash -= fee
+                    positions[sym] = desired
+            # mark-to-market with latest known prices (engine.py:206-212)
+            equity = cash + sum(
+                positions.get(s, 0.0) * last_px.get(s, 0.0) for s in positions
+            )
+            rows.append((sym, getattr(row, ts_col), px, int(sig),
+                         positions.get(sym, 0.0), cash, equity))
+        out = pd.DataFrame(rows, columns=[symbol_col, ts_col, "price",
+                                          "signal", "position", "cash",
+                                          "equity"])
+        return out
+
+    if shared_cash:
+        return grouped.applyInPandas(
+            lambda pdf: _run(pdf.drop(columns=["_g"])), out_schema)
+    return grouped.applyInPandas(_run, out_schema)

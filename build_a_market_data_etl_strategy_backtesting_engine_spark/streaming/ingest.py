@@ -1,0 +1,137 @@
+"""Streaming ingest pipeline: source -> normalize -> validated sink.
+
+Reference pipeline (``/root/reference/etl/pipeline.py:62-82`` +
+``etl/websocket_client.py:14-204`` + ``etl/database_writer.py:95-163``,
+traced in SURVEY §3.1): WebSocket JSON frames -> normalize -> bounded queue
+-> micro-batches of >=100 -> buffered Postgres inserts of 1000, with
+reconnect, heartbeat, stats counters and SIGTERM flush.
+
+On Spark the queue/batching/retry/shutdown collapse into framework features:
+
+- source: any streaming DataFrame of JSON strings (socket, Kafka ``value``,
+  files); tests use ``rate-micro-batch`` mapped onto synthetic tick JSON.
+- the SAME normalizer expressions as batch (sources/normalizer.py) — one
+  code path for both, which is what makes batch==stream equivalence testable.
+- sink: ``foreachBatch`` -> parquet/JDBC append, with checkpointing giving
+  at-least-once into an idempotent sink (exactly-once with Delta); the
+  reference's failed-flush re-buffer (at-least-once, may duplicate) is
+  strictly weaker.
+- backpressure: ``maxOffsetsPerTrigger``/trigger interval — lossless,
+  unlike the reference's drop-newest-on-full-queue (documented divergence,
+  SURVEY §2.10).
+- stats: ``StreamingQueryListener`` replaces the counter thread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (
+    normalize_trades,
+)
+
+
+def rate_tick_source(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    symbols: list[str] | None = None,
+    start_price: float = 100.0,
+) -> DataFrame:
+    """Deterministic synthetic tick JSON stream from the rate source —
+    the test stand-in for a WebSocket/Kafka feed (paper_trading.py:230-295's
+    simulated feed). Price is a hash-driven walk around start_price so the
+    payloads exercise the full normalizer."""
+    symbols = symbols or ["AAPL", "MSFT", "GOOGL"]
+    sym_arr = F.array(*[F.lit(s) for s in symbols])
+    n = len(symbols)
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second).load()
+    wiggle = (F.xxhash64("value").cast("double") / F.lit(2.0 ** 63)) * 0.01
+    price = F.lit(start_price) * (1.0 + wiggle)
+    payload = F.to_json(F.struct(
+        F.unix_millis("timestamp").alias("t"),
+        F.element_at(sym_arr, (F.col("value") % n + 1).cast("int")).alias("s"),
+        price.alias("p"),
+        (F.col("value") % 97 + 1).cast("double").alias("v"),
+    ))
+    return rate.select(payload.alias("value"))
+
+
+def ingest_stream(
+    raw: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    partition_by: list[str] | None = None,
+):
+    """raw JSON stream -> normalized ticks -> partitioned parquet.
+
+    Equivalent of ETLPipeline.run: the normalizer drops invalid frames, the
+    checkpoint replaces the writer buffer/retry, the trigger interval is the
+    micro-batch cadence."""
+    ticks = normalize_trades(raw)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(sink_path)
+
+    return (
+        ticks.writeStream
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def ingest_to_memory(
+    raw: DataFrame, query_name: str = "ticks_mem", once: bool = True
+):
+    """Normalize into an in-memory sink — used by equivalence tests."""
+    ticks = normalize_trades(raw)
+    writer = (
+        ticks.writeStream.format("memory").queryName(query_name)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class StatsListener:
+    """StreamingQueryListener surface of the reference's stats counters
+    (websocket_client.py:185-204): rows/sec, batch durations, totals."""
+
+    def __init__(self):
+        self.progress = []
+
+    def attach(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.progress.append({
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "inputRowsPerSecond": p.inputRowsPerSecond,
+                    "durationMs": dict(p.durationMs),
+                })
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        listener = _L()
+        spark.streams.addListener(listener)
+        return listener

@@ -1,0 +1,135 @@
+"""Structured Streaming tests: ingest normalization, streaming OHLCV with
+watermark, and batch == stream bar equivalence (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import bars
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (
+    normalize_trades,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+    ingest,
+    ohlcv,
+)
+
+
+def _await(query, timeout=60):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+@pytest.fixture()
+def tick_json_dir(spark, tmp_path):
+    """A file-source stream of tick JSON frames (deterministic)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for i in range(600):
+        rows.append(json.dumps({
+            "t": int((t0 + pd.Timedelta(seconds=i)).timestamp() * 1000),
+            "s": ["AAPL", "MSFT"][i % 2],
+            "p": round(100 + float(rng.normal(0, 1)), 4),
+            "v": float(i % 7 + 1),
+        }))
+    # malformed + invalid frames the normalizer must drop
+    rows += ["not json at all", json.dumps({"p": 1.0}), json.dumps({"s": "X"})]
+    d = tmp_path / "frames"
+    d.mkdir()
+    (d / "part1.txt").write_text("\n".join(rows[:300]))
+    (d / "part2.txt").write_text("\n".join(rows[300:]))
+    return str(d)
+
+
+def test_streaming_ingest_normalizes_and_drops(spark, tick_json_dir, tmp_path):
+    raw = spark.readStream.format("text").load(tick_json_dir)
+    q = ingest.ingest_to_memory(raw.withColumnRenamed("value", "value"),
+                                query_name="ticks_mem_t1")
+    _await(q)
+    got = spark.sql("SELECT * FROM ticks_mem_t1")
+    assert got.count() == 600  # 3 invalid frames dropped
+    assert got.filter(F.col("price").isNull()).count() == 0
+    syms = {r.symbol for r in got.select("symbol").distinct().collect()}
+    assert syms == {"AAPL", "MSFT"}
+
+
+def test_stream_batch_ohlcv_equivalence(spark, tick_json_dir):
+    """The SAME rows through the streaming watermarked aggregation and the
+    batch kernel must produce identical bars."""
+    raw_stream = spark.readStream.format("text").load(tick_json_dir)
+    ticks_stream = normalize_trades(raw_stream)
+    q = ohlcv.run_streaming_ohlcv_to_memory(
+        ticks_stream, "bars_mem_t2", freq="1min", complete=True)
+    _await(q)
+    stream_bars = (spark.sql("SELECT * FROM bars_mem_t2").toPandas()
+                   .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    raw_batch = spark.read.format("text").load(tick_json_dir)
+    batch_bars = (
+        bars.ticks_to_ohlcv(normalize_trades(raw_batch), "1min")
+        .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True)
+    )
+    assert len(stream_bars) == len(batch_bars) > 0
+    for c in ["open", "high", "low", "close", "volume", "n_ticks"]:
+        np.testing.assert_allclose(stream_bars[c], batch_bars[c], rtol=1e-12)
+    assert (stream_bars["ts"].values == batch_bars["ts"].values).all()
+
+
+def test_streaming_parquet_sink_checkpoint(spark, tick_json_dir, tmp_path):
+    """End-to-end ingest pipeline parity (§3.1): stream -> normalize ->
+    partitioned parquet with checkpoint."""
+    raw = spark.readStream.format("text").load(tick_json_dir)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ticks = normalize_trades(raw)
+    q = (ticks.writeStream.foreachBatch(
+            lambda b, _: b.write.mode("append").partitionBy("symbol")
+            .parquet(sink))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    _await(q)
+    back = spark.read.parquet(sink)
+    assert back.count() == 600
+    assert set(back.columns) == {"ts", "symbol", "price", "volume"}
+
+
+def test_rate_tick_source_shape(spark):
+    src = ingest.rate_tick_source(spark, rows_per_second=50)
+    q = ingest.ingest_to_memory(src, query_name="rate_mem", once=False)
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_mem").first()[0]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        row = spark.sql("SELECT * FROM rate_mem LIMIT 1").first()
+        assert row.symbol in {"AAPL", "MSFT", "GOOGL"}
+        assert row.price > 0 and row.volume >= 1
+    finally:
+        q.stop()
+
+
+def test_streaming_loss_alerts(spark):
+    pdf = pd.DataFrame({
+        "symbol": ["A", "A", "B"],
+        "ts": pd.date_range("2024-01-01", periods=3, freq="1min"),
+        "open": [100.0, 100.0, 50.0],
+        "close": [93.0, 99.5, 44.0],  # -7% warning, ok, -12% critical
+    })
+    out = ohlcv.streaming_loss_alerts(spark.createDataFrame(pdf),
+                                      max_bar_loss_pct=0.05)
+    got = {(r.symbol, r.level) for r in out.collect()}
+    assert got == {("A", "warning"), ("B", "critical")}
