@@ -1442,3 +1442,105 @@ def q35(spark, sf_dir):
         F.round("bb_lower", 6).alias("bb_lower"),
         F.round("volatility", 6).alias("volatility"),
     )
+
+
+# ============== rows-only queries (no SQL oracle: stateful / driver-solved)
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    multimodal as mm_ops,
+    orderbook as ob_ops,
+    portfolio_opt as po_ops,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.generator import (  # noqa: E402
+    generate_mock_ticks,
+)
+
+
+@_register("q36_order_book_sim")
+def q36(spark, sf_dir):
+    """Event-driven order-book replay (order_book.py:268-460): deterministic
+    orders derived from events, matched per symbol via applyInPandas.
+    Sequential per symbol by nature -> rows-only check (SURVEY §3.4)."""
+    ticks = _ticks(spark, sf_dir)
+    orders = ticks.filter(F.col("seq") % 10 == 0).select(
+        F.concat(F.lit("o"), F.col("seq")).alias("order_id"),
+        "ts", "symbol",
+        F.when(F.col("seq") % 20 == 0, "buy").otherwise("sell").alias("side"),
+        F.when(F.col("seq") % 40 == 0, "market").otherwise("limit")
+        .alias("order_type"),
+        F.lit(10.0).alias("quantity"),
+        F.round(F.col("price") * F.when(F.col("seq") % 20 == 0, 0.99)
+                .otherwise(1.01), 4).alias("price"),
+        F.lit(None).cast("double").alias("stop_price"),
+    )
+    fills = ob_ops.simulate_order_book(orders, ticks, slippage_pct=0.001)
+    return fills.groupBy("symbol", "side").agg(
+        F.count(F.lit(1)).alias("n_fills"),
+        F.round(F.sum(F.col("quantity") * F.col("price")), 2).alias("notional"),
+    )
+
+
+@_register("q37_event_driven_backtest")
+def q37(spark, sf_dir):
+    """Sequential event-driven engine (engine.py:167-230) on 1H bars with a
+    momentum signal: cash accounting, rejections, mark-to-market."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.momentum_signal(px, lookback=10, threshold=0.01)
+    res = ob_ops.event_driven_backtest(
+        sig, initial_cash=500_000.0, shares_per_unit=100.0)
+    return res.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.max_by("cash", "ts"), 2).alias("final_cash"),
+        F.max_by("position", "ts").alias("final_position"),
+        F.round(F.max_by("equity", "ts"), 2).alias("final_equity"),
+    )
+
+
+@_register("q38_portfolio_optimization")
+def q38(spark, sf_dir):
+    """Spark-stats -> driver-solve optimization (portfolio_optimization.py):
+    max-Sharpe / min-vol / risk-parity weights over per-symbol bar returns."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    r = signals.simple_returns(px, price_col="close", out_col="ret").select(
+        "symbol", "ts", "ret")
+    rows = []
+    for obj in ["max_sharpe", "min_volatility", "risk_parity"]:
+        symbols, w, stats = po_ops.optimize(r, obj)
+        for s, wi in zip(symbols, w):
+            rows.append((obj, s, round(float(wi), 6),
+                         round(stats["vol"], 6), round(stats["sharpe"], 6)))
+    return spark.createDataFrame(
+        rows, "objective string, symbol string, weight double, "
+              "port_vol double, port_sharpe double")
+
+
+@_register("q39_mock_tick_generator")
+def q39(spark, sf_dir):
+    """Seed-deterministic distributed tick generator
+    (generate_mock_ticks.py:10-64): partition-invariant hash randomness."""
+    t = generate_mock_ticks(spark, n_ticks=2000, seed=42)
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.sum("volume"), 1).alias("sum_volume"),
+        F.round(F.min("price"), 6).alias("min_price"),
+        F.round(F.max("price"), 6).alias("max_price"),
+    )
+
+
+@_register("q40_multimodal_features")
+def q40(spark, sf_dir):
+    """Multimodal plumbing: binary media -> mapInPandas feature extraction
+    (decode stubbed per environment; schema/batching real)."""
+    media = mm_ops.synthetic_media(spark, 60)
+    feats = mm_ops.media_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum("feature_norm"), 6).alias("sum_feature_norm"),
+        F.count_distinct("sha256").alias("n_distinct_hashes"),
+    )

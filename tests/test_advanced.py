@@ -385,3 +385,72 @@ def test_config_dot_notation(tmp_path):
     assert cfg.get("missing.key", "dflt") == "dflt"
     cfg.set("custom.nested.value", 7)
     assert cfg.get("custom.nested.value") == 7
+
+
+# ------------------------------------------------------------------ report
+
+def test_report_and_pandas_strategy_hook(spark, tmp_path):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import report
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        backtest,
+        metrics as metrics_ops,
+        signals,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 120
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1D"),
+        "close": 100 * np.exp(np.cumsum(rng.normal(0, 0.01, n))),
+    })
+    bars_df = spark.createDataFrame(pdf)
+
+    # user pandas strategy through the GROUPED_MAP hook (strategy.py:34-41)
+    def my_strategy(g: pd.DataFrame) -> pd.Series:
+        ma = g["close"].rolling(10).mean()
+        return (g["close"] > ma).astype(int)
+
+    sig = signals.apply_pandas_strategy(bars_df, my_strategy)
+    assert set(r.signal for r in sig.select("signal").distinct().collect()) \
+        <= {0, 1}
+    res = backtest.backtest_signals(sig, initial_cash=10_000.0)
+    m = metrics_ops.compute_metrics(res)
+    out = report.create_report(res, m, str(tmp_path / "r.html"))
+    txt = open(out).read()
+    assert "<table>" in txt and "svg" in txt and "drawdown" in txt
+    assert report.summary_table([r.asDict() for r in m.collect()])
+
+
+def test_futures_math(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    df = spark.createDataFrame(
+        [(100.0, 105.0, 2.0, 50.0)],
+        "entry double, current double, contracts double, mult double")
+    r = df.select(
+        deriv.futures_pnl(F.col("entry"), F.col("current"),
+                          F.col("contracts"), F.col("mult")).alias("pnl_long"),
+        deriv.futures_pnl(F.col("entry"), F.col("current"),
+                          F.col("contracts"), F.col("mult"),
+                          long=False).alias("pnl_short"),
+        deriv.futures_basis(F.col("current"), F.col("entry")).alias("basis"),
+        deriv.cost_of_carry(F.col("entry"), F.lit(0.05), F.lit(0.01),
+                            F.lit(1.0)).alias("fair"),
+    ).collect()[0]
+    assert r.pnl_long == 500.0 and r.pnl_short == -500.0
+    assert r.basis == 5.0
+    assert r.fair == pytest.approx(100.0 * np.exp(0.06))
+
+
+def test_bpe_ish_token_count(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame([("hello, world! (test)",)], "t string")
+    n = df.select(text_ops.bpe_ish_token_count("t").alias("n")).first().n
+    # hello , world ! ( test )  -> 7
+    assert n == 7

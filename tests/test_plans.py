@@ -1,0 +1,93 @@
+"""Plan-shape tests: pin the physical properties that matter at 100TB —
+pushdown, pruning, broadcast joins, shuffle counts, codegen coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark import plans
+from build_a_market_data_etl_strategy_backtesting_engine_spark import queries as q
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    backtest,
+    bars,
+    signals,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+    events_as_ticks,
+    load_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plans.assert_pushed_filters(df, ["l_quantity"])
+    # column pruning: the scan must read exactly the 2 needed columns
+    scans = plans.read_schema_columns(df)
+    assert scans and sorted(scans[0]) == ["l_orderkey", "l_quantity"]
+
+
+def test_symbol_filter_pushdown_in_latest_trades(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.io import (
+        latest_trades,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    df = latest_trades(ticks, "click", 10)
+    plans.assert_pushed_filters(df, ["event_type"])
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plans.explain_str(df, "simple")
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = q.spark_queries()["q02_revenue_by_nation"](spark, SF)
+    plans.assert_broadcast_join(df)
+    # 3 broadcast joins + 1 aggregation shuffle: no fact-table shuffle for joins
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_ohlcv_is_single_shuffle_hash_agg(spark):
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "5min")
+    plans.assert_max_shuffles(b, 1)
+    assert "HashAggregate" in plans.explain_str(b, "simple")
+    # map-side partial aggregation present (two HashAggregate levels)
+    assert plans.explain_str(b, "simple").count("HashAggregate") >= 2
+
+
+def test_backtest_kernel_single_sort_shuffle(spark):
+    """The whole 9-step kernel + signal stack must stay ONE window
+    sort-shuffle over (symbol): bars agg shuffle + window shuffle only."""
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.mean_reversion_signal(px, n=20, num_std=1.5, price_col="px")
+    res = backtest.backtest_signals(sig, price_col="px")
+    plans.assert_max_shuffles(res, 2)  # 1 agg + 1 window partition
+    # all five window stages (rolling stats, lags, cumsum) must share ONE
+    # (symbol, ts) sort — i.e. no extra Exchange between Window operators
+    txt = plans.explain_str(res, "simple")
+    assert txt.count("Window") >= 3 and plans.count_shuffles(res) == 2
+
+
+def test_iqr_clean_shares_scan_via_broadcast_stats(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        cleaner,
+    )
+
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    kept = cleaner.remove_outliers_iqr(li, "l_extendedprice", k=1.5)
+    # stats attach via broadcast nested-loop/exchange, no driver collect:
+    txt = plans.explain_str(kept, "simple")
+    assert "Broadcast" in txt
+
+
+def test_metrics_suite_bounded_shuffles(spark):
+    df = q.spark_queries()["q17_metrics_suite"](spark, SF)
+    # bars agg + window partition + metrics agg + streaks join pipeline:
+    # structural budget, catches accidental extra exchanges
+    assert plans.count_shuffles(df) <= 8
