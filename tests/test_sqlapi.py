@@ -1,0 +1,72 @@
+"""SQL surface tests: registered SQL functions must equal the Column
+builders bit-for-bit, and the pipeline must be runnable as pure SQL."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark import sqlapi
+from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+    derivatives as deriv,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    sqlapi.register_functions(spark)
+    sqlapi.register_views(spark, SF)
+
+
+def test_sql_function_equals_column_builder(spark):
+    df = spark.createDataFrame(
+        [(100.0, 105.0, 0.5, 0.3, 0.02), (80.0, 100.0, 1.0, 0.2, 0.05)],
+        "s double, k double, t double, sigma double, r double")
+    df.createOrReplaceTempView("bs_in")
+    via_sql = spark.sql(
+        "SELECT bs_call(s, k, t, sigma, r) AS c, bs_put(s, k, t, sigma, r)"
+        " AS p FROM bs_in").collect()
+    via_col = df.select(
+        deriv.bs_call(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                      F.col("r")).alias("c"),
+        deriv.bs_put(F.col("s"), F.col("k"), F.col("t"), F.col("sigma"),
+                     F.col("r")).alias("p"),
+    ).collect()
+    for a, b in zip(via_sql, via_col):
+        assert a.c == b.c and a.p == b.p  # identical expressions, bit-equal
+
+
+def test_sql_erf_accuracy(spark):
+    rows = spark.sql(
+        "SELECT erf(x) AS e, x FROM (SELECT i / 10.0 AS x FROM "
+        "(SELECT explode(sequence(-30, 30)) AS i))").collect()
+    for r in rows:
+        assert abs(r.e - math.erf(r.x)) < 1.5e-7
+
+
+def test_full_pipeline_as_pure_sql(spark):
+    """A backtest-style query written only in SQL against registered views
+    and functions."""
+    out = spark.sql("""
+        WITH r AS (
+          SELECT symbol, ts,
+                 simple_return(close,
+                   lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+          FROM bars_1h)
+        SELECT symbol, count(*) AS n, avg(ret) AS mean_ret,
+               stddev_samp(ret) AS sd
+        FROM r GROUP BY symbol
+    """).collect()
+    assert len(out) == 5
+    assert all(r.n > 0 and r.sd is not None for r in out)
+
+
+def test_kelly_sql(spark):
+    r = spark.sql("SELECT kelly_quarter(0.6, 0.02, -0.01) AS k").first()
+    assert 0.0 <= r.k <= 0.25
