@@ -1,0 +1,164 @@
+"""Time-series joins Spark lacks natively: as-of join and range join.
+
+Beyond reference parity (SURVEY §2.7 flags as-of as the natural market-data
+extension). Two scale-aware strategies:
+
+- ``asof_join`` (union-and-ffill): tag and union both sides, one window
+  sort per key, forward-fill the right side's values, keep left rows.
+  Cost = ONE shuffle of left+right on the key — no range explosion, no
+  skewed inequality join. The standard idiom for distributed as-of.
+- ``asof_join_pandas`` (merge_asof twin): per-key ``applyInPandas`` running
+  ``pd.merge_asof`` — exact pandas semantics incl. tolerance; use when a
+  tolerance or nearest-direction is needed.
+- ``range_join``: interval containment via bucketed equi-join — each
+  interval replicated to the time buckets it spans, points join their
+  bucket, then the exact predicate filters. Turns an O(n*m) inequality join
+  into an equi-join Spark shuffles hash-uniformly; AQE handles residual
+  bucket skew.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "symbol",
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    with ``right.on <= left.on`` within the same ``by`` group.
+
+    Returns left columns + right ``value_cols`` (suffixed on collision) +
+    ``{on}{suffix}`` (the matched right timestamp, null if none).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, by)
+    ]
+    l_cols = left.columns
+    out_names = {
+        c: (c + suffix if c in l_cols else c) for c in value_cols
+    }
+    matched_ts = on + suffix
+
+    lhs = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_cols if c not in (on, by)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
+          for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias(matched_ts),
+    )
+    rhs = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in l_cols if c not in (on, by)],
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
+        F.col(on).alias(matched_ts),
+    )
+    # right rows sort BEFORE left rows at equal ts (_side 0 < 1) so the
+    # match is backward-inclusive, like pandas merge_asof default.
+    u = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(out_names[c], ignorenulls=True).over(w)
+          .alias("_f_" + out_names[c]) for c in value_cols],
+        F.last(matched_ts, ignorenulls=True).over(w).alias("_f_" + matched_ts),
+    )
+    keep = [by, on] + [c for c in l_cols if c not in (on, by)]
+    return filled.filter(F.col("_side") == 1).select(
+        *keep,
+        *[F.col("_f_" + out_names[c]).alias(out_names[c])
+          for c in value_cols],
+        F.col("_f_" + matched_ts).alias(matched_ts),
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "symbol",
+    tolerance: "pd.Timedelta | None" = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """pandas ``merge_asof`` twin via cogrouped applyInPandas — exact pandas
+    semantics (tolerance, forward/nearest directions)."""
+    import pyspark.sql.types as T
+
+    l_schema = left.schema
+    r_fields = [f for f in right.schema.fields if f.name not in (on, by)]
+    out_schema = T.StructType(
+        list(l_schema.fields)
+        + [T.StructField(f.name + ("_right" if f.name in left.columns else ""),
+                         f.dataType) for f in r_fields]
+    )
+
+    def _merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if lg.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        lg = lg.sort_values(on)
+        rg = rg.sort_values(on)
+        renames = {f.name: f.name + "_right" for f in r_fields
+                   if f.name in lg.columns}
+        rg = rg.rename(columns=renames)
+        out = pd.merge_asof(lg, rg.drop(columns=[by], errors="ignore"),
+                            on=on, tolerance=tolerance, direction=direction)
+        return out[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(_merge, out_schema)
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | None = "symbol",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start <= ts < end``) via time-bucket equi-join.
+
+    Each interval explodes to the buckets it overlaps (bounded fan-out =
+    interval_len / bucket; choose ``bucket_seconds`` ~ median interval
+    length); points map to one bucket. The equi-join key
+    ``(by, bucket)`` shuffles hash-uniformly — no O(n*m) inequality join,
+    no broadcast requirement. Exact predicate applied post-join.
+    """
+    b = int(bucket_seconds)
+    i_bucketed = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_col) / b),
+                F.floor((F.unix_timestamp(end_col) - F.lit(1e-9)) / b),
+            )
+        ),
+    )
+    p_bucketed = points.withColumn(
+        "_bk", F.floor(F.unix_timestamp(point_ts) / b)
+    )
+    keys = ["_bk"] + ([by] if by else [])
+    joined = p_bucketed.join(i_bucketed, on=keys, how=how)
+    cond = (F.col(start_col) <= F.col(point_ts)) & (
+        F.col(point_ts) < F.col(end_col)
+    )
+    return joined.filter(cond).drop("_bk")

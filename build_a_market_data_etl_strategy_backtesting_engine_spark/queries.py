@@ -1544,3 +1544,71 @@ def q40(spark, sf_dir):
         F.round(F.sum("feature_norm"), 6).alias("sum_feature_norm"),
         F.count_distinct("sha256").alias("n_distinct_hashes"),
     )
+
+
+# ===================================================== time-series joins
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    joins as join_ops,
+)
+
+
+@_register(
+    "q41_asof_join",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT t.seq, epoch_us(t.ts) AS us, t.price,
+           b.close AS bar_close, epoch_us(b.bts) AS bar_us
+    FROM ticks t ASOF JOIN bars b
+      ON t.symbol = b.symbol AND t.ts >= b.bts
+    """,
+)
+def q41(spark, sf_dir):
+    """Backward as-of join (every tick -> most recent 1H bar close) via the
+    union-and-ffill idiom: ONE shuffle on (symbol), no inequality join.
+    DuckDB's native ASOF JOIN is the oracle."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H").select("symbol", "ts", "close")
+    out = join_ops.asof_join(ticks, b, on="ts", by="symbol",
+                             value_cols=["close"])
+    return out.select(
+        "seq", F.unix_micros("ts").alias("us"), "price",
+        F.col("close").alias("bar_close"),
+        F.unix_micros("ts_right").alias("bar_us"),
+    )
+
+
+@_register(
+    "q42_range_join",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT i.symbol, epoch_us(i.bts) AS interval_us,
+           count(*) AS n_points, round(sum(t.price), 4) AS sum_price
+    FROM ticks t JOIN bars i
+      ON t.symbol = i.symbol
+     AND i.bts <= t.ts AND t.ts < i.bts + INTERVAL 2 HOURS
+    GROUP BY i.symbol, interval_us
+    """,
+)
+def q42(spark, sf_dir):
+    """Range (interval-containment) join: ticks x 2-hour windows anchored at
+    each 1H bar, via bucketed equi-join (bounded interval fan-out, uniform
+    shuffle keys) instead of an O(n*m) inequality join."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    intervals = b.select(
+        "symbol", F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    joined = join_ops.range_join(
+        ticks, intervals, point_ts="ts", start_col="start", end_col="end",
+        by="symbol", bucket_seconds=3600,
+    )
+    return joined.groupBy(
+        "symbol", F.unix_micros("start").alias("interval_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("price"), 4).alias("sum_price"),
+    )

@@ -454,3 +454,71 @@ def test_bpe_ish_token_count(spark):
     n = df.select(text_ops.bpe_ish_token_count("t").alias("n")).first().n
     # hello , world ! ( test )  -> 7
     assert n == 7
+
+
+# -------------------------------------------------------- time-series joins
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import joins
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({
+        "symbol": ["A"] * 50 + ["B"] * 50,
+        "ts": list(pd.date_range("2024-01-01", periods=50, freq="37s")) * 2,
+        "px": rng.normal(100, 1, 100),
+    })
+    right = pd.DataFrame({
+        "symbol": ["A"] * 10 + ["B"] * 10,
+        "ts": list(pd.date_range("2024-01-01", periods=10, freq="3min")) * 2,
+        "quote": rng.normal(50, 1, 20),
+    })
+    got = (joins.asof_join(spark.createDataFrame(left),
+                           spark.createDataFrame(right),
+                           on="ts", by="symbol", value_cols=["quote"])
+           .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    exp_frames = []
+    for sym in ["A", "B"]:
+        lg = left[left.symbol == sym].sort_values("ts")
+        rg = right[right.symbol == sym].sort_values("ts")
+        exp_frames.append(pd.merge_asof(lg, rg.drop(columns=["symbol"]),
+                                        on="ts"))
+    exp = (pd.concat(exp_frames).sort_values(["symbol", "ts"])
+           .reset_index(drop=True))
+    np.testing.assert_allclose(got["quote"], exp["quote"])
+
+    # cogrouped merge_asof twin with tolerance
+    got2 = (joins.asof_join_pandas(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by="symbol", tolerance=pd.Timedelta("2min"))
+        .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    exp2_frames = []
+    for sym in ["A", "B"]:
+        lg = left[left.symbol == sym].sort_values("ts")
+        rg = right[right.symbol == sym].sort_values("ts")
+        exp2_frames.append(pd.merge_asof(
+            lg, rg.drop(columns=["symbol"]), on="ts",
+            tolerance=pd.Timedelta("2min")))
+    exp2 = (pd.concat(exp2_frames).sort_values(["symbol", "ts"])
+            .reset_index(drop=True))
+    np.testing.assert_allclose(got2["quote"].fillna(-1), exp2["quote"].fillna(-1))
+
+
+def test_range_join_containment(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import joins
+
+    points = spark.createDataFrame(pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01 00:00", periods=12, freq="30min"),
+        "v": range(12),
+    }))
+    intervals = spark.createDataFrame(pd.DataFrame({
+        "symbol": "A",
+        "start": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00"]),
+        "end": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 05:00"]),
+        "label": ["x", "y"],
+    }))
+    got = (joins.range_join(points, intervals, bucket_seconds=1800)
+           .toPandas())
+    by_label = got.groupby("label")["v"].apply(sorted).to_dict()
+    assert by_label["x"] == [0, 1]          # 00:00, 00:30 in [0,1h)
+    assert by_label["y"] == [4, 5, 6, 7, 8, 9]  # [2h,5h)
