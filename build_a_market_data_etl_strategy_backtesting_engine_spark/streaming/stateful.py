@@ -1,0 +1,118 @@
+"""Custom stateful streaming operators: per-symbol state machines on a
+live stream (``applyInPandasWithState``).
+
+The reference's stateful surfaces — Portfolio positions dict
+(``portfolio.py:29-92``), trailing-stop manager (``risk_monitor.py:415-538``),
+PaperAccount (``paper_trading.py:14-56``) — mutate in-memory state per event.
+Streaming twin: state keyed by symbol in the state store, updated per
+micro-batch; the SAME transition functions the batch ``applyInPandas``
+operators use, so batch replay == stream replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRAILING_STOP_SCHEMA = ("symbol string, ts timestamp, price double, "
+                        "running_max double, stop_price double, "
+                        "stop_hit boolean")
+POSITION_SCHEMA = ("symbol string, n_events long, position double, "
+                   "cash double, last_price double, equity double")
+
+
+def streaming_trailing_stops(
+    ticks: DataFrame,
+    trail_pct: float = 0.05,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+) -> DataFrame:
+    """Stateful trailing-stop ratchet on a stream: state = running max per
+    symbol; emits per-tick stop levels + hit flags. Exactly the batch
+    ``risk.trailing_stops`` semantics (running max * (1 - trail))."""
+    trail = float(trail_pct)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        runmax = state.get[0] if state.exists else float("-inf")
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            maxes, stops, hits = [], [], []
+            for px in pdf[price_col]:
+                runmax = max(runmax, px)
+                stop = runmax * (1.0 - trail)
+                maxes.append(runmax)
+                stops.append(stop)
+                hits.append(px <= stop)
+            outs.append(pd.DataFrame({
+                "symbol": symbol, "ts": pdf[ts_col],
+                "price": pdf[price_col], "running_max": maxes,
+                "stop_price": stops, "stop_hit": hits,
+            }))
+        state.update((runmax,))
+        yield from outs
+
+    return ticks.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=TRAILING_STOP_SCHEMA,
+        stateStructType="running_max double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_position_tracker(
+    fills: DataFrame,
+    initial_cash: float = 1_000_000.0,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    qty_col: str = "quantity",
+    price_col: str = "price",
+    side_col: str = "side",
+) -> DataFrame:
+    """Live position/cash/equity per symbol from a stream of fills — the
+    PaperAccount surface (paper_trading.py:14-56) as streaming state.
+    Emits one snapshot row per (symbol, micro-batch)."""
+    cash0 = float(initial_cash)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            n, pos, cash, last = state.get
+        else:
+            n, pos, cash, last = 0, 0.0, cash0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for row in pdf.itertuples(index=False):
+                qty = getattr(row, qty_col)
+                px = getattr(row, price_col)
+                sign = 1.0 if getattr(row, side_col) == "buy" else -1.0
+                pos += sign * qty
+                cash -= sign * qty * px
+                last = px
+                n += 1
+        state.update((n, pos, cash, last))
+        yield pd.DataFrame({
+            "symbol": [symbol], "n_events": [n], "position": [pos],
+            "cash": [cash], "last_price": [last],
+            "equity": [cash + pos * last],
+        })
+
+    return fills.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=POSITION_SCHEMA,
+        stateStructType="n_events long, position double, cash double, "
+                        "last_price double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,109 @@
+"""Scale-pattern tests: the storage-layout techniques the 100TB deployment
+relies on, demonstrated and asserted on local data.
+
+- partitioned writes -> partition-pruned scans (PartitionFilters)
+- bucketed tables -> shuffle-free co-located joins
+- salted aggregation for skewed keys (same result, uniform partitions)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark import plans
+from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+    events_as_ticks,
+    load_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """Bars written partitionBy(symbol, date) must scan only the selected
+    partition directories — the layout that replaces the reference's
+    Postgres (symbol, ts) indexes at scale."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import bars
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1H").withColumn(
+        "date", F.to_date("ts"))
+    path = str(tmp_path / "bars")
+    b.write.partitionBy("symbol", "date").parquet(path)
+
+    back = spark.read.parquet(path).filter(
+        (F.col("symbol") == "click") & (F.col("date") == "2024-01-02"))
+    txt = plans.explain_str(back)
+    assert "PartitionFilters" in txt
+    assert "symbol" in txt.split("PartitionFilters")[1][:200]
+    # only the matching partition's rows are read
+    assert back.count() == b.filter(
+        (F.col("symbol") == "click") & (F.to_date("ts") == "2024-01-02")
+    ).count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed by the join key join WITHOUT an Exchange —
+    the co-located-join strategy for repeated big-big joins (e.g. the
+    signature table in iterative dedup runs)."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest "
+              f"LOCATION '{tmp_path}/warehouse'")
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    (ticks.write.bucketBy(8, "symbol").sortBy("symbol")
+     .mode("overwrite").saveAsTable("bktest.ticks_bucketed"))
+    agg = ticks.groupBy("symbol").agg(F.avg("price").alias("avg_price"))
+    (agg.write.bucketBy(8, "symbol")
+     .mode("overwrite").saveAsTable("bktest.stats_bucketed"))
+
+    a = spark.table("bktest.ticks_bucketed")
+    b = spark.table("bktest.stats_bucketed")
+    joined = a.join(b, "symbol")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_shuffles = plans.count_shuffles(joined)
+        assert n_shuffles == 0, plans.explain_str(joined, "simple")
+        assert joined.count() == ticks.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_aggregation_equals_plain(spark):
+    """Two-phase salted aggregation for a pathologically hot key gives the
+    same answer as the direct aggregation (the manual fallback when AQE
+    skew handling isn't enough — e.g. 90% of rows on one symbol)."""
+    pdf = pd.DataFrame({
+        "symbol": ["HOT"] * 9000 + ["COLD"] * 1000,
+        "v": np.arange(10000, dtype=float),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    plain = {r.symbol: (r.n, r.s) for r in df.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+
+    salted = (
+        df.withColumn("_salt", (F.xxhash64("v") % 16).cast("int"))
+        .groupBy("symbol", "_salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    got = {r.symbol: (r.n, r.s) for r in salted.collect()}
+    assert got.keys() == plain.keys()
+    for k in plain:
+        assert got[k][0] == plain[k][0]
+        assert got[k][1] == pytest.approx(plain[k][1], rel=1e-12)
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """AQE must be on and coalescing: a 32-partition shuffle over tiny data
+    executes with fewer post-shuffle partitions."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    # after execution AQE reports the final (coalesced) plan
+    txt = plans.explain_str(df, "simple")
+    assert "AdaptiveSparkPlan" in txt

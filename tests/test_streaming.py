@@ -133,3 +133,75 @@ def test_streaming_loss_alerts(spark):
                                       max_bar_loss_pct=0.05)
     got = {(r.symbol, r.level) for r in out.collect()}
     assert got == {("A", "warning"), ("B", "critical")}
+
+
+def test_stateful_trailing_stops_across_batches(spark, tmp_path):
+    """State (running max) must persist across micro-batches and match the
+    batch operator on the same rows."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import risk
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        stateful,
+    )
+
+    rows = []
+    prices = [100.0, 110.0, 105.0, 120.0, 95.0, 118.0]
+    t0 = pd.Timestamp("2024-01-01")
+    for i, p in enumerate(prices):
+        rows.append({"ts": (t0 + pd.Timedelta(minutes=i)).isoformat(),
+                     "symbol": "A", "price": p})
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    # two files -> two micro-batches in availableNow file streaming
+    pd.DataFrame(rows[:3]).to_json(d / "b1.json", orient="records",
+                                   lines=True)
+    pd.DataFrame(rows[3:]).to_json(d / "b2.json", orient="records",
+                                   lines=True)
+    src = (spark.readStream.format("json")
+           .schema("ts timestamp, symbol string, price double")
+           .option("maxFilesPerTrigger", 1).load(str(d)))
+    out = stateful.streaming_trailing_stops(src, trail_pct=0.05)
+    q = (out.writeStream.format("memory").queryName("tstops")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = (spark.sql("SELECT * FROM tstops").toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    assert len(got) == 6
+    batch = (risk.trailing_stops(
+        spark.createDataFrame(pd.DataFrame({
+            "symbol": "A",
+            "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "close": prices})), 0.05, price_col="close")
+        .toPandas().sort_values("ts").reset_index(drop=True))
+    np.testing.assert_allclose(got["stop_price"], batch["stop_price"])
+    assert (got["stop_hit"].values == batch["stop_hit"].values).all()
+
+
+def test_stateful_position_tracker(spark, tmp_path):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        stateful,
+    )
+
+    fills = [
+        {"ts": "2024-01-01T00:00:00", "symbol": "A", "side": "buy",
+         "quantity": 10.0, "price": 100.0},
+        {"ts": "2024-01-01T00:01:00", "symbol": "A", "side": "buy",
+         "quantity": 5.0, "price": 102.0},
+        {"ts": "2024-01-01T00:02:00", "symbol": "A", "side": "sell",
+         "quantity": 8.0, "price": 105.0},
+    ]
+    d = tmp_path / "fills_in"
+    d.mkdir()
+    pd.DataFrame(fills).to_json(d / "f.json", orient="records", lines=True)
+    src = (spark.readStream.format("json")
+           .schema("ts timestamp, symbol string, side string, "
+                   "quantity double, price double").load(str(d)))
+    out = stateful.streaming_position_tracker(src, initial_cash=10_000.0)
+    q = (out.writeStream.format("memory").queryName("postrack")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql(
+        "SELECT * FROM postrack ORDER BY n_events DESC LIMIT 1").first()
+    assert got.position == 7.0                      # 10 + 5 - 8
+    exp_cash = 10_000.0 - 10 * 100.0 - 5 * 102.0 + 8 * 105.0
+    assert got.cash == pytest.approx(exp_cash)
+    assert got.equity == pytest.approx(exp_cash + 7.0 * 105.0)
