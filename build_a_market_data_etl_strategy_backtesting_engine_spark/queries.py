@@ -1612,3 +1612,98 @@ def q42(spark, sf_dir):
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("price"), 4).alias("sum_price"),
     )
+
+
+# ===================================== quotes / VWAP / rollup consistency
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (  # noqa: E402
+    normalize_quotes,
+)
+
+
+@_register(
+    "q43_normalize_quotes",
+    """
+    SELECT event_type AS symbol, count(*) AS n,
+           round(sum(value), 4) AS sum_bid,
+           round(sum(value * 1.001e0), 4) AS sum_ask,
+           round(sum(CAST(user_id AS DOUBLE)), 1) AS sum_bid_size
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q43(spark, sf_dir):
+    """Quote normalization (normalizer.py:69-101): alias-keyed quote JSON
+    (bp/ap/bs/as) -> typed quote rows; missing sizes default 0."""
+    t = load_tables(spark, sf_dir, ["events"])
+    raw = t["events"].select(
+        F.to_json(F.struct(
+            (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+            F.col("event_type").alias("s"),
+            F.col("value").alias("bp"),
+            (F.col("value") * F.lit(1.001)).alias("ap"),
+            F.col("user_id").cast("double").alias("bs"),
+        )).alias("value")
+    )
+    q = normalize_quotes(raw)
+    return q.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("bid_price"), 4).alias("sum_bid"),
+        F.round(F.sum("ask_price"), 4).alias("sum_ask"),
+        F.round(F.sum("bid_size"), 1).alias("sum_bid_size"),
+    )
+
+
+@_register(
+    "q44_vwap",
+    f"""
+    WITH {TICKS_CTE}
+    SELECT symbol,
+           epoch_us(time_bucket(INTERVAL '60 minutes', ts)) AS bar_us,
+           round(sum(price * volume) / nullif(sum(volume), 0.0e0), 6)
+             AS vwap,
+           round(sum(volume), 1) AS volume
+    FROM ticks
+    GROUP BY symbol, time_bucket(INTERVAL '60 minutes', ts)
+    """,
+)
+def q44(spark, sf_dir):
+    """Volume-weighted average price per bucket — weighted aggregation in
+    the same single-shuffle shape as OHLCV."""
+    ticks = _ticks(spark, sf_dir)
+    return (
+        ticks.groupBy(
+            "symbol", F.window("ts", "60 minutes").alias("w"))
+        .agg(
+            F.round(F.try_divide(
+                F.sum(F.col("price") * F.col("volume")),
+                F.nullif(F.sum("volume"), F.lit(0.0))), 6).alias("vwap"),
+            F.round(F.sum("volume"), 1).alias("volume"),
+        )
+        .select("symbol", F.unix_micros("w.start").alias("bar_us"),
+                "vwap", "volume")
+    )
+
+
+@_register(
+    "q45_rollup_chain",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(24 * 60, name="daily")}
+    SELECT symbol, epoch_us(bts) AS bar_us, open, high, low, close, volume
+    FROM daily
+    """,
+)
+def q45(spark, sf_dir):
+    """Multi-resolution rollup chain (hypertable-style continuous
+    aggregation): 1min -> 15min -> 1H -> 1D chained resamples must equal
+    bars computed directly from raw ticks — the algebraic property that
+    makes pre-aggregated rollup tables valid at scale."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1min")
+    for freq in ["15min", "1H", "1D"]:
+        b = bars.resample_ohlcv(b, freq)
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "open", "high", "low", "close", "volume",
+    )
