@@ -54,14 +54,26 @@ def remove_outliers_iqr(
     col: str = "price",
     k: float = 3.0,
     group_cols: Sequence[str] | None = None,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep rows inside ``[Q1 - k*IQR, Q3 + k*IQR]``; quartiles exact,
     linearly interpolated (matches pandas / DuckDB quantile_cont).
 
     ``group_cols`` extends the reference (per-symbol bounds instead of global)
     — pass None for reference-exact global behavior.
+
+    ``approx=True`` is the 100TB path: ``approx_percentile`` (one-pass
+    KLL-style sketch, rank error <= 1/approx_accuracy) instead of the exact
+    sort-based percentile. The filter bound shifts by at most that rank
+    error — acceptable for a k-IQR fence, never used where an oracle
+    compares values (FIXTURES.md tolerance table).
     """
-    q = F.expr(f"percentile({col}, array(0.25, 0.75))")
+    if approx:
+        q = F.expr(f"approx_percentile({col}, array(0.25, 0.75),"
+                   f" {int(approx_accuracy)})")
+    else:
+        q = F.expr(f"percentile({col}, array(0.25, 0.75))")
     if group_cols:
         stats = df.groupBy(*group_cols).agg(q.alias("_q"))
         joined = df.join(F.broadcast(stats), on=list(group_cols))

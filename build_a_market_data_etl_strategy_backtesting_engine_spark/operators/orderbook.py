@@ -58,6 +58,7 @@ def simulate_order_book(
     ticks: DataFrame,
     slippage_pct: float = 0.001,
     symbol_col: str = "symbol",
+    emit: str = "fills",
 ) -> DataFrame:
     """Replay orders + ticks through the matching engine per symbol.
 
@@ -74,11 +75,24 @@ def simulate_order_book(
       receives less) (:268-300); rejected if no last price yet.
     - limit order: marketable (buy >= best ask / latest price, sell <=) ->
       immediate fill at the limit (conservative, :302-331); else rests.
+    - stop / stop_limit (:333-360): rests until the tick crosses stop_price
+      (sell: last <= stop, buy: last >= stop), then executes as a market
+      (slippage) resp. limit order.
     - each tick: resting buy limits with price >= tick fill at limit; sells
       with price <= tick fill at limit (:427-460).
+
+    ``emit='snapshots'`` returns per-tick book state instead of fills:
+    ``(ts, symbol, last, best_bid, best_ask, spread, bid_depth, ask_depth)``
+    — the get_order_book_snapshot surface (order_book.py:179-203).
     """
-    out_schema = ("trade_id string, ts timestamp, symbol string, side string, "
-                  "quantity double, price double, order_id string")
+    if emit == "snapshots":
+        out_schema = ("ts timestamp, symbol string, last double, "
+                      "best_bid double, best_ask double, spread double, "
+                      "bid_depth long, ask_depth long")
+    else:
+        out_schema = ("trade_id string, ts timestamp, symbol string, "
+                      "side string, quantity double, price double, "
+                      "order_id string")
     slip = float(slippage_pct)
 
     o = orders.select(
@@ -86,6 +100,7 @@ def simulate_order_book(
         F.lit("order").alias("kind"), F.col("order_id"), F.col("side"),
         F.col("order_type"), F.col("quantity"),
         F.col("price").cast("double").alias("price"),
+        F.col("stop_price").cast("double").alias("stop_price"),
     )
     t = ticks.select(
         F.col("ts"), F.col(symbol_col).alias("symbol"),
@@ -94,6 +109,7 @@ def simulate_order_book(
         F.lit(None).cast("string").alias("order_type"),
         F.lit(None).cast("double").alias("quantity"),
         F.col("price").cast("double").alias("price"),
+        F.lit(None).cast("double").alias("stop_price"),
     )
     merged = o.unionByName(t)
 
@@ -103,6 +119,8 @@ def simulate_order_book(
         book = _Book()
         last = None
         fills = []
+        snaps = []
+        stops = []  # resting stop / stop_limit orders
         n = 0
 
         def fill(order_id, side, qty, px, ts):
@@ -111,9 +129,37 @@ def simulate_order_book(
             fills.append((f"{pdf['symbol'].iloc[0]}-{n}", ts,
                           pdf["symbol"].iloc[0], side, qty, px, order_id))
 
+        def submit_limit(order_id, side, qty, price, ts):
+            marketable = last is not None and (
+                (side == "buy" and price >= last)
+                or (side == "sell" and price <= last)
+            )
+            if marketable:
+                fill(order_id, side, qty, price, ts)
+            else:
+                book.add({"order_id": order_id, "side": side,
+                          "quantity": qty, "price": price})
+
         for row in pdf.itertuples(index=False):
             if row.kind == "tick":
                 last = row.price
+                # trigger resting stops (order_book.py:333-360)
+                still = []
+                for od in stops:
+                    hit = (od["side"] == "sell" and last <= od["stop_price"]) \
+                        or (od["side"] == "buy" and last >= od["stop_price"])
+                    if hit:
+                        if od["order_type"] == "stop":
+                            px = last * (1 + slip) if od["side"] == "buy" \
+                                else last * (1 - slip)
+                            fill(od["order_id"], od["side"], od["quantity"],
+                                 px, row.ts)
+                        else:  # stop_limit -> becomes a limit order
+                            submit_limit(od["order_id"], od["side"],
+                                         od["quantity"], od["price"], row.ts)
+                    else:
+                        still.append(od)
+                stops[:] = still
                 # match resting limits against the tick (order_book.py:427-460)
                 while book.bids and -book.bids[0][0] >= last:
                     _, _, od = heapq.heappop(book.bids)
@@ -123,6 +169,12 @@ def simulate_order_book(
                     _, _, od = heapq.heappop(book.asks)
                     fill(od["order_id"], "sell", od["quantity"], od["price"],
                          row.ts)
+                if emit == "snapshots":
+                    bb, ba = book.best_bid(), book.best_ask()
+                    snaps.append((row.ts, pdf["symbol"].iloc[0], last, bb, ba,
+                                  (ba - bb) if bb is not None
+                                  and ba is not None else None,
+                                  len(book.bids), len(book.asks)))
             else:
                 if row.order_type == "market":
                     if last is None:
@@ -132,16 +184,22 @@ def simulate_order_book(
                 elif row.order_type == "limit":
                     if row.price is None or not row.price == row.price:
                         continue  # rejected: limit requires price (:259-261)
-                    marketable = last is not None and (
-                        (row.side == "buy" and row.price >= last)
-                        or (row.side == "sell" and row.price <= last)
-                    )
-                    if marketable:
-                        fill(row.order_id, row.side, row.quantity, row.price,
-                             row.ts)
-                    else:
-                        book.add({"order_id": row.order_id, "side": row.side,
-                                  "quantity": row.quantity, "price": row.price})
+                    submit_limit(row.order_id, row.side, row.quantity,
+                                 row.price, row.ts)
+                elif row.order_type in ("stop", "stop_limit"):
+                    sp = row.stop_price
+                    if sp is None or not sp == sp:
+                        continue  # rejected: stop requires stop_price
+                    stops.append({"order_id": row.order_id, "side": row.side,
+                                  "quantity": row.quantity, "price": row.price,
+                                  "stop_price": sp,
+                                  "order_type": row.order_type})
+        if emit == "snapshots":
+            return pd.DataFrame(
+                snaps, columns=["ts", "symbol", "last", "best_bid",
+                                "best_ask", "spread", "bid_depth",
+                                "ask_depth"],
+            )
         return pd.DataFrame(
             fills, columns=["trade_id", "ts", "symbol", "side", "quantity",
                             "price", "order_id"],

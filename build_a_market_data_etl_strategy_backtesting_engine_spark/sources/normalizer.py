@@ -73,6 +73,23 @@ def normalize_trades(raw: DataFrame, value_col: str = "value") -> DataFrame:
     return out.filter(F.col("symbol").isNotNull() & F.col("price").isNotNull())
 
 
+def normalize_trades_with_rejects(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid ticks, rejected raw frames) — the reference counts parse/
+    validation errors (websocket_client.py:113-117, normalizer.py:41-51);
+    here the reject side is a full DataFrame (countable, sinkable to a
+    dead-letter table). Both sides derive from one scan."""
+    j = F.from_json(F.col(value_col), RAW_SCHEMA)
+    symbol = _alias(j, ["symbol", "s", "ticker"])
+    price = _alias(j, ["price", "p", "last"]).cast("double")
+    ok = j.isNotNull() & symbol.isNotNull() & price.isNotNull()
+    return (
+        normalize_trades(raw.filter(ok), value_col),
+        raw.filter(~ok | j.isNull()),
+    )
+
+
 def normalize_quotes(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Feed JSON -> quote rows (normalizer.py:69-101); missing numerics -> 0.0,
     rows without symbol dropped."""

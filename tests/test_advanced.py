@@ -522,3 +522,85 @@ def test_range_join_containment(spark):
     by_label = got.groupby("label")["v"].apply(sorted).to_dict()
     assert by_label["x"] == [0, 1]          # 00:00, 00:30 in [0,1h)
     assert by_label["y"] == [4, 5, 6, 7, 8, 9]  # [2h,5h)
+
+
+def test_stop_orders_and_book_snapshots(spark):
+    schema = ("order_id string, ts timestamp, symbol string, side string, "
+              "order_type string, quantity double, price double, "
+              "stop_price double")
+    orders = spark.createDataFrame([
+        # sell stop at 99: triggers when last <= 99 -> market sell w/ slip
+        ("s1", _ts(1), "A", "sell", "stop", 4.0, None, 99.0),
+        # buy stop-limit: triggers at >= 101, becomes limit buy at 100.4
+        ("s2", _ts(1), "A", "buy", "stop_limit", 2.0, 100.4, 101.0),
+        # resting limit for depth
+        ("s3", _ts(1), "A", "buy", "limit", 1.0, 90.0, None),
+    ], schema)
+    ticks = spark.createDataFrame([
+        Row(ts=_ts(0), symbol="A", price=100.0),
+        Row(ts=_ts(2), symbol="A", price=101.5),  # triggers s2
+        Row(ts=_ts(3), symbol="A", price=98.5),   # triggers s1
+        Row(ts=_ts(4), symbol="A", price=100.3),  # fills s2's resting 100.4 limit
+    ])
+    fills = orderbook.simulate_order_book(orders, ticks, slippage_pct=0.001)
+    got = {r.order_id: r for r in fills.collect()}
+    assert got["s1"].price == pytest.approx(98.5 * 0.999)  # stop -> market sell
+    # s2 triggered at 101.5 but limit 100.4 not marketable -> rests, fills
+    # later when price crosses down to 100.3 (<= limit 100.4)
+    assert got["s2"].price == 100.4
+    snaps = (orderbook.simulate_order_book(
+        orders, ticks, slippage_pct=0.001, emit="snapshots")
+        .toPandas().sort_values("ts").reset_index(drop=True))
+    assert len(snaps) == 4
+    assert pd.isna(snaps.loc[0, "best_bid"])  # book empty before orders land
+    # at ts=2 s2 triggered -> rests at 100.4 above s3's 90
+    assert snaps.loc[1, "best_bid"] == 100.4
+    assert snaps.loc[1, "bid_depth"] == 2
+    # at ts=3 s2's limit filled (100.4 >= 98.5) -> only s3 remains
+    assert snaps.loc[2, "best_bid"] == 90.0
+    assert snaps.loc[2, "bid_depth"] == 1
+
+
+def test_walk_forward_with_numpy_model(spark):
+    """Full walk-forward loop with a trainable model (numpy logistic
+    regression — no sklearn in env): per-fold train -> broadcast ->
+    Arrow-batched predict -> accuracy. The ml_strategy.py:437-488 surface."""
+    rng = np.random.default_rng(21)
+    n = 400
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1h"),
+        "close": 100 * np.exp(np.cumsum(rng.normal(0.0002, 0.008, n))),
+    })
+    feats = ml.engineer_features(spark.createDataFrame(pdf))
+    labeled = ml.make_labels(feats, horizon=1).na.drop(
+        subset=["ret_1", "ret_5", "label"])
+    cols = ["ret_1", "ret_5", "sma_ratio_10"]
+
+    def train_logreg(x, y, iters=200, lr=0.5):
+        w = np.zeros(x.shape[1] + 1)
+        xb = np.hstack([x, np.ones((len(x), 1))])
+        for _ in range(iters):
+            p = 1 / (1 + np.exp(-xb @ w))
+            w -= lr * xb.T @ (p - y) / len(y)
+        return w
+
+    accs = []
+    for train, test in ml.walk_forward_splits(labeled, n_splits=3):
+        tr = train.select(*cols, "label").toPandas().fillna(0.0)
+        if tr.empty or tr.label.nunique() < 2:
+            continue
+        y = (tr["label"] > 0).astype(float).values
+        w = train_logreg(tr[cols].values, y)
+
+        def predict(x, w=w):
+            xb = np.hstack([x.values, np.ones((len(x), 1))])
+            return (1 / (1 + np.exp(-xb @ w)) > 0.5).astype(float)
+
+        scored = ml.predict_with_model(test, predict, cols).toPandas()
+        if len(scored):
+            acc = ((scored["prediction"] > 0.5)
+                   == (scored["label"] > 0)).mean()
+            accs.append(acc)
+    assert len(accs) >= 2
+    assert all(0.0 <= a <= 1.0 for a in accs)

@@ -186,3 +186,33 @@ def test_generator_partition_invariance(spark):
                             num_partitions=7).toPandas().sort_values("seq")
     np.testing.assert_allclose(a["price"].values, b["price"].values, rtol=1e-12)
     np.testing.assert_allclose(a["volume"].values, b["volume"].values)
+
+
+def test_normalizer_reject_side_channel(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (
+        normalize_trades_with_rejects,
+    )
+
+    df = spark.createDataFrame(
+        [Row(value='{"s": "A", "p": 1.5, "t": 1700000000}'),
+         Row(value="broken{{"),
+         Row(value='{"s": "B"}')])
+    ok, bad = normalize_trades_with_rejects(df)
+    assert ok.count() == 1 and bad.count() == 2
+    assert ok.first().symbol == "A"
+
+
+def test_iqr_approx_scale_path(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"price": rng.normal(100, 10, 20000)})
+    sdf = spark.createDataFrame(pdf)
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.cleaner import (
+        remove_outliers_iqr,
+    )
+
+    exact = remove_outliers_iqr(sdf, "price", k=1.5).count()
+    approx = remove_outliers_iqr(sdf, "price", k=1.5, approx=True).count()
+    # sketch bounds shift the fence by <= rank error; counts nearly agree
+    assert abs(exact - approx) <= 20000 * 0.005

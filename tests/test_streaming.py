@@ -205,3 +205,58 @@ def test_stateful_position_tracker(spark, tmp_path):
     exp_cash = 10_000.0 - 10 * 100.0 - 5 * 102.0 + 8 * 105.0
     assert got.cash == pytest.approx(exp_cash)
     assert got.equity == pytest.approx(exp_cash + 7.0 * 105.0)
+
+
+def test_watermark_append_finalizes_bars(spark, tmp_path):
+    """Append mode + watermark: bars emit only once the watermark passes the
+    window end; data later than the watermark is dropped from finalized
+    bars — the defined late-data semantics the reference lacks."""
+    d = tmp_path / "wm_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def frame(minute, second, price):
+        ts = t0 + pd.Timedelta(minutes=minute, seconds=second)
+        return {"ts": ts.isoformat(), "symbol": "A",
+                "price": price, "volume": 1.0}
+
+    # Watermark mechanics (batch-N planning uses batch-N-1's event times,
+    # and dropping too-late data is best-effort until the window's state is
+    # evicted): b1 = minutes 0-1; b2 advances event time to 00:30; b3 keeps
+    # the stream moving so minute-0 state evicts+emits under the 00:25
+    # watermark; b4 then delivers a too-late minute-0 tick, which must NOT
+    # resurrect or duplicate the already-finalized bar.
+    import os
+
+    pd.DataFrame([frame(0, 10, 100.0), frame(0, 40, 101.0),
+                  frame(1, 10, 102.0)]).to_json(
+        d / "b1.json", orient="records", lines=True)
+    pd.DataFrame([frame(30, 0, 110.0)]).to_json(
+        d / "b2.json", orient="records", lines=True)
+    pd.DataFrame([frame(31, 0, 111.0)]).to_json(
+        d / "b3.json", orient="records", lines=True)
+    pd.DataFrame([frame(0, 50, 999.0)]).to_json(
+        d / "b4.json", orient="records", lines=True)
+    # file-source batches follow modification time: force the order
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        os.utime(d / name, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.ohlcv import (
+        streaming_ohlcv,
+    )
+
+    src = (spark.readStream.format("json")
+           .schema("ts timestamp, symbol string, price double, volume double")
+           .option("maxFilesPerTrigger", 1).load(str(d)))
+    b = streaming_ohlcv(src, freq="1min", watermark="5 minutes")
+    q = (b.writeStream.format("memory").queryName("wm_bars")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(90)
+    got = (spark.sql("SELECT * FROM wm_bars").toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    m0 = got[got.ts == t0]
+    assert len(m0) == 1
+    # the 999.0 late tick (arrived after watermark passed minute 0) is NOT
+    # in the finalized minute-0 bar
+    assert m0.iloc[0]["high"] == 101.0
+    assert m0.iloc[0]["n_ticks"] == 2
