@@ -1707,3 +1707,199 @@ def q45(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("bar_us"),
         "open", "high", "low", "close", "volume",
     )
+
+
+# =================== portfolio kernel variants / fingerprints / IVF
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    similarity as sim_ops,
+)
+
+
+@_register(
+    "q46_multi_asset_portfolio",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+           FROM bars),
+    zs AS (SELECT symbol, bts, p,
+                  (p - (CASE WHEN rn >= 20 THEN avg(p) OVER wN END))
+                    / (CASE WHEN rn >= 20 THEN stddev_samp(p) OVER wN END) AS z
+           FROM px WINDOW wN AS (PARTITION BY symbol ORDER BY bts
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    sg AS (SELECT symbol, bts, p,
+                  CASE WHEN z < {_dlit(-1.5)} THEN 1
+                       WHEN z > {_dlit(1.5)} THEN -1 ELSE 0 END AS signal
+           FROM zs),
+    k1 AS (SELECT symbol, bts, p AS price, signal,
+                  CAST(signal AS DOUBLE) * {_dlit(1.0 / 5.0)} AS position
+           FROM sg),
+    k2 AS (SELECT *,
+                  position - coalesce(lag(position) OVER w, 0.0e0) AS trade,
+                  coalesce(price / lag(price) OVER w - 1.0e0, 0.0e0) AS returns,
+                  coalesce(lag(position) OVER w, 0.0e0) AS prev_pos
+           FROM k1 WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    k3 AS (SELECT bts, prev_pos * returns AS strategy_returns,
+                  abs(trade) * {_dlit(RATE)} AS costs FROM k2),
+    port AS (SELECT bts, sum(strategy_returns) AS sr, sum(costs) AS c
+             FROM k3 GROUP BY bts),
+    eq AS (SELECT bts, sr, c, sr - c AS net,
+                  exp(sum(ln(1.0e0 + (sr - c))) OVER (ORDER BY bts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    * {_dlit(CASH)} AS equity
+           FROM port)
+    SELECT epoch_us(bts) AS bar_us, round(sr, 9) AS strategy_returns,
+           round(c, 9) AS costs, round(sr - c, 9) AS net_returns,
+           round(equity / {_dlit(CASH)}, 6) AS equity_ratio
+    FROM eq
+    """,
+)
+def q46(spark, sf_dir):
+    """Multi-asset portfolio kernel (portfolio.py:222-271): per-symbol
+    kernel at equal weight 1/n, cross-asset sums per bar, portfolio-level
+    cumprod over the tiny per-bar series."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.mean_reversion_signal(px, n=20, num_std=1.5, price_col="px")
+    port = backtest.backtest_multi_asset(
+        sig, commission=COMMISSION, slippage=SLIPPAGE, initial_cash=CASH,
+        price_col="px",
+    )
+    return port.select(
+        F.unix_micros("ts").alias("bar_us"),
+        F.round("strategy_returns", 9).alias("strategy_returns"),
+        F.round("costs", 9).alias("costs"),
+        F.round("net_returns", 9).alias("net_returns"),
+        F.round(F.col("equity") / F.lit(CASH), 6).alias("equity_ratio"),
+    )
+
+
+@_register(
+    "q47_ma_cross_backtest",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+           FROM bars),
+    sg AS (SELECT symbol, bts, p,
+                  CASE WHEN (CASE WHEN rn >= 5 THEN avg(p) OVER w5 END)
+                            > (CASE WHEN rn >= 20 THEN avg(p) OVER w20 END)
+                       THEN 1 ELSE 0 END AS signal
+           FROM px WINDOW
+             w5 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY symbol ORDER BY bts
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    k1 AS (SELECT symbol, bts, p AS price, signal,
+                  CAST(signal AS DOUBLE) * 1.0e0 AS position FROM sg),
+    k2 AS (SELECT *,
+                  position - coalesce(lag(position) OVER w, 0.0e0) AS trade,
+                  coalesce(price / lag(price) OVER w - 1.0e0, 0.0e0) AS returns,
+                  coalesce(lag(position) OVER w, 0.0e0) AS prev_pos
+           FROM k1 WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    k4 AS (SELECT symbol, bts,
+                  prev_pos * returns - abs(trade) * {_dlit(RATE)} AS net
+           FROM k2)
+    SELECT symbol, count(*) AS n_bars,
+           round(exp(sum(ln(1.0e0 + net))) - 1.0e0, 6) AS total_return,
+           CAST(count(*) FILTER (WHERE net > 0.0e0) AS BIGINT) AS n_wins,
+           round(sum(net), 9) AS sum_net
+    FROM k4 GROUP BY symbol
+    """,
+)
+def q47(spark, sf_dir):
+    """Backtest kernel under the MA-cross strategy (strategy.py:114-153) —
+    second strategy x kernel combination, aggregate-level oracle."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.ma_cross_signal(px, fast=5, slow=20, price_col="px")
+    res = backtest.backtest_signals(
+        sig, commission=COMMISSION, slippage=SLIPPAGE, initial_cash=CASH,
+        price_col="px",
+    )
+    return res.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.exp(F.sum(F.log1p("net_returns"))) - 1, 6)
+        .alias("total_return"),
+        F.sum((F.col("net_returns") > 0).cast("int")).cast("bigint")
+        .alias("n_wins"),
+        F.round(F.sum("net_returns"), 9).alias("sum_net"),
+    )
+
+
+@_register(
+    "q48_winnowing_fingerprints",
+    """
+    WITH sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                     AS i
+            FROM documents)),
+    w AS (SELECT doc_id, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM sh),
+    d AS (SELECT doc_id, fp, min(pos) AS first_pos FROM w
+          GROUP BY doc_id, fp)
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp,
+           CAST(sum(first_pos) AS BIGINT) AS sum_first_pos
+    FROM d GROUP BY doc_id
+    """,
+)
+def q48(spark, sf_dir):
+    """Winnowing document fingerprints (8-gram hash, sliding-min window of
+    4) — md5 oracle twin of text.rolling_hash_fingerprints' xxhash64
+    production path. min over hex strings == min over hash values."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = d.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))).alias("pos"),
+        "text",
+    ).select("doc_id", "pos",
+             F.md5(F.expr("substring(text, pos, 8)")).alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = sh.withColumn("fp", F.min("h").over(w))
+    dd = fps.groupBy("doc_id", "fp").agg(F.min("pos").alias("first_pos"))
+    return dd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.sum("first_pos").cast("bigint").alias("sum_first_pos"),
+    )
+
+
+@_register(
+    "q49_ivf_exact_when_full_probe",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    sims AS (SELECT vec_id,
+                    round(list_dot_product(v, qv)
+                          / sqrt(list_dot_product(v, v)
+                                 * list_dot_product(qv, qv)), 6) AS cosine
+             FROM e, q WHERE vec_id <> 7)
+    SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+)
+def q49(spark, sf_dir):
+    """IVF index queried with n_probe = all cells must equal brute force —
+    the exactness contract of the coarse-quantization path (oracle = plain
+    brute-force top-k in SQL)."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    n_cells = 8
+    cents = sim_ops.kmeans_centroids(e, n_cells=n_cells, iterations=2)
+    index = sim_ops.ivf_index(e, cents).filter(F.col("vec_id") != 7)
+    out = sim_ops.ivf_topk(index, cents, qv, k=5, n_probe=n_cells)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))

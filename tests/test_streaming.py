@@ -260,3 +260,39 @@ def test_watermark_append_finalizes_bars(spark, tmp_path):
     # in the finalized minute-0 bar
     assert m0.iloc[0]["high"] == 101.0
     assert m0.iloc[0]["n_ticks"] == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates re-delivered in a later micro-batch (reconnect replay)
+    are dropped; distinct rows all survive."""
+    d = tmp_path / "dups_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def row(i, price):
+        return {"ts": (t0 + pd.Timedelta(seconds=i)).isoformat(),
+                "symbol": "A", "price": price, "volume": 1.0}
+
+    batch1 = [row(i, 100.0 + i) for i in range(5)]
+    batch2 = batch1[2:] + [row(i, 100.0 + i) for i in range(5, 8)]  # replay
+    pd.DataFrame(batch1).to_json(d / "b1.json", orient="records", lines=True)
+    pd.DataFrame(batch2).to_json(d / "b2.json", orient="records", lines=True)
+    import os
+
+    os.utime(d / "b1.json", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "b2.json", (1_700_000_060, 1_700_000_060))
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    src = (spark.readStream.format("json")
+           .schema("ts timestamp, symbol string, price double, volume double")
+           .option("maxFilesPerTrigger", 1).load(str(d)))
+    q = (dedup_stream(src).writeStream.format("memory")
+         .queryName("dedup_mem").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM dedup_mem").toPandas()
+    assert len(got) == 8  # 5 + 3 new, 3 replays dropped
+    assert got.ts.nunique() == 8
