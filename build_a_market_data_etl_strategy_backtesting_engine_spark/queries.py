@@ -1536,6 +1536,11 @@ def q39(spark, sf_dir):
 def q40(spark, sf_dir):
     """Multimodal plumbing: binary media -> mapInPandas feature extraction
     (decode stubbed per environment; schema/batching real)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     media = mm_ops.synthetic_media(spark, 60)
     feats = mm_ops.media_features(media)
     return feats.groupBy("kind").agg(

@@ -72,6 +72,40 @@ def get_spark(
     return spark
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Pickled pandas-UDF closures reference module globals (matching kernels,
+    decode stubs), which workers resolve by importing the package — that
+    only works by accident when the driver's cwd is the repo root. Zipping
+    the package and adding it makes every query runnable from ANY driver
+    session/cwd (the driver harness included). Idempotent per application.
+    """
+    import zipfile
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join("/tmp", f"{pkg_name}-{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the driver testdata parquet tables and register temp views.
 
@@ -88,6 +122,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     # Truncate ns -> us at the boundary (floor division, matching DuckDB's
     # ns->us truncation) and expose a real TimestampType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_executors(spark)
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
