@@ -117,11 +117,21 @@ def main():
     load_tables(spark, sf_dir)
     spark.sql("SELECT count(*) FROM events").collect()
 
+    n_events = spark.sql("SELECT count(*) FROM events").first()[0]
+    # input cardinality per workload, for the rows/sec comparison the
+    # BASELINE protocol asks for (reference claims 10k ticks/s ETL).
+    workload_rows = {"clean_ohlcv": n_events, "backtest_metrics": n_events,
+                     "event_driven": n_events}
+
     timings = {}
+    throughput = {}
     for name, fn in BENCHES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name in workload_rows and dt > 0:
+            throughput[name] = round(workload_rows[name] / dt)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -134,6 +144,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rows_per_sec": throughput,
         "sf": sf,
         "config": {
             "spark": spark.version,
