@@ -129,3 +129,31 @@ def bs_put_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
 def bs_gamma_sql(s: str, k: str, t: str, sigma: str, r: str) -> str:
     _d1 = d1_sql(s, k, t, sigma, r)
     return f"({norm_pdf_sql(_d1)} / (({s}) * ({sigma}) * sqrt({t})))"
+
+
+def mark_to_market(
+    positions: "DataFrame",
+    prices: "DataFrame",
+    symbol_col: str = "symbol",
+) -> "DataFrame":
+    """Portfolio mark-to-market (derivatives.py:523-566): the reference's
+    driver-side loop becomes join(positions, latest prices) + one pricing
+    projection.
+
+    ``positions``: (symbol, kind in {'stock','call','put'}, quantity,
+    strike, t_years, sigma, rate); ``prices``: (symbol, spot) — broadcast
+    (one row per symbol). Output adds ``unit_value`` and ``value``.
+    """
+    from pyspark.sql import functions as F
+
+    joined = positions.join(F.broadcast(prices), on=symbol_col, how="left")
+    s, k = F.col("spot"), F.col("strike")
+    t, sig, r = F.col("t_years"), F.col("sigma"), F.col("rate")
+    unit = (
+        F.when(F.col("kind") == "call", bs_call(s, k, t, sig, r))
+        .when(F.col("kind") == "put", bs_put(s, k, t, sig, r))
+        .otherwise(s)
+    )
+    return joined.withColumn("unit_value", unit).withColumn(
+        "value", F.col("quantity") * F.col("unit_value")
+    )

@@ -142,3 +142,23 @@ def ensemble_signal(
     sig = (F.when(avg > threshold, 1)
            .when(avg < -threshold, -1).otherwise(0)).cast("int")
     return df.withColumn(out_col, sig)
+
+
+def build_sequences(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    seq_len: int = 10,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    out_col: str = "sequence",
+) -> DataFrame:
+    """Sliding-window sequence tensors for sequence models
+    (ml_strategy.py:223-249's numpy 3-D builder, relational form): per row,
+    an array of the last ``seq_len`` feature structs — NULL during warm-up
+    like every rolling operator here. array<struct> columns feed
+    Arrow-batched inference without a driver-side tensor materialization."""
+    w = signals.sym_window(symbol_col, ts_col)
+    frame = w.rowsBetween(-(seq_len - 1), 0)
+    seq = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(frame)
+    gated = F.when(F.row_number().over(w) >= seq_len, seq)
+    return df.withColumn(out_col, gated)

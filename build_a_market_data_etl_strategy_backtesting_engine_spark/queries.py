@@ -1908,3 +1908,54 @@ def q49(spark, sf_dir):
     index = sim_ops.ivf_index(e, cents).filter(F.col("vec_id") != 7)
     out = sim_ops.ivf_topk(index, cents, qv, k=5, n_probe=n_cells)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@_register(
+    "q50_mark_to_market",
+    f"""
+    WITH pos AS (
+      SELECT p_partkey, p_brand AS symbol,
+             CASE p_size % 3 WHEN 0 THEN 'stock' WHEN 1 THEN 'call'
+                  ELSE 'put' END AS kind,
+             CAST(p_size AS DOUBLE) AS quantity,
+             round(p_retailprice * 1.1e0, 2) AS strike
+      FROM part),
+    px AS (SELECT p_brand AS symbol, max(p_retailprice) AS spot
+           FROM part GROUP BY p_brand),
+    j AS (SELECT pos.*, px.spot FROM pos JOIN px ON pos.symbol = px.symbol),
+    v AS (SELECT p_partkey, symbol, kind, quantity,
+                 CASE kind
+                   WHEN 'call' THEN
+                     {deriv.bs_call_sql('spot', 'strike', '0.25e0',
+                                        '0.25e0', '0.02e0')}
+                   WHEN 'put' THEN
+                     {deriv.bs_put_sql('spot', 'strike', '0.25e0',
+                                       '0.25e0', '0.02e0')}
+                   ELSE spot END AS unit_value
+          FROM j)
+    SELECT kind, count(*) AS n,
+           round(sum(quantity * unit_value), 2) AS total_value
+    FROM v GROUP BY kind
+    """,
+)
+def q50(spark, sf_dir):
+    """Derivatives portfolio mark-to-market (derivatives.py:523-566): the
+    reference's valuation loop as broadcast-join + one pricing projection;
+    brand-level spot = max retail price as the quote table."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    positions = p.select(
+        "p_partkey", F.col("p_brand").alias("symbol"),
+        F.when(F.col("p_size") % 3 == 0, "stock")
+        .when(F.col("p_size") % 3 == 1, "call").otherwise("put").alias("kind"),
+        F.col("p_size").cast("double").alias("quantity"),
+        F.round(F.col("p_retailprice") * F.lit(1.1), 2).alias("strike"),
+        F.lit(0.25).alias("t_years"), F.lit(0.25).alias("sigma"),
+        F.lit(0.02).alias("rate"),
+    )
+    prices = p.groupBy(F.col("p_brand").alias("symbol")).agg(
+        F.max("p_retailprice").alias("spot"))
+    mtm = deriv.mark_to_market(positions, prices)
+    return mtm.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

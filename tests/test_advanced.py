@@ -604,3 +604,17 @@ def test_walk_forward_with_numpy_model(spark):
             accs.append(acc)
     assert len(accs) >= 2
     assert all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_build_sequences(spark):
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=12, freq="1h"),
+        "close": np.arange(12, dtype=float),
+    })
+    out = (ml.build_sequences(spark.createDataFrame(pdf), ["close"],
+                              seq_len=4)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    assert out.loc[2, "sequence"] is None  # warm-up
+    seq = out.loc[5, "sequence"]
+    assert [s["close"] for s in seq] == [2.0, 3.0, 4.0, 5.0]
