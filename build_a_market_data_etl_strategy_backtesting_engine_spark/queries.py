@@ -1959,3 +1959,106 @@ def q50(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@_register(
+    "q51_covariance_matrix",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    r AS (SELECT symbol, bts,
+                 coalesce((100.0e0 + close / 10.0e0)
+                          / lag(100.0e0 + close / 10.0e0) OVER (
+                            PARTITION BY symbol ORDER BY bts) - 1.0e0,
+                          0.0e0) AS ret
+          FROM bars)
+    SELECT a.symbol AS sa, b.symbol AS sb,
+           round(covar_samp(a.ret, b.ret) * 252.0e0, 9) AS cov_ann,
+           count(*) AS n_obs
+    FROM r a JOIN r b ON a.bts = b.bts
+    GROUP BY a.symbol, b.symbol
+    """,
+)
+def q51(spark, sf_dir):
+    """Annualized pairwise covariance (portfolio_optimization.py:44-50) as a
+    relational ts-self-join — the data-parallel half of portfolio
+    optimization; only the k x k result ever reaches the driver."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("p", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    r = signals.simple_returns(px, price_col="p", out_col="ret").select(
+        "symbol", "ts", "ret")
+    a = r.select(F.col("ts"), F.col("symbol").alias("sa"),
+                 F.col("ret").alias("ra"))
+    bb = r.select(F.col("ts"), F.col("symbol").alias("sb"),
+                  F.col("ret").alias("rb"))
+    return (
+        a.join(bb, "ts")
+        .groupBy("sa", "sb")
+        .agg(F.round(F.covar_samp("ra", "rb") * F.lit(252.0), 9)
+             .alias("cov_ann"),
+             F.count(F.lit(1)).alias("n_obs"))
+    )
+
+
+@_register(
+    "q52_gapfill_interpolate",
+    f"""
+    WITH {TICKS_CTE},
+    hourly AS (SELECT symbol, time_bucket(INTERVAL '60 minutes', ts) AS h,
+                      round(avg(price), 6) AS v
+               FROM ticks GROUP BY symbol, h),
+    bounds AS (SELECT symbol, min(h) AS lo, max(h) AS hi FROM hourly
+               GROUP BY symbol),
+    spine AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS h FROM bounds),
+    j AS (SELECT s.symbol, s.h, hr.v
+          FROM spine s LEFT JOIN hourly hr
+            ON hr.symbol = s.symbol AND hr.h = s.h),
+    n AS (SELECT symbol, h, v,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS pt,
+                 first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS nt
+          FROM j WINDOW
+            wp AS (PARTITION BY symbol ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wn AS (PARTITION BY symbol ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    f AS (SELECT symbol, h,
+                 CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) *
+                        (CASE WHEN epoch(nt) - epoch(pt) > 0.0e0
+                              THEN (epoch(h) - epoch(pt))
+                                   / (epoch(nt) - epoch(pt))
+                              ELSE 0.0e0 END)
+                 END AS filled
+          FROM n)
+    SELECT symbol, count(*) AS n_slots, round(sum(filled), 4) AS sum_filled,
+           round(min(filled), 6) AS min_filled,
+           round(max(filled), 6) AS max_filled
+    FROM f GROUP BY symbol
+    """,
+)
+def q52(spark, sf_dir):
+    """Linear time-interpolation gap fill (cleaner.py:159-197 'interpolate'):
+    prev/next neighbor values + timestamps, lerp by time fraction."""
+    ticks = _ticks(spark, sf_dir)
+    hourly = (
+        ticks.groupBy("symbol", F.window("ts", "60 minutes").alias("w"))
+        .agg(F.round(F.avg("price"), 6).alias("v"))
+        .select("symbol", F.col("w.start").alias("ts"), "v")
+    )
+    filled = cleaner.fill_missing_timestamps(
+        hourly, freq_seconds=3600, method="interpolate", value_cols=["v"]
+    )
+    return filled.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.round(F.sum("v"), 4).alias("sum_filled"),
+        F.round(F.min("v"), 6).alias("min_filled"),
+        F.round(F.max("v"), 6).alias("max_filled"),
+    )
