@@ -22,6 +22,16 @@ sequential product).
 
 The multi-asset variant keeps long format and adds one tiny aggregation by ts
 (one row per bar), mirroring ``portfolio.py:222-271``.
+
+First-bar parity note (intentional divergence): pandas computes
+``positions.shift(1) * returns`` giving NaN on row 0, and ``(1+net).cumprod()``
+silently *skips* that NaN — so a strategy holding a position on the very first
+bar never pays its row-0 entry costs in the reference's equity curve.  Here
+``lag(position)`` coalesces to 0 and row-0 costs ARE charged, so for
+strategies with a nonzero first-bar signal (e.g. buy-and-hold) equity differs
+from the reference by the constant factor ``1 - first_trade_cost``.  Charging
+the entry cost is the economically correct behavior; the choice is pinned by
+``tests/test_operators.py::test_first_bar_costs_charged``.
 """
 
 from __future__ import annotations
@@ -45,6 +55,7 @@ def backtest_signals(
     signal_col: str = "signal",
     symbol_col: str = "symbol",
     ts_col: str = "ts",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Run the 9-step vectorized kernel.
 
@@ -52,10 +63,14 @@ def backtest_signals(
     ``signals``: either None (then ``prices`` must already carry
     ``signal_col``) or a frame ``(symbol, ts, signal)`` which is left-joined
     onto the price spine with missing signals -> 0 (portfolio.py:186).
+    ``weight_col``: optional per-row weight column on ``prices`` folded into
+    position sizing (position = signal * position_size * weight) — keeps the
+    emitted ``signal`` column the raw signal instead of a pre-scaled hybrid.
 
     Returns the per-bar results frame
     ``(symbol, ts, price, signal, position, trade, returns, strategy_returns,
-    costs, net_returns, equity)``.
+    costs, net_returns, equity)``.  ``signal`` keeps the input signal's type
+    (int signals stay int; fractional signals are NOT truncated).
     """
     if signals is not None:
         sig = signals.select(
@@ -73,11 +88,13 @@ def backtest_signals(
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     position = (sig_expr * F.lit(float(position_size))).cast("double")
+    if weight_col is not None:
+        position = position * F.coalesce(F.col(weight_col), F.lit(0.0))
     out = base.select(
         F.col(symbol_col).alias("symbol"),
         F.col(ts_col).alias("ts"),
         F.col(price_col).cast("double").alias("price"),
-        sig_expr.cast("int").alias("signal"),
+        sig_expr.alias("signal"),
         position.alias("position"),
     )
     trade = F.col("position") - F.coalesce(F.lag("position", 1).over(w), F.lit(0.0))
@@ -114,11 +131,19 @@ def backtest_multi_asset(
     signal_col: str = "signal",
     symbol_col: str = "symbol",
     ts_col: str = "ts",
+    n_symbols: int | None = None,
 ) -> DataFrame:
     """Portfolio-level backtest over many symbols (portfolio.py:222-271).
 
     ``weights``: optional ``(symbol, weight)`` frame; default equal weight
     1/n_symbols (portfolio.py:238-245). Broadcast-joined (tiny dim table).
+    ``signals`` composes with BOTH branches (left-joined onto the spine,
+    missing -> 0, exactly like the single-asset kernel).
+
+    ``n_symbols``: optional known symbol count for the equal-weight default.
+    When omitted it is derived lazily — a 1-row countDistinct frame
+    broadcast onto the spine — so constructing the plan never triggers an
+    eager Spark job.
 
     Per-symbol steps 2-7 run in parallel per symbol; the cross-asset row sum
     is a ``groupBy(ts)`` over (n_symbols) rows per bar; the final portfolio
@@ -127,25 +152,25 @@ def backtest_multi_asset(
     Returns ``(ts, strategy_returns, costs, net_returns, equity)``.
     """
     if weights is None:
-        n = prices.select(symbol_col).distinct().count()
-        per_asset = backtest_signals(
-            prices, signals, position_size=1.0 / n,
-            commission=commission, slippage=slippage, initial_cash=initial_cash,
-            price_col=price_col, signal_col=signal_col,
-            symbol_col=symbol_col, ts_col=ts_col,
-        )
+        if n_symbols is not None:
+            wtd = prices.withColumn("_w", F.lit(1.0 / float(n_symbols)))
+        else:
+            n_df = prices.select(
+                (F.lit(1.0) / F.countDistinct(symbol_col)).alias("_w")
+            )
+            wtd = prices.crossJoin(F.broadcast(n_df))
     else:
-        wdf = weights.select(F.col(symbol_col), F.col("weight"))
-        joined = prices.join(F.broadcast(wdf), on=symbol_col, how="left")
-        joined = joined.withColumn("weight", F.coalesce("weight", F.lit(0.0)))
-        # fold the weight into the signal path by pre-scaling the signal
-        per_asset = backtest_signals(
-            joined.withColumn("_wsig", F.col(signal_col) * F.col("weight")),
-            None, position_size=1.0,
-            commission=commission, slippage=slippage, initial_cash=initial_cash,
-            price_col=price_col, signal_col="_wsig",
-            symbol_col=symbol_col, ts_col=ts_col,
+        wdf = weights.select(
+            F.col(symbol_col), F.col("weight").cast("double").alias("_w")
         )
+        wtd = prices.join(F.broadcast(wdf), on=symbol_col, how="left")
+        wtd = wtd.withColumn("_w", F.coalesce("_w", F.lit(0.0)))
+    per_asset = backtest_signals(
+        wtd, signals, position_size=1.0,
+        commission=commission, slippage=slippage, initial_cash=initial_cash,
+        price_col=price_col, signal_col=signal_col,
+        symbol_col=symbol_col, ts_col=ts_col, weight_col="_w",
+    )
     port = (
         per_asset.groupBy("ts")
         .agg(

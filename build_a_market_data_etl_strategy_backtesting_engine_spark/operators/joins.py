@@ -48,19 +48,26 @@ def asof_join(
     }
     matched_ts = on + suffix
 
+    # All right-side payload travels in ONE struct per right row.  The struct
+    # is non-null on right rows even when individual value columns are NULL,
+    # so last(ignorenulls=True) carries the *matched row* forward intact —
+    # a legitimately-NULL field of the matched row stays NULL instead of
+    # being filled through with an older row's value (merge_asof parity).
+    rv_struct = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
+        F.col(on).alias(matched_ts),
+    )
+    rv_type = right.select(rv_struct.alias("_rv")).schema["_rv"].dataType
     lhs = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_side"),
         *[F.col(c) for c in l_cols if c not in (on, by)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-          for c in value_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias(matched_ts),
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     rhs = right.select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in l_cols if c not in (on, by)],
-        *[F.col(c).alias(out_names[c]) for c in value_cols],
-        F.col(on).alias(matched_ts),
+        rv_struct.alias("_rv"),
     )
     # right rows sort BEFORE left rows at equal ts (_side 0 < 1) so the
     # match is backward-inclusive, like pandas merge_asof default.
@@ -71,17 +78,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[F.last(out_names[c], ignorenulls=True).over(w)
-          .alias("_f_" + out_names[c]) for c in value_cols],
-        F.last(matched_ts, ignorenulls=True).over(w).alias("_f_" + matched_ts),
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_f_rv"),
     )
     keep = [by, on] + [c for c in l_cols if c not in (on, by)]
     return filled.filter(F.col("_side") == 1).select(
         *keep,
-        *[F.col("_f_" + out_names[c]).alias(out_names[c])
+        *[F.col("_f_rv")[out_names[c]].alias(out_names[c])
           for c in value_cols],
-        F.col("_f_" + matched_ts).alias(matched_ts),
+        F.col("_f_rv")[matched_ts].alias(matched_ts),
     )
 
 
@@ -144,17 +148,22 @@ def range_join(
     no broadcast requirement. Exact predicate applied post-join.
     """
     b = int(bucket_seconds)
+    # Epoch seconds as double (keeps sub-second precision; unix_timestamp
+    # would truncate).  End-exclusivity is exact integer logic, not an
+    # epsilon: an interval ending exactly on a bucket boundary k*b owns
+    # buckets up to k-1 only — ceil(end/b)-1 is k-1 there and floor(end/b)
+    # everywhere else.  greatest() guards degenerate (empty) intervals so
+    # sequence() never runs backwards.
+    start_bk = F.floor(F.col(start_col).cast("double") / b).cast("long")
+    end_bk = F.greatest(
+        start_bk,
+        (F.ceil(F.col(end_col).cast("double") / b) - F.lit(1)).cast("long"),
+    )
     i_bucketed = intervals.withColumn(
-        "_bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(start_col) / b),
-                F.floor((F.unix_timestamp(end_col) - F.lit(1e-9)) / b),
-            )
-        ),
+        "_bk", F.explode(F.sequence(start_bk, end_bk))
     )
     p_bucketed = points.withColumn(
-        "_bk", F.floor(F.unix_timestamp(point_ts) / b)
+        "_bk", F.floor(F.col(point_ts).cast("double") / b).cast("long")
     )
     keys = ["_bk"] + ([by] if by else [])
     joined = p_bucketed.join(i_bucketed, on=keys, how=how)

@@ -219,6 +219,7 @@ def event_driven_backtest(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
     shared_cash: bool = False,
+    n_symbols: int | None = None,
 ) -> DataFrame:
     """Event-driven engine (engine.py:167-230): iterate bars in time order,
     trade toward desired position = signal * shares_per_unit via market
@@ -228,21 +229,34 @@ def event_driven_backtest(
     Output per bar: ``(symbol, ts, price, signal, position, cash, equity)``.
     ``shared_cash=True`` runs everything in one group (global cash account,
     sequential like the reference); default is per-symbol cash =
-    initial_cash / n_symbols, preserving parallelism.
+    initial_cash / n_symbols, preserving parallelism.  ``n_symbols`` makes
+    the per-symbol budget explicit; when omitted it is derived lazily via a
+    broadcast 1-row countDistinct frame (no eager job at plan-build time).
     """
     out_schema = (f"{symbol_col} string, {ts_col} timestamp, price double, "
                   "signal int, position double, cash double, equity double")
     comm, slip = float(commission), float(slippage)
 
     if shared_cash:
-        grouped = bars.withColumn("_g", F.lit(1)).groupBy("_g")
-        budget = float(initial_cash)
+        grouped = bars.withColumn(
+            "_budget", F.lit(float(initial_cash))
+        ).withColumn("_g", F.lit(1)).groupBy("_g")
     else:
-        n_sym = bars.select(symbol_col).distinct().count()
-        grouped = bars.groupBy(symbol_col)
-        budget = float(initial_cash) / max(n_sym, 1)
+        if n_symbols is not None:
+            budget_col = F.lit(float(initial_cash) / max(n_symbols, 1))
+            wtd = bars.withColumn("_budget", budget_col)
+        else:
+            n_df = bars.select(
+                (F.lit(float(initial_cash))
+                 / F.greatest(F.countDistinct(symbol_col), F.lit(1))
+                 ).alias("_budget")
+            )
+            wtd = bars.crossJoin(F.broadcast(n_df))
+        grouped = wtd.groupBy(symbol_col)
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        budget = float(pdf["_budget"].iloc[0])
+        pdf = pdf.drop(columns=["_budget"])
         pdf = pdf.sort_values([ts_col, symbol_col]).reset_index(drop=True)
         cash = budget
         positions: dict[str, float] = {}

@@ -93,8 +93,14 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
     loss = F.when(_rn(w) >= n + 1, F.avg("_loss").over(frame))
     rs = gain / loss
     rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
-    # loss == 0 -> rs = inf -> pandas RSI = 100; guard the division by zero
-    rsi = F.when(loss == 0, F.lit(100.0)).otherwise(rsi)
+    # loss == 0, gain > 0 -> rs = inf -> pandas RSI = 100; but a fully flat
+    # stretch (gain == 0 AND loss == 0) is pandas 0/0 = NaN -> NULL here,
+    # not 100 — emitting 100 would flip overbought signals on constant prices.
+    rsi = (
+        F.when((loss == 0) & (gain == 0), F.lit(None).cast("double"))
+        .when(loss == 0, F.lit(100.0))
+        .otherwise(rsi)
+    )
     return df.withColumn(out_col, rsi).drop("_gain", "_loss")
 
 

@@ -1416,7 +1416,8 @@ def q34(spark, sf_dir):
           FROM w14 WINDOW w20 AS (PARTITION BY symbol ORDER BY bts
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
     SELECT symbol, epoch_us(bts) AS bar_us,
-           round(CASE WHEN al = 0.0e0 THEN 100.0e0
+           round(CASE WHEN al = 0.0e0 AND ag = 0.0e0 THEN NULL
+                      WHEN al = 0.0e0 THEN 100.0e0
                       ELSE 100.0e0 - 100.0e0 / (1.0e0 + ag / al) END, 6)
              AS rsi,
            round(mid, 6) AS bb_mid,

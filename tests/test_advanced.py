@@ -618,3 +618,58 @@ def test_build_sequences(spark):
     assert out.loc[2, "sequence"] is None  # warm-up
     seq = out.loc[5, "sequence"]
     assert [s["close"] for s in seq] == [2.0, 3.0, 4.0, 5.0]
+
+
+def test_asof_join_preserves_matched_nulls(spark):
+    """A legitimately-NULL value field on the MATCHED right row must stay
+    NULL — not be filled through with an older row's value (merge_asof
+    parity; ADVICE struct-ffill fix)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import joins
+
+    left = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:15"]),
+        "px": [1.0, 2.0],
+    })
+    right = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10"]),
+        "quote": [50.0, np.nan],
+    })
+    got = (joins.asof_join(spark.createDataFrame(left),
+                           spark.createDataFrame(right),
+                           on="ts", by="symbol", value_cols=["quote"])
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    exp = pd.merge_asof(left.sort_values("ts"),
+                        right.drop(columns=["symbol"]).sort_values("ts"),
+                        on="ts")
+    # row 1 matches the 00:10 right row whose quote is NULL -> stays NULL
+    assert got.quote.iloc[0] == 50.0
+    assert pd.isna(got.quote.iloc[1]) and pd.isna(exp.quote.iloc[1])
+    # matched-ts is still the 00:10 row
+    assert got.ts_right.iloc[1] == pd.Timestamp("2024-01-01 00:10")
+
+
+def test_range_join_boundary_and_degenerate_intervals(spark):
+    """End-exclusive bucketing is exact integer logic: an interval ending
+    exactly on a bucket boundary owns only buckets below it, and an empty
+    interval (end <= start) must not blow up sequence() or match points."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import joins
+
+    points = spark.createDataFrame(pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.to_datetime(["2024-01-01 00:59:59", "2024-01-01 01:00:00"]),
+        "v": [0, 1],
+    }))
+    intervals = spark.createDataFrame(pd.DataFrame({
+        "symbol": "A",
+        "start": pd.to_datetime(["2024-01-01 00:00:00",
+                                 "2024-01-01 02:00:00"]),
+        "end": pd.to_datetime(["2024-01-01 01:00:00",     # boundary end
+                               "2024-01-01 02:00:00"]),   # empty interval
+        "label": ["x", "empty"],
+    }))
+    got = (joins.range_join(points, intervals, bucket_seconds=3600)
+           .toPandas())
+    assert sorted(got.v) == [0]            # 01:00:00 excluded (end-exclusive)
+    assert "empty" not in set(got.label)   # degenerate interval matches none

@@ -273,3 +273,126 @@ def test_multi_asset_portfolio(spark, tick_sdf):
     port = port.sort_values("ts")
     eq = (1 + port.net_returns).cumprod() * 100000.0
     np.testing.assert_allclose(port.equity, eq, rtol=1e-9)
+
+
+def test_multi_asset_weights_and_signals(spark, tick_pdf, tick_sdf):
+    """The reference API shape (portfolio.py backtest_multi_asset) passes
+    prices, a SEPARATE signals frame, and explicit weights together — the
+    weights branch must still left-join the signals (missing -> 0)."""
+    b = bars.ticks_to_ohlcv(tick_sdf, "5min", tiebreaker="seq")
+    sig_df = (
+        signals.momentum_signal(b, lookback=10, threshold=0.01)
+        .select("symbol", "ts", "signal")
+    )
+    weights = spark.createDataFrame(
+        pd.DataFrame({"symbol": ["AAA", "BBB"], "weight": [0.7, 0.3]})
+    )
+    port = backtest.backtest_multi_asset(
+        b.drop("signal") if "signal" in b.columns else b,
+        signals=sig_df, weights=weights, initial_cash=100000.0,
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+
+    # pandas expectation: per-symbol kernel with position = signal * weight
+    bars_pd = b.toPandas()
+    sig_pd = sig_df.toPandas()
+    w_map = {"AAA": 0.7, "BBB": 0.3}
+    per = []
+    for sym, g in bars_pd.groupby("symbol"):
+        g = g.sort_values("ts").reset_index(drop=True)
+        s = sig_pd[sig_pd.symbol == sym].set_index("ts")["signal"]
+        g["signal"] = g["ts"].map(s).fillna(0)
+        pos = g["signal"] * w_map[sym]
+        trade = pos.diff().fillna(pos)
+        rets = g["close"].pct_change().fillna(0)
+        strat = pos.shift(1).fillna(0) * rets
+        costs = trade.abs() * (0.001 + 0.0005)
+        per.append(pd.DataFrame({
+            "ts": g["ts"], "strategy_returns": strat, "costs": costs,
+        }))
+    exp = (
+        pd.concat(per).groupby("ts", as_index=False).sum()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    exp["net_returns"] = exp.strategy_returns - exp.costs
+    exp["equity"] = (1 + exp.net_returns).cumprod() * 100000.0
+    np.testing.assert_allclose(port.strategy_returns, exp.strategy_returns,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(port.costs, exp.costs, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(port.equity, exp.equity, rtol=1e-9)
+
+
+def test_first_bar_costs_charged(spark):
+    """Pinned intentional divergence from pandas (see backtest.py module
+    docstring): a nonzero signal on the very first bar pays its entry cost,
+    so equity[0] = cash * (1 - cost_rate)."""
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=4, freq="1h"),
+        "close": [100.0, 101.0, 102.0, 103.0],
+        "signal": [1, 1, 1, 1],
+    })
+    res = (
+        backtest.backtest_signals(spark.createDataFrame(pdf),
+                                  initial_cash=1000.0)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    rate = 0.001 + 0.0005
+    assert res.costs.iloc[0] == pytest.approx(rate)
+    assert res.equity.iloc[0] == pytest.approx(1000.0 * (1 - rate))
+
+
+def test_fractional_signal_not_truncated(spark):
+    """backtest_signals must not truncate a fractional signal column
+    (the old int cast reported signal=0 for signal=0.5)."""
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=3, freq="1h"),
+        "close": [100.0, 110.0, 99.0],
+        "signal": [0.5, -0.25, 0.5],
+    })
+    res = (
+        backtest.backtest_signals(spark.createDataFrame(pdf))
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(res.signal, [0.5, -0.25, 0.5])
+    np.testing.assert_allclose(res.position, [0.5, -0.25, 0.5])
+
+
+def test_operator_construction_is_lazy(spark, tick_sdf):
+    """Building a multi-asset or event-driven plan must not fire an eager
+    Spark job (the old code ran distinct().count() at construction)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import orderbook
+
+    b = bars.ticks_to_ohlcv(tick_sdf, "5min", tiebreaker="seq")
+    sig = signals.buy_and_hold_signal(b)
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-check", "construction must not run jobs")
+    try:
+        backtest.backtest_multi_asset(sig, initial_cash=100000.0)
+        orderbook.event_driven_backtest(sig)
+        job_ids = sc.statusTracker().getJobIdsForGroup("lazy-check")
+    finally:
+        sc.setJobGroup("other", "")
+    assert list(job_ids) == []
+
+
+def test_rsi_flat_prices_null_not_100(spark):
+    """pandas 0/0 rolling gain/loss gives NaN — a constant-price stretch
+    must yield NULL RSI, not 100 (ADVICE parity fix)."""
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=40, freq="1h"),
+        "close": [100.0] * 40,
+    })
+    res = signals.with_rsi(spark.createDataFrame(pdf), 14).toPandas()
+    assert res.rsi.isna().all()
+
+    # loss == 0 with gain > 0 still pins RSI = 100 (pandas inf path)
+    pdf2 = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=40, freq="1h"),
+        "close": np.arange(40, dtype=float) + 100.0,
+    })
+    res2 = (signals.with_rsi(spark.createDataFrame(pdf2), 14)
+            .toPandas().sort_values("ts"))
+    assert (res2.rsi.iloc[15:] == 100.0).all()
