@@ -83,6 +83,81 @@ def bs_rho(s, k, t, sigma, r, call: bool = True) -> Column:
     return -k * t * F.exp(-r * t) * norm_cdf(-_d2) / 100.0
 
 
+# --------------------------------------------- option strategy combinators
+# Each returns an ordered dict of named Column expressions — compose with
+# ``df.select(*[c.alias(n) for n, c in strat.items()])`` or ``df.withColumns``.
+# Semantics mirror /root/reference/backtesting/derivatives.py:224-362
+# (OptionStrategy): premiums priced with the same BS columns, P&L identities
+# preserved (max_profit == net_credit for the condor, total_cost ==
+# call_premium + put_premium for the straddle, etc.).
+
+def covered_call(s: Column, k: Column, t: Column, sigma: Column, r: Column,
+                 shares: float = 100.0) -> dict[str, Column]:
+    """Long stock + short call (derivatives.py:224-251)."""
+    c = bs_call(s, k, t, sigma, r)
+    n = F.lit(float(shares))
+    return {
+        "stock_value": s * n,
+        "call_premium_received": c * n,
+        "max_profit": (k - s) * n + c * n,
+        "breakeven": s - c,
+        "max_loss": s * n - c * n,
+    }
+
+
+def protective_put(s: Column, k: Column, t: Column, sigma: Column, r: Column,
+                   shares: float = 100.0) -> dict[str, Column]:
+    """Long stock + long put (derivatives.py:253-283); unlimited upside ->
+    max_profit = +infinity, matching the reference's float('inf')."""
+    p = bs_put(s, k, t, sigma, r)
+    n = F.lit(float(shares))
+    return {
+        "stock_value": s * n,
+        "put_premium_paid": p * n,
+        "max_loss": (s - k) * n + p * n,
+        "breakeven": s + p,
+        "max_profit": F.lit(float("inf")),
+    }
+
+
+def straddle(s: Column, k: Column, t: Column, sigma: Column, r: Column,
+             contracts: float = 1.0) -> dict[str, Column]:
+    """Long call + long put, same strike (derivatives.py:285-322)."""
+    c = bs_call(s, k, t, sigma, r)
+    p = bs_put(s, k, t, sigma, r)
+    mult = F.lit(float(contracts) * 100.0)
+    return {
+        "call_premium": c * mult,
+        "put_premium": p * mult,
+        "total_cost": (c + p) * mult,
+        "upper_breakeven": k + (c + p),
+        "lower_breakeven": k - (c + p),
+        "max_loss": (c + p) * mult,
+    }
+
+
+def iron_condor(s: Column, lower_put_k: Column, upper_put_k: Column,
+                lower_call_k: Column, upper_call_k: Column,
+                t: Column, sigma: Column, r: Column,
+                contracts: float = 1.0) -> dict[str, Column]:
+    """Buy low put / sell high put / sell low call / buy high call
+    (derivatives.py:324-362)."""
+    lp = bs_put(s, lower_put_k, t, sigma, r)
+    up = bs_put(s, upper_put_k, t, sigma, r)
+    lc = bs_call(s, lower_call_k, t, sigma, r)
+    uc = bs_call(s, upper_call_k, t, sigma, r)
+    mult = F.lit(float(contracts) * 100.0)
+    net_credit = (-lp + up + lc - uc) * mult
+    per_contract = net_credit / mult
+    return {
+        "net_credit": net_credit,
+        "max_profit": net_credit,
+        "max_loss": ((upper_put_k - lower_put_k) - per_contract) * mult,
+        "lower_breakeven": upper_put_k - per_contract,
+        "upper_breakeven": lower_call_k + per_contract,
+    }
+
+
 # ------------------------------------------------------------- futures math
 def futures_pnl(entry: Column, current: Column, contracts: Column,
                 multiplier: Column, long: bool = True) -> Column:
@@ -90,6 +165,13 @@ def futures_pnl(entry: Column, current: Column, contracts: Column,
     (derivatives.py:389-411)."""
     pnl = (current - entry) * contracts * multiplier
     return pnl if long else -pnl
+
+
+def futures_margin(price: Column, contract_size: Column,
+                   quantity: Column, margin_rate: float = 0.10) -> Column:
+    """Initial margin = price * contract_size * |quantity| * margin_rate
+    (derivatives.py:365-388, FuturesCalculator.calculate_margin)."""
+    return price * contract_size * F.abs(quantity) * F.lit(float(margin_rate))
 
 
 def futures_basis(futures_price: Column, spot: Column) -> Column:

@@ -2210,3 +2210,78 @@ def q52(spark, sf_dir):
         F.round(F.min("v"), 6).alias("min_filled"),
         F.round(F.max("v"), 6).alias("max_filled"),
     )
+
+
+# ========================================= option strategies / futures margin
+
+def _q53_sql() -> str:
+    """Oracle for the strategy combinators: same BS SQL twins, same
+    operation order as functions/derivatives.py covered_call/protective_put/
+    straddle/iron_condor/futures_margin."""
+    p = "p_retailprice"
+    t, sig, r = "0.25e0", "0.2e0", "0.02e0"
+    cc_k = f"({p} * 1.05e0)"
+    pp_k = f"({p} * 0.95e0)"
+    lpk, upk = f"({p} * 0.9e0)", f"({p} * 0.95e0)"
+    lck, uck = f"({p} * 1.05e0)", f"({p} * 1.1e0)"
+    cc_c = deriv.bs_call_sql(p, cc_k, t, sig, r)
+    pp_p = deriv.bs_put_sql(p, pp_k, t, sig, r)
+    st_c = deriv.bs_call_sql(p, p, t, sig, r)
+    st_p = deriv.bs_put_sql(p, p, t, sig, r)
+    lp = deriv.bs_put_sql(p, lpk, t, sig, r)
+    up = deriv.bs_put_sql(p, upk, t, sig, r)
+    lc = deriv.bs_call_sql(p, lck, t, sig, r)
+    uc = deriv.bs_call_sql(p, uck, t, sig, r)
+    nc = f"((-{lp} + {up} + {lc} - {uc}) * 100.0e0)"
+    return f"""
+    SELECT p_partkey,
+           round(({cc_k} - {p}) * 100.0e0 + {cc_c} * 100.0e0, 6)
+             AS cc_max_profit,
+           round({p} - {cc_c}, 6) AS cc_breakeven,
+           round(({p} - {pp_k}) * 100.0e0 + {pp_p} * 100.0e0, 6)
+             AS pp_max_loss,
+           round({p} + {pp_p}, 6) AS pp_breakeven,
+           round(({st_c} + {st_p}) * 100.0e0, 6) AS st_total_cost,
+           round({p} + ({st_c} + {st_p}), 6) AS st_upper_be,
+           round({p} - ({st_c} + {st_p}), 6) AS st_lower_be,
+           round({nc}, 6) AS ic_net_credit,
+           round((({upk} - {lpk}) - {nc} / 100.0e0) * 100.0e0, 6)
+             AS ic_max_loss,
+           round({upk} - {nc} / 100.0e0, 6) AS ic_lower_be,
+           round({lck} + {nc} / 100.0e0, 6) AS ic_upper_be,
+           round({p} * 50.0e0 * 2.0e0 * 0.1e0, 6) AS fut_margin
+    FROM part
+    """
+
+
+@_register("q53_option_strategies", _q53_sql())
+def q53(spark, sf_dir):
+    """Option strategy combinators (derivatives.py:224-362) + futures margin
+    (derivatives.py:365-388) as one pricing projection over `part`:
+    covered call / protective put at 5% OTM strikes, ATM straddle, a
+    90/95/105/110 iron condor, ES-style margin (size 50, qty 2, 10%)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = F.col("p_retailprice")
+    t, sig, r = F.lit(0.25), F.lit(0.2), F.lit(0.02)
+    cc = deriv.covered_call(s, s * 1.05, t, sig, r, shares=100.0)
+    pp = deriv.protective_put(s, s * 0.95, t, sig, r, shares=100.0)
+    st = deriv.straddle(s, s, t, sig, r, contracts=1.0)
+    ic = deriv.iron_condor(s, s * 0.9, s * 0.95, s * 1.05, s * 1.1,
+                           t, sig, r, contracts=1.0)
+    return part.select(
+        "p_partkey",
+        F.round(cc["max_profit"], 6).alias("cc_max_profit"),
+        F.round(cc["breakeven"], 6).alias("cc_breakeven"),
+        F.round(pp["max_loss"], 6).alias("pp_max_loss"),
+        F.round(pp["breakeven"], 6).alias("pp_breakeven"),
+        F.round(st["total_cost"], 6).alias("st_total_cost"),
+        F.round(st["upper_breakeven"], 6).alias("st_upper_be"),
+        F.round(st["lower_breakeven"], 6).alias("st_lower_be"),
+        F.round(ic["net_credit"], 6).alias("ic_net_credit"),
+        F.round(ic["max_loss"], 6).alias("ic_max_loss"),
+        F.round(ic["lower_breakeven"], 6).alias("ic_lower_be"),
+        F.round(ic["upper_breakeven"], 6).alias("ic_upper_be"),
+        F.round(
+            deriv.futures_margin(s, F.lit(50.0), F.lit(2.0), 0.10), 6
+        ).alias("fut_margin"),
+    )

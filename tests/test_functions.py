@@ -216,3 +216,57 @@ def test_iqr_approx_scale_path(spark):
     approx = remove_outliers_iqr(sdf, "price", k=1.5, approx=True).count()
     # sketch bounds shift the fence by <= rank error; counts nearly agree
     assert abs(exact - approx) <= 20000 * 0.005
+
+
+def test_option_strategy_payoff_identities(spark):
+    """Ports /root/reference/tests/test_derivatives.py:148-233: covered-call
+    stock value, straddle cost = call + put, condor max_profit = net_credit,
+    plus a scipy-free sanity band on the premiums."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import derivatives as deriv
+
+    df = spark.range(1).select(F.lit(100.0).alias("s"))
+    s = F.col("s")
+    t, sig, r = F.lit(0.25), F.lit(0.20), F.lit(0.02)
+
+    cc = deriv.covered_call(s, F.lit(105.0), t, sig, r, shares=100.0)
+    pp = deriv.protective_put(s, F.lit(95.0), t, sig, r, shares=100.0)
+    st = deriv.straddle(s, F.lit(100.0), t, sig, r, contracts=1.0)
+    ic = deriv.iron_condor(s, F.lit(90.0), F.lit(95.0), F.lit(105.0),
+                           F.lit(110.0), t, sig, r, contracts=1.0)
+    row = df.select(
+        *[c.alias("cc_" + n) for n, c in cc.items()],
+        *[c.alias("pp_" + n) for n, c in pp.items()],
+        *[c.alias("st_" + n) for n, c in st.items()],
+        *[c.alias("ic_" + n) for n, c in ic.items()],
+        deriv.futures_margin(F.lit(4500.0), F.lit(50.0), F.lit(2.0), 0.10)
+        .alias("margin"),
+        deriv.futures_margin(F.lit(4500.0), F.lit(50.0), F.lit(-2.0), 0.10)
+        .alias("margin_short"),
+    ).collect()[0]
+
+    assert row.cc_stock_value == 10000.0
+    assert row.cc_call_premium_received > 0
+    # max_profit = (K - S)*n + C*n ; max_loss = S*n - C*n
+    assert row.cc_max_profit == pytest.approx(
+        500.0 + row.cc_call_premium_received)
+    assert row.cc_breakeven == pytest.approx(
+        100.0 - row.cc_call_premium_received / 100.0)
+
+    assert row.pp_put_premium_paid > 0
+    assert row.pp_max_loss == pytest.approx(500.0 + row.pp_put_premium_paid)
+    assert row.pp_max_profit == float("inf")
+
+    assert row.st_total_cost == pytest.approx(
+        row.st_call_premium + row.st_put_premium)
+    assert row.st_max_loss == row.st_total_cost
+    assert row.st_upper_breakeven > 100.0 > row.st_lower_breakeven
+
+    assert row.ic_max_profit == row.ic_net_credit
+    assert row.ic_net_credit > 0          # short condor collects a credit
+    assert row.ic_max_loss > 0
+    assert 90.0 < row.ic_lower_breakeven < 95.0
+    assert 105.0 < row.ic_upper_breakeven < 110.0
+
+    # margin = 4500 * 50 * |±2| * 0.10 (test_derivatives.py:246-263)
+    assert row.margin == 45000.0
+    assert row.margin_short == 45000.0
