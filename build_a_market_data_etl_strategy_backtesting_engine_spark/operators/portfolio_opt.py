@@ -163,21 +163,95 @@ def portfolio_stats(
     }
 
 
+def _eq_qp_on_support(cov: np.ndarray, E: np.ndarray, d: np.ndarray,
+                      free: np.ndarray):
+    """Solve min ½wᵀΣw s.t. Ew=d with the non-free coordinates pinned at 0,
+    via the KKT system on the free block. Returns (w, ν)."""
+    k = cov.shape[0]
+    f = np.where(free)[0]
+    m, ne = len(f), E.shape[0]
+    K = np.zeros((m + ne, m + ne))
+    K[:m, :m] = cov[np.ix_(f, f)]
+    K[:m, m:] = E[:, f].T
+    K[m:, :m] = E[:, f]
+    rhs = np.zeros(m + ne)
+    rhs[m:] = d
+    sol = np.linalg.solve(K + 1e-14 * np.eye(m + ne), rhs)
+    w = np.zeros(k)
+    w[f] = sol[:m]
+    return w, sol[m:]
+
+
+def min_volatility_for_target(
+    mu: np.ndarray, cov: np.ndarray, target: float
+) -> np.ndarray:
+    """Long-only minimum-volatility portfolio at a target return — the exact
+    constrained problem the reference solves per frontier point with SLSQP
+    (portfolio_optimization.py:203-228): min wᵀΣw s.t. Σw=1, μᵀw=target,
+    0 <= w (<= 1 is implied by the simplex).
+
+    Exact support enumeration: the optimum of this convex QP is the
+    equality-constrained KKT solution on SOME support, so solving the tiny
+    KKT system for every support and keeping the feasible minimum-variance
+    candidate is globally exact — no scipy, no iteration-cycling risk.
+    Driver cost O(2^k · k³) on the k collected assets (k is small by
+    construction here — the k×k stats already crossed the driver boundary);
+    fine through k ≈ 15."""
+    from itertools import combinations
+
+    k = len(mu)
+    E = np.vstack([np.ones(k), mu])
+    d = np.array([1.0, float(target)])
+    best_w, best_var = None, np.inf
+    # singleton supports: w_i = 1 feasible only when mu_i == target
+    for i in range(k):
+        if abs(mu[i] - target) < 1e-9 and cov[i, i] < best_var:
+            w = np.zeros(k)
+            w[i] = 1.0
+            best_w, best_var = w, cov[i, i]
+    for m in range(2, k + 1):
+        for support in combinations(range(k), m):
+            free = np.zeros(k, dtype=bool)
+            free[list(support)] = True
+            try:
+                w, _ = _eq_qp_on_support(cov, E, d, free)
+            except np.linalg.LinAlgError:
+                continue
+            if np.abs(E @ w - d).max() > 1e-8:
+                continue  # near-singular KKT system, reject the solve
+            if w[free].min() < -1e-10:
+                continue
+            var = float(w @ cov @ w)
+            if var < best_var - 1e-15:
+                best_w, best_var = np.clip(w, 0.0, None), var
+    if best_w is None:  # target outside attainable range: nearest vertex
+        i = int(np.argmin(np.abs(mu - target)))
+        best_w = np.zeros(k)
+        best_w[i] = 1.0
+    return best_w
+
+
 def efficient_frontier(
-    mu: np.ndarray, cov: np.ndarray, n_points: int = 50
+    mu: np.ndarray, cov: np.ndarray, n_points: int = 50,
+    risk_free: float = 0.02,
 ) -> list[dict]:
-    """Frontier sweep (portfolio_optimization.py:182-235): blend from the
-    GMV portfolio to the max-return vertex; the two-fund blend traces the
-    long-only frontier between them."""
+    """Frontier sweep with SLSQP-parity semantics
+    (portfolio_optimization.py:182-235): targets linspace from the
+    min-volatility portfolio's return to max(μ); each point is the
+    constrained min-vol QP solved exactly by the active-set method."""
     w_min = min_volatility_weights(cov)
-    w_max = np.zeros(len(mu))
-    w_max[int(np.argmax(mu))] = 1.0
+    lo = float(w_min @ mu)
+    hi = float(mu.max())
     out = []
-    for t in np.linspace(0.0, 1.0, n_points):
-        w = _project_long_only((1 - t) * w_min + t * w_max)
-        s = portfolio_stats(w, mu, cov)
-        s["weights"] = w.tolist()
-        out.append(s)
+    for target in np.linspace(lo, hi, n_points):
+        w = min_volatility_for_target(mu, cov, target)
+        vol = float(np.sqrt(w @ cov @ w))
+        out.append({
+            "ret": float(target),
+            "vol": vol,
+            "sharpe": (float(target) - risk_free) / vol if vol > 0 else 0.0,
+            "weights": w.tolist(),
+        })
     return out
 
 

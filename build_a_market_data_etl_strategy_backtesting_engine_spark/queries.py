@@ -1547,6 +1547,53 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('image', 20, 5120, 11.623664, 20),
         ('video', 20, 5120, 10.770136, 20),
      ]),
+    'q54': (['point', 'target_ret', 'vol', 'sharpe', 'max_weight'],
+     {
+      1000: [
+        (0, 0.405929, 0.428772, 0.90008, 0.261243),
+        (1, 0.412232, 0.429236, 0.913791, 0.268746),
+        (2, 0.418536, 0.430627, 0.925479, 0.276249),
+        (3, 0.42484, 0.432934, 0.935107, 0.283752),
+        (4, 0.431143, 0.436144, 0.942678, 0.291255),
+        (5, 0.437447, 0.440237, 0.948233, 0.298759),
+        (6, 0.443751, 0.445188, 0.951846, 0.306262),
+        (7, 0.450054, 0.450969, 0.953622, 0.313765),
+        (8, 0.456358, 0.457549, 0.953685, 0.321268),
+        (9, 0.462661, 0.464894, 0.952177, 0.328771),
+        (10, 0.468965, 0.472968, 0.949251, 0.336274),
+        (11, 0.475269, 0.481734, 0.945062, 0.343778),
+        (12, 0.481572, 0.491156, 0.939768, 0.351281),
+        (13, 0.487876, 0.502179, 0.931692, 0.353117),
+        (14, 0.49418, 0.525576, 0.90221, 0.421903),
+        (15, 0.500483, 0.563482, 0.852703, 0.504301),
+        (16, 0.506787, 0.636732, 0.764509, 0.629764),
+        (17, 0.513091, 0.744316, 0.662475, 0.755227),
+        (18, 0.519394, 0.873961, 0.571415, 0.879275),
+        (19, 0.525698, 1.021634, 0.494989, 1.0),
+      ],
+      10000: [
+        (0, 0.506847, 0.443063, 1.098821, 0.267096),
+        (1, 0.514415, 0.444564, 1.112135, 0.236555),
+        (2, 0.521983, 0.449037, 1.117911, 0.218737),
+        (3, 0.529551, 0.456393, 1.116473, 0.239453),
+        (4, 0.537119, 0.466498, 1.108512, 0.260169),
+        (5, 0.544687, 0.479177, 1.094975, 0.280884),
+        (6, 0.552255, 0.494232, 1.076933, 0.3016),
+        (7, 0.559823, 0.511453, 1.055469, 0.322315),
+        (8, 0.567391, 0.530629, 1.031588, 0.343031),
+        (9, 0.574959, 0.551795, 1.005733, 0.37173),
+        (10, 0.582527, 0.579573, 0.970588, 0.423816),
+        (11, 0.590095, 0.614898, 0.927137, 0.475901),
+        (12, 0.597663, 0.656554, 0.87984, 0.527986),
+        (13, 0.60523, 0.703416, 0.831983, 0.580071),
+        (14, 0.612798, 0.754516, 0.785667, 0.632156),
+        (15, 0.620366, 0.810348, 0.740875, 0.691743),
+        (16, 0.627934, 0.871775, 0.697352, 0.754253),
+        (17, 0.635502, 0.943012, 0.652698, 0.836169),
+        (18, 0.64307, 1.025362, 0.607659, 0.918084),
+        (19, 0.650638, 1.116368, 0.564902, 1.0),
+      ],
+     }),
 }
 
 
@@ -2285,3 +2332,30 @@ def q53(spark, sf_dir):
             deriv.futures_margin(s, F.lit(50.0), F.lit(2.0), 0.10), 6
         ).alias("fut_margin"),
     )
+
+
+@_register("q54_efficient_frontier", _golden_sql("q54"))
+def q54(spark, sf_dir):
+    """SLSQP-parity efficient frontier (portfolio_optimization.py:182-235):
+    Spark computes returns/covariance, the driver solves each frontier
+    point's constrained min-vol QP exactly by support enumeration."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    r = signals.simple_returns(px, price_col="close", out_col="ret").select(
+        "symbol", "ts", "ret")
+    import numpy as np
+
+    symbols, cov = po_ops.covariance_matrix(r)
+    mu_rows = po_ops.expected_returns(r).collect()
+    mu = np.array([{row["symbol"]: row["exp_ret"] for row in mu_rows}[s]
+                   for s in symbols])
+    pts = po_ops.efficient_frontier(mu, cov, n_points=20)
+    rows = [
+        (i, round(p["ret"], 6), round(p["vol"], 6), round(p["sharpe"], 6),
+         round(max(p["weights"]), 6))
+        for i, p in enumerate(pts)
+    ]
+    return spark.createDataFrame(
+        rows, "point int, target_ret double, vol double, sharpe double, "
+              "max_weight double")

@@ -182,6 +182,54 @@ def test_efficient_frontier_monotone_risk(spark, returns_sdf):
     pts = portfolio_opt.efficient_frontier(mu, cov, n_points=20)
     vols = [p["vol"] for p in pts]
     assert vols[0] == min(vols)  # starts at the GMV portfolio
+    # above the GMV return the frontier is non-decreasing in risk
+    assert all(b >= a - 1e-10 for a, b in zip(vols, vols[1:]))
+
+
+def test_frontier_slsqp_parity_kkt(spark, returns_sdf):
+    """Each frontier point must be the exact optimum of the constrained QP
+    the reference solves per point with SLSQP (portfolio_optimization.py:
+    203-228): min wᵀΣw s.t. Σw=1, μᵀw=target, w in [0,1]. For a convex QP
+    the KKT conditions are necessary AND sufficient, so verifying them is a
+    solver-independent parity proof; interior points are additionally
+    checked against the closed-form KKT solution to 1e-8."""
+    symbols, cov = portfolio_opt.covariance_matrix(returns_sdf)
+    mu_rows = portfolio_opt.expected_returns(returns_sdf).collect()
+    mu = np.array([{r["symbol"]: r["exp_ret"] for r in mu_rows}[s]
+                   for s in symbols])
+    k = len(mu)
+    E = np.vstack([np.ones(k), mu])
+    pts = portfolio_opt.efficient_frontier(mu, cov, n_points=25)
+    n_interior = 0
+    for p in pts:
+        w = np.array(p["weights"])
+        target = p["ret"]
+        # feasibility
+        assert abs(w.sum() - 1.0) < 1e-8
+        assert abs(w @ mu - target) < 1e-8
+        assert (w >= -1e-10).all() and (w <= 1 + 1e-10).all()
+        # KKT stationarity: Σw = Eᵀν + λ, λ_i = 0 where w_i > 0, λ >= 0
+        free = w > 1e-10
+        if free.sum() >= 2:
+            nu, *_ = np.linalg.lstsq(E[:, free].T, (cov @ w)[free],
+                                     rcond=None)
+            g = cov @ w - E.T @ nu
+            assert np.abs(g[free]).max() < 1e-8      # stationary on support
+            if (~free).any():
+                assert g[~free].min() > -1e-8        # multipliers >= 0
+        else:
+            # vertex: the feasible set is a single point (target == mu_i is
+            # the extreme attainable return) — feasibility alone is optimality
+            i = int(np.argmax(free))
+            assert abs(mu[i] - target) < 1e-8
+            assert abs(mu[i] - mu.max()) < 1e-8
+        if free.all():
+            n_interior += 1
+            d = np.array([1.0, target])
+            w_cf = np.linalg.solve(cov, E.T) @ np.linalg.solve(
+                E @ np.linalg.solve(cov, E.T), d)
+            np.testing.assert_allclose(w, w_cf, atol=1e-8)
+    assert n_interior >= 1  # the closed-form branch actually ran
 
 
 # ------------------------------------------------------------ dedup / text
