@@ -200,6 +200,77 @@ def fixed_risk_size(
                   ).otherwise(F.lit(0.0))
 
 
+def position_stops(
+    prices: DataFrame,
+    initial_stop_pct: float = 0.05,
+    trailing_stop_pct: float = 0.03,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    position_col: str = "position_id",
+    side_col: str | None = "side",
+    entry_col: str | None = None,
+) -> DataFrame:
+    """Per-position stop-loss state machine (risk_monitor.py:415-538,
+    StopLossManager), fully vectorized — the sequential set_initial_stop /
+    update_trailing_stop / check_stop_hit loop collapses to window algebra
+    over (symbol, position_id):
+
+    - initial stop = entry * (1 - pct) long / (1 + pct) short
+      (set_initial_stop, risk_monitor.py:434-457)
+    - the trailing ratchet only arms once price beats the entry extreme
+      (update_trailing_stop fires on current > highest only,
+      risk_monitor.py:459-500), and never retreats — which is exactly
+      running_max_since_entry * (1 - trail_pct) for longs (running min,
+      1 + trail_pct for shorts)
+    - effective stop = greatest(initial, armed trailing) long /
+      least(...) short; hit when price crosses it (check_stop_hit,
+      risk_monitor.py:502-528)
+
+    ``side_col`` values are 'long'/'short' (None = all long). ``entry_col``
+    names an explicit entry-price column; default is the position's first
+    price. Emits ``entry_price, stop_price, stop_hit, first_hit_ts,
+    active`` (active = no stop hit at or before this row, i.e. the position
+    would still be held). One window sort per (symbol, position) partition —
+    scales by partition count, no Python in the path."""
+    w = Window.partitionBy(symbol_col, position_col).orderBy(ts_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    px = F.col(price_col)
+    entry = (F.col(entry_col) if entry_col
+             else F.first(price_col).over(w_all))
+    is_long = (F.lit(True) if side_col is None
+               else (F.col(side_col) == F.lit("long")))
+    ip, tp = float(initial_stop_pct), float(trailing_stop_pct)
+    init_stop = F.when(is_long, entry * (1.0 - ip)).otherwise(
+        entry * (1.0 + ip))
+    runmax = F.max(price_col).over(w_all)
+    runmin = F.min(price_col).over(w_all)
+    trail_long = F.when(runmax > entry, runmax * (1.0 - tp))
+    trail_short = F.when(runmin < entry, runmin * (1.0 + tp))
+    stop = F.when(is_long, F.greatest(init_stop, trail_long)).otherwise(
+        F.least(init_stop, trail_short))
+    out = (
+        prices.withColumn("entry_price", entry)
+        .withColumn("stop_price", stop)
+        .withColumn(
+            "stop_hit",
+            F.when(is_long, px <= F.col("stop_price"))
+            .otherwise(px >= F.col("stop_price")),
+        )
+    )
+    first_hit = F.min(F.when(F.col("stop_hit"), F.col(ts_col))).over(w_full)
+    return (
+        out.withColumn("first_hit_ts", first_hit)
+        .withColumn(
+            "active",
+            F.col("first_hit_ts").isNull()
+            | (F.col(ts_col) < F.col("first_hit_ts")),
+        )
+    )
+
+
 def trailing_stops(
     prices: DataFrame,
     trail_pct: float = 0.05,
@@ -207,10 +278,11 @@ def trailing_stops(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Vectorized long-side trailing-stop ratchet (risk_monitor.py:415-538):
+    """Vectorized long-side, path-global trailing-stop ratchet:
     stop_t = running_max(price) * (1 - trail_pct); hit when price <= stop.
-    The ratchet's monotonicity is exactly the running max — no sequential
-    state machine needed in batch."""
+    This is the simple price-path ratchet only — for the reference's full
+    per-position machine (entry-based initial stop + per-position trailing,
+    risk_monitor.py:415-538) use :func:`position_stops`."""
     w_all = (
         Window.partitionBy(symbol_col).orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -2359,3 +2359,78 @@ def q54(spark, sf_dir):
     return spark.createDataFrame(
         rows, "point int, target_ret double, vol double, sharpe double, "
               "max_weight double")
+
+
+# ================================================= per-position stop machine
+
+@_register(
+    "q55_position_stops",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    p AS (SELECT symbol, bts, close,
+                 row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+          FROM bars),
+    q AS (SELECT *, CAST(floor((rn - 1) / 100) AS BIGINT) AS position_id
+          FROM p),
+    q2 AS (SELECT *, CASE WHEN position_id % 2 = 0 THEN 'long'
+                          ELSE 'short' END AS side FROM q),
+    s AS (SELECT *,
+                 first_value(close) OVER w AS entry,
+                 max(close) OVER w AS runmax,
+                 min(close) OVER w AS runmin
+          FROM q2 WINDOW w AS (PARTITION BY symbol, position_id
+            ORDER BY bts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT *,
+                 CASE WHEN side = 'long'
+                      THEN greatest(entry * 0.95e0,
+                             coalesce(CASE WHEN runmax > entry
+                                           THEN runmax * 0.97e0 END,
+                                      entry * 0.95e0))
+                      ELSE least(entry * 1.05e0,
+                             coalesce(CASE WHEN runmin < entry
+                                           THEN runmin * 1.03e0 END,
+                                      entry * 1.05e0)) END AS stop_price
+          FROM s),
+    u AS (SELECT *, CASE WHEN side = 'long' THEN close <= stop_price
+                         ELSE close >= stop_price END AS stop_hit FROM t),
+    v AS (SELECT *, min(CASE WHEN stop_hit THEN bts END)
+                    OVER (PARTITION BY symbol, position_id) AS first_hit
+          FROM u)
+    SELECT symbol, position_id, count(*) AS n_bars,
+           round(min(stop_price), 6) AS min_stop,
+           round(max(stop_price), 6) AS max_stop,
+           sum(CASE WHEN stop_hit THEN 1 ELSE 0 END) AS n_hits,
+           epoch_us(min(first_hit)) AS first_hit_us,
+           sum(CASE WHEN first_hit IS NULL OR bts < first_hit
+                    THEN 1 ELSE 0 END) AS n_active
+    FROM v GROUP BY symbol, position_id
+    """,
+)
+def q55(spark, sf_dir):
+    """Per-position stop-loss machine (risk_monitor.py:415-538) on 1H bars:
+    sequential 100-bar positions with alternating long/short sides, entry
+    stop + armed trailing ratchet, per-position hit bookkeeping — all
+    window algebra, one sort shuffle."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    b = (
+        b.withColumn("rn", F.row_number().over(w))
+        .withColumn("position_id", F.floor((F.col("rn") - 1) / 100))
+        .withColumn(
+            "side",
+            F.when(F.col("position_id") % 2 == 0, "long").otherwise("short"),
+        )
+    )
+    st = risk_ops.position_stops(
+        b, initial_stop_pct=0.05, trailing_stop_pct=0.03, price_col="close"
+    )
+    return st.groupBy("symbol", "position_id").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.min("stop_price"), 6).alias("min_stop"),
+        F.round(F.max("stop_price"), 6).alias("max_stop"),
+        F.sum(F.col("stop_hit").cast("int")).alias("n_hits"),
+        F.unix_micros(F.min("first_hit_ts")).alias("first_hit_us"),
+        F.sum(F.col("active").cast("int")).alias("n_active"),
+    )

@@ -721,3 +721,82 @@ def test_range_join_boundary_and_degenerate_intervals(spark):
            .toPandas())
     assert sorted(got.v) == [0]            # 01:00:00 excluded (end-exclusive)
     assert "empty" not in set(got.label)   # degenerate interval matches none
+
+
+def test_position_stops_match_sequential_manager(spark):
+    """Parity vs a sequential port of the reference StopLossManager
+    (risk_monitor.py:415-538; mirrors test_risk_monitor.py:263-288 plus
+    entry-stop and short-side cases): per row, set_initial_stop at entry,
+    update_trailing_stop, check_stop_hit — the vectorized window algebra
+    must reproduce the state machine exactly."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import risk as risk_ops
+
+    ip, tp = 0.05, 0.03
+    paths = {
+        # long: rises (ratchet arms, moves up), then crashes through stop
+        ("A", 0, "long"): [100, 104, 110, 108, 112, 107, 106.5, 120],
+        # long: never beats entry -> initial stop only; grazes it
+        ("A", 1, "long"): [100, 99, 96, 95.0, 97],
+        # short: falls (ratchet arms, moves down), then rips through stop
+        ("B", 0, "short"): [200, 195, 185, 188, 180, 187, 200],
+        # short: never below entry -> initial stop only
+        ("B", 1, "short"): [200, 204, 209, 210.0, 206],
+    }
+    rows = []
+    for (sym, pid, side), prices in paths.items():
+        for i, p in enumerate(prices):
+            rows.append((sym, pid, side,
+                         pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+                         float(p)))
+    pdf = pd.DataFrame(rows, columns=["symbol", "position_id", "side",
+                                      "ts", "close"])
+    got = (
+        risk_ops.position_stops(
+            spark.createDataFrame(pdf).repartition(4),
+            initial_stop_pct=ip, trailing_stop_pct=tp)
+        .toPandas()
+        .sort_values(["symbol", "position_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    # sequential reference port
+    exp_stop, exp_hit = [], []
+    for (sym, pid, side), prices in paths.items():
+        entry = prices[0]
+        stop = entry * (1 - ip) if side == "long" else entry * (1 + ip)
+        extreme = entry
+        for p in prices:
+            if side == "long":
+                if p > extreme:
+                    extreme = p
+                    new = p * (1 - tp)
+                    if new > stop:
+                        stop = new
+                hit = p <= stop
+            else:
+                if p < extreme:
+                    extreme = p
+                    new = p * (1 + tp)
+                    if new < stop:
+                        stop = new
+                hit = p >= stop
+            exp_stop.append(stop)
+            exp_hit.append(hit)
+
+    exp = pd.DataFrame(rows, columns=["symbol", "position_id", "side",
+                                      "ts", "close"])
+    exp["stop_price"] = exp_stop
+    exp["stop_hit"] = exp_hit
+    exp = (exp.sort_values(["symbol", "position_id", "ts"])
+           .reset_index(drop=True))
+    np.testing.assert_allclose(got.stop_price, exp.stop_price, rtol=1e-12)
+    assert (got.stop_hit == exp.stop_hit).all()
+
+    # first_hit / active bookkeeping: A/0's stop ratchets to 112*0.97 =
+    # 108.64, first pierced by the 107 print (index 5); inactive from there
+    a0 = got[(got.symbol == "A") & (got.position_id == 0)]
+    assert a0.first_hit_ts.notna().all()
+    assert a0.active.tolist() == [True] * 5 + [False] * 3
+    # A/1 grazes exactly 95.0 == initial stop -> hit (<=)
+    a1 = got[(got.symbol == "A") & (got.position_id == 1)]
+    assert a1.stop_hit.tolist() == [False, False, False, True, False]
