@@ -209,6 +209,24 @@ def fill_missing_timestamps(
     return out
 
 
+# Above this estimated input size the composed pipeline switches the IQR
+# quartiles to the one-pass approx_percentile sketch: an exact global
+# percentile is a full-column sort-aggregate — fine for oracle-sized data,
+# a scale-killer at 100 TB (the fence only needs rank accuracy ~1e-4).
+AUTO_APPROX_BYTES = 1 << 30
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's lazy size estimate for the plan's output (file sizes /
+    range bounds — no job runs). None when the private API is unavailable
+    (e.g. Spark Connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return None
+
+
 def clean_pipeline(
     df: DataFrame,
     price_col: str = "price",
@@ -218,14 +236,25 @@ def clean_pipeline(
     outlier_method: str | None = "iqr",
     outlier_k: float = 3.0,
     order_col: str = "ts",
+    approx: bool | None = None,
 ) -> DataFrame:
     """Composed clean in the reference's observable order
-    (cleaner.py:230-266): dedup -> validate -> outlier filter."""
+    (cleaner.py:230-266): dedup -> validate -> outlier filter.
+
+    ``approx`` controls the IQR quartile path: True = one-pass
+    approx_percentile sketch (the 100 TB path), False = exact interpolated
+    percentile (oracle parity), None (default) = auto — exact below
+    ``AUTO_APPROX_BYTES`` of Catalyst-estimated input, sketch above, so the
+    default composition is scale-safe without a config flag."""
     out = deduplicate(df, subset=dedup_subset, keep="first", order_col=order_col)
     if price_col in out.columns:
         out, _ = validate_prices(out, price_col, min_price, max_price)
         if outlier_method == "iqr":
-            out = remove_outliers_iqr(out, price_col, k=outlier_k)
+            if approx is None:
+                est = _estimated_plan_bytes(df)
+                approx = est is not None and est > AUTO_APPROX_BYTES
+            out = remove_outliers_iqr(out, price_col, k=outlier_k,
+                                      approx=approx)
         elif outlier_method == "zscore":
             out = remove_outliers_zscore(out, price_col, k=outlier_k)
         elif outlier_method is not None:

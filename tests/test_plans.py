@@ -91,3 +91,29 @@ def test_metrics_suite_bounded_shuffles(spark):
     # bars agg + window partition + metrics agg + streaks join pipeline:
     # structural budget, catches accidental extra exchanges
     assert plans.count_shuffles(df) <= 8
+
+
+def test_clean_pipeline_auto_selects_sketch_at_scale(spark):
+    """The default clean composition must not plan an exact global
+    sort-aggregate percentile on large inputs: above AUTO_APPROX_BYTES the
+    IQR quartiles switch to the one-pass approx_percentile sketch; small
+    (oracle-sized) inputs keep the exact interpolated percentile."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import cleaner
+
+    big = (
+        spark.range(500_000_000)  # Catalyst size estimate ~4 GB, no job
+        .select(
+            F.col("id").alias("seq"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            (F.col("id") % 1000).cast("double").alias("price"),
+        )
+    )
+    plan_big = plans.explain_str(
+        cleaner.clean_pipeline(big, dedup_subset=["seq"]), "simple")
+    assert "approx_percentile" in plan_big
+
+    small = big.limit(100)
+    plan_small = plans.explain_str(
+        cleaner.clean_pipeline(small, dedup_subset=["seq"]), "simple")
+    assert "approx_percentile" not in plan_small
+    assert "percentile" in plan_small
