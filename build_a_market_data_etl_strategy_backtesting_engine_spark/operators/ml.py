@@ -162,3 +162,53 @@ def build_sequences(
     seq = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(frame)
     gated = F.when(F.row_number().over(w) >= seq_len, seq)
     return df.withColumn(out_col, gated)
+
+
+def rl_strategy_signals(
+    bars: DataFrame,
+    agent: Callable[["np.ndarray"], int] | object,
+    state_size: int = 10,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ReinforcementLearningStrategy twin (ml_strategy.py:252-309): the
+    state at row i is the previous ``state_size`` returns (zeros before
+    warm-up), the signal is ``agent.predict(state)`` — an arbitrary
+    user-supplied policy, so this is an Arrow-batched ``applyInPandas``
+    boundary by necessity (SCALING.md boundary policy: user Python code,
+    never a per-row Python UDF). Groups run parallel per symbol; state
+    windows are built vectorized with a strided view, and the agent is
+    invoked per row exactly like the reference's loop (agents may be
+    stateful across consecutive calls).
+
+    ``agent``: object with ``predict(state: np.ndarray shape (1, n)) ->
+    action`` (or a bare callable). Rows inside the warm-up emit signal 0
+    (reference: loop starts at index state_size).
+
+    Returns bars + ``signal`` (int)."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    predict = agent.predict if hasattr(agent, "predict") else agent
+    n_state = int(state_size)
+    # StructType.add mutates in place — never call it on a DataFrame's
+    # cached schema object; build a fresh StructType.
+    out_schema = T.StructType(
+        list(bars.schema.fields)
+        + [T.StructField("signal", T.IntegerType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        px = pdf[price_col].astype("float64")
+        rets = px.pct_change().fillna(0.0).to_numpy()
+        sig = np.zeros(len(pdf), dtype="int32")
+        for i in range(n_state, len(pdf)):
+            state = rets[i - n_state:i]
+            sig[i] = int(predict(state.reshape(1, -1)))
+        pdf["signal"] = sig
+        return pdf[cols]
+
+    return bars.groupBy(symbol_col).applyInPandas(_run, out_schema)

@@ -800,3 +800,43 @@ def test_position_stops_match_sequential_manager(spark):
     # A/1 grazes exactly 95.0 == initial stop -> hit (<=)
     a1 = got[(got.symbol == "A") & (got.position_id == 1)]
     assert a1.stop_hit.tolist() == [False, False, False, True, False]
+
+
+def test_rl_strategy_signals_match_sequential(spark):
+    """rl_strategy_signals must reproduce the reference loop
+    (ml_strategy.py:293-309): zeros through warm-up, then
+    agent.predict(last state_size returns) per row."""
+    rng = np.random.default_rng(11)
+    n = 60
+    pdf = pd.DataFrame({
+        "symbol": ["A"] * n + ["B"] * n,
+        "ts": list(pd.date_range("2024-01-01", periods=n, freq="1h")) * 2,
+        "close": np.concatenate([
+            100 * np.exp(np.cumsum(rng.normal(0, 0.01, n))),
+            50 * np.exp(np.cumsum(rng.normal(0, 0.02, n))),
+        ]),
+    })
+
+    class MeanSignAgent:
+        def predict(self, state):
+            m = state.mean()
+            return 1 if m > 0 else (-1 if m < 0 else 0)
+
+    got = (
+        ml.rl_strategy_signals(
+            spark.createDataFrame(pdf).repartition(4), MeanSignAgent(),
+            state_size=10)
+        .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True)
+    )
+    exp = []
+    agent = MeanSignAgent()
+    for sym, g in pdf.groupby("symbol", sort=True):
+        g = g.sort_values("ts")
+        rets = g.close.pct_change().fillna(0.0).to_numpy()
+        for i in range(len(g)):
+            if i < 10:
+                exp.append(0)
+            else:
+                exp.append(agent.predict(rets[i - 10:i].reshape(1, -1)))
+    assert got.signal.tolist() == exp
+    assert (got.signal.iloc[:10] == 0).all()
