@@ -87,6 +87,63 @@ def ingest_stream(
     )
 
 
+def idempotent_parquet_sink(sink_path: str,
+                            partition_by: list[str] | None = None):
+    """Exactly-once foreachBatch writer without a table format: each
+    micro-batch commits transactionally under ``sink/batch_id=<id>/`` via
+    stage-dir -> atomic rename -> ``_COMMITTED`` marker. A replayed epoch
+    (checkpoint recovery re-delivers the last batch with the SAME batch_id)
+    sees its marker and no-ops, so at-least-once delivery + idempotent
+    commit = exactly-once output — the same ledger idea a transaction log
+    gives you, keyed by Spark's epoch id. Readers just
+    ``spark.read.parquet(sink)``: batch_id becomes a partition column and
+    underscore-prefixed markers/stages are ignored by the reader.
+
+    Single-filesystem rename semantics (POSIX/HDFS); on object stores use a
+    real table format instead."""
+    import os
+    import shutil
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(sink_path, f"batch_id={batch_id}")
+        marker = os.path.join(final, "_COMMITTED")
+        if os.path.exists(marker):
+            return  # replayed epoch: already durable
+        staging = os.path.join(sink_path, f"_staging.batch_id={batch_id}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # leftover from a crashed attempt
+        w = batch_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)  # crashed after rename, before marker
+        os.rename(staging, final)
+        open(marker, "w").close()
+
+    return _write
+
+
+def ingest_stream_exactly_once(
+    raw: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    partition_by: list[str] | None = None,
+):
+    """``ingest_stream`` with the idempotent batch-committed sink: safe
+    against micro-batch replay after checkpoint recovery (the plain append
+    sink would duplicate the replayed epoch's rows)."""
+    ticks = normalize_trades(raw)
+    return (
+        ticks.writeStream
+        .foreachBatch(idempotent_parquet_sink(sink_path, partition_by))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def ingest_to_memory(
     raw: DataFrame, query_name: str = "ticks_mem", once: bool = True
 ):
