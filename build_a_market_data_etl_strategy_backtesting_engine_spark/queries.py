@@ -2434,3 +2434,392 @@ def q55(spark, sf_dir):
         F.unix_micros(F.min("first_hit_ts")).alias("first_hit_us"),
         F.sum(F.col("active").cast("int")).alias("n_active"),
     )
+
+
+# ===================================== round-2 coverage widening (q56-q63)
+# Upgrades for operators that were pytest-only in VERDICT r1: expected
+# returns, the ML feature battery, buy-and-hold kernel, CSV/parquet sinks,
+# the model-predict bridge, the pandas-strategy hook, and MACD.
+
+import os as _os  # noqa: E402
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    ml as ml_ops,
+)
+from build_a_market_data_etl_strategy_backtesting_engine_spark.sources import (  # noqa: E402
+    io as io_mod,
+)
+
+_BINV60 = 1.0 / (1.0 - 2.0 / 61.0)   # EWM span=60 adjust=True base
+_BINV12 = 1.0 / (1.0 - 2.0 / 13.0)
+_BINV26 = 1.0 / (1.0 - 2.0 / 27.0)
+_BINV9 = 1.0 / (1.0 - 2.0 / 10.0)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Per-SF scratch dir for sink round-trip queries (gitignored)."""
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    d = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      _os.pardir, ".scratch", tag)
+    return _os.path.abspath(_os.path.join(d, name))
+
+
+@_register(
+    "q56_expected_returns",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p FROM bars),
+    r AS (SELECT symbol, bts,
+                 coalesce(p / lag(p) OVER w - 1.0e0, 0.0e0) AS ret,
+                 row_number() OVER w - 1 AS i
+          FROM px WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    e AS (SELECT symbol, bts, ret,
+                 sum(ret * power({_dlit(_BINV60)}, i)) OVER wc
+                   / sum(power({_dlit(_BINV60)}, i)) OVER wc AS ewm
+          FROM r WINDOW wc AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT symbol,
+           round(avg(ret) * 252.0e0, 9) AS exp_ret_hist,
+           round(arg_max(ewm, bts) * 252.0e0, 9) AS exp_ret_ewm
+    FROM e GROUP BY symbol
+    """,
+)
+def q56(spark, sf_dir):
+    """Annualized expected returns, historical and EWM(60)
+    (portfolio_optimization.py:36-42): per-symbol mean*252 and last
+    EWM mean*252. The EWM path runs the pandas-exact applyInPandas kernel;
+    the oracle is the closed-form adjust=True ratio."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    r = signals.simple_returns(px, price_col="close", out_col="ret")
+    hist = po_ops.expected_returns(r, method="historical", returns_col="ret")
+    ewm = po_ops.expected_returns(r, method="ewm", span=60, returns_col="ret")
+    return (
+        hist.withColumnRenamed("exp_ret", "h")
+        .join(ewm.withColumnRenamed("exp_ret", "e"), "symbol")
+        .select(
+            "symbol",
+            F.round("h", 9).alias("exp_ret_hist"),
+            F.round("e", 9).alias("exp_ret_ewm"),
+        )
+    )
+
+
+@_register(
+    "q57_ml_features",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    d AS (SELECT symbol, bts, close, volume,
+                 row_number() OVER w AS rn,
+                 close - lag(close) OVER w AS delta,
+                 CASE WHEN row_number() OVER w >= 2
+                      THEN close / lag(close) OVER w - 1.0e0 END AS ret_1,
+                 CASE WHEN row_number() OVER w >= 6
+                      THEN close / lag(close, 5) OVER w - 1.0e0 END AS ret_5
+          FROM bars WHERE symbol = 'click'
+          WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    g AS (SELECT *,
+                 CASE WHEN delta > 0.0e0 THEN delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS gain,
+                 CASE WHEN delta < 0.0e0 THEN -delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS loss
+          FROM d),
+    m AS (SELECT *,
+                 CASE WHEN rn >= 10 THEN close / avg(close) OVER w10 END
+                   AS sma_ratio_10,
+                 CASE WHEN rn >= 20 THEN close / avg(close) OVER w20 END
+                   AS sma_ratio_20,
+                 CASE WHEN rn >= 20 THEN avg(close) OVER w20 END AS mid,
+                 CASE WHEN rn >= 20 THEN stddev_samp(close) OVER w20 END AS sd,
+                 CASE WHEN rn >= 21 THEN stddev_samp(ret_1) OVER w20 END
+                   AS vol20,
+                 CASE WHEN rn >= 20
+                      THEN volume / avg(volume) OVER w20 END AS volume_ratio,
+                 CASE WHEN rn >= 15 THEN avg(gain) OVER w14 END AS ag,
+                 CASE WHEN rn >= 15 THEN avg(loss) OVER w14 END AS al
+          FROM g WINDOW
+            w10 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+            w20 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+            w14 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(ret_1, 9) AS ret_1, round(ret_5, 9) AS ret_5,
+           round(sma_ratio_10, 9) AS sma_ratio_10,
+           round(sma_ratio_20, 9) AS sma_ratio_20,
+           round(CASE WHEN al = 0.0e0 AND ag = 0.0e0 THEN NULL
+                      WHEN al = 0.0e0 THEN 100.0e0
+                      ELSE 100.0e0 - 100.0e0 / (1.0e0 + ag / al) END, 6)
+             AS rsi,
+           round((close - (mid - 2.0e0 * sd)) / (4.0e0 * sd), 9) AS bb_pos,
+           round(vol20, 9) AS volatility,
+           round(volume_ratio, 9) AS volume_ratio
+    FROM m
+    """,
+)
+def q57(spark, sf_dir):
+    """The full reference feature battery (ml_strategy.py:125-175) through
+    ``ml.engineer_features``: returns, SMA ratios, RSI(14), Bollinger
+    position, rolling volatility, volume ratio — all rn-gated to pandas
+    warm-up semantics, one window sort shuffle."""
+    ticks = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    f = ml_ops.engineer_features(b)
+    return f.select(
+        "symbol",
+        F.unix_micros("ts").alias("bar_us"),
+        F.round("ret_1", 9).alias("ret_1"),
+        F.round("ret_5", 9).alias("ret_5"),
+        F.round("sma_ratio_10", 9).alias("sma_ratio_10"),
+        F.round("sma_ratio_20", 9).alias("sma_ratio_20"),
+        F.round("rsi", 6).alias("rsi"),
+        F.round("bb_pos", 9).alias("bb_pos"),
+        F.round("volatility", 9).alias("volatility"),
+        F.round("volume_ratio", 9).alias("volume_ratio"),
+    )
+
+
+@_register(
+    "q58_buy_and_hold",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p FROM bars),
+    k2 AS (SELECT symbol, bts, p,
+                  1.0e0 - coalesce(lag(1.0e0) OVER w, 0.0e0) AS trade,
+                  coalesce(p / lag(p) OVER w - 1.0e0, 0.0e0) AS returns,
+                  coalesce(lag(1.0e0) OVER w, 0.0e0) AS prev_pos
+           FROM px WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    k4 AS (SELECT symbol, bts,
+                  prev_pos * returns - abs(trade) * {_dlit(RATE)} AS net
+           FROM k2)
+    SELECT symbol, count(*) AS n_bars,
+           round(exp(sum(ln(1.0e0 + net))) - 1.0e0, 6) AS total_return,
+           CAST(count(*) FILTER (WHERE net > 0.0e0) AS BIGINT) AS n_wins,
+           round(sum(net), 9) AS sum_net
+    FROM k4 GROUP BY symbol
+    """,
+)
+def q58(spark, sf_dir):
+    """Buy-and-hold strategy (strategy.py:197-215) through the kernel —
+    pins the documented first-bar semantics: the entry trade on bar 0 IS
+    charged transaction costs (divergence from pandas skipna cumprod,
+    see operators/backtest.py module docstring)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.buy_and_hold_signal(px)
+    res = backtest.backtest_signals(
+        sig, commission=COMMISSION, slippage=SLIPPAGE, initial_cash=CASH,
+        price_col="px",
+    )
+    return res.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.exp(F.sum(F.log1p("net_returns"))) - 1, 6)
+        .alias("total_return"),
+        F.sum((F.col("net_returns") > 0).cast("int")).cast("bigint")
+        .alias("n_wins"),
+        F.round(F.sum("net_returns"), 9).alias("sum_net"),
+    )
+
+
+@_register(
+    "q59_csv_roundtrip",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc
+    FROM lineitem
+    """,
+)
+def q59(spark, sf_dir):
+    """CSV sink -> CSV scan round-trip (tick_to_ohlcv.py:159-170 CSV I/O):
+    writes lineitem to a header'd CSV, reads it back with the same schema,
+    and aggregates. The oracle aggregates the original parquet directly, so
+    a hash match proves the round-trip is lossless (Spark's shortest-repr
+    double formatting round-trips exactly)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    sub = t.select("l_orderkey", "l_quantity", "l_extendedprice",
+                   "l_discount")
+    path = _scratch(sf_dir, "lineitem_csv")
+    io_mod.write_csv(sub, path)
+    back = io_mod.read_ticks_csv(spark, path, schema=sub.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("sum_disc"),
+    )
+
+
+@_register(
+    "q60_parquet_sink_pruned",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT symbol, count(*) AS n_bars,
+           round(sum(volume), 2) AS sum_volume,
+           round(sum(close), 6) AS sum_close,
+           epoch_us(min(bts)) AS first_us, epoch_us(max(bts)) AS last_us
+    FROM bars WHERE symbol = 'click' GROUP BY symbol
+    """,
+)
+def q60(spark, sf_dir):
+    """Partitioned zstd-parquet sink -> pruned scan round-trip
+    (etl/database_writer.py:84-88's index role): bars written
+    partitionBy(symbol), read back with a symbol predicate that must become
+    partition pruning (asserted in tests/test_plans.py), then aggregated
+    against an oracle over the original ticks."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    path = _scratch(sf_dir, "bars_by_symbol")
+    io_mod.write_parquet(b, path, partition_by=["symbol"])
+    back = spark.read.parquet(path).filter(F.col("symbol") == "click")
+    return back.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.sum("volume"), 2).alias("sum_volume"),
+        F.round(F.sum("close"), 6).alias("sum_close"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+@_register(
+    "q61_model_predict",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    d AS (SELECT symbol, bts, close, volume,
+                 row_number() OVER w AS rn,
+                 CASE WHEN row_number() OVER w >= 2
+                      THEN close / lag(close) OVER w - 1.0e0 END AS ret_1
+          FROM bars WHERE symbol = 'click'
+          WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    m AS (SELECT *,
+                 CASE WHEN rn >= 10 THEN close / avg(close) OVER w10 END
+                   AS sma_ratio_10,
+                 CASE WHEN rn >= 20
+                      THEN volume / avg(volume) OVER w20 END AS volume_ratio
+          FROM d WINDOW
+            w10 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+            w20 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(coalesce(ret_1, 0.0e0) * 0.3e0
+                 + coalesce(sma_ratio_10, 0.0e0) * -0.2e0
+                 + coalesce(volume_ratio, 0.0e0) * 0.05e0
+                 + 0.01e0, 9) AS prediction
+    FROM m
+    """,
+)
+def q61(spark, sf_dir):
+    """The batch-inference bridge (ml_strategy.py:50-71): a fitted linear
+    model's predict callable applied over Arrow batches via mapInPandas.
+    The model here is a fixed-weight linear scorer so the oracle can state
+    the same arithmetic in SQL; real sklearn models plug into the identical
+    code path (pickled + broadcast)."""
+    ticks = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    f = ml_ops.engineer_features(b)
+
+    def _model(x):
+        return (x["ret_1"] * 0.3 + x["sma_ratio_10"] * -0.2
+                + x["volume_ratio"] * 0.05 + 0.01)
+
+    p = ml_ops.predict_with_model(
+        f, _model, ["ret_1", "sma_ratio_10", "volume_ratio"])
+    return p.select(
+        "symbol",
+        F.unix_micros("ts").alias("bar_us"),
+        F.round("prediction", 9).alias("prediction"),
+    )
+
+
+@_register(
+    "q62_pandas_strategy_hook",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    d AS (SELECT symbol, bts, close,
+                 row_number() OVER w AS rn,
+                 close / lag(close, 20) OVER w - 1.0e0 AS mom
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           CASE WHEN rn >= 21 AND mom > 2.0e-3 THEN 1
+                WHEN rn >= 21 AND mom < -2.0e-3 THEN -1
+                ELSE 0 END AS signal
+    FROM d
+    """,
+)
+def q62(spark, sf_dir):
+    """The BaseStrategy subclass hook (strategy.py:34-41): arbitrary pandas
+    signal logic per symbol through apply_pandas_strategy (GROUPED_MAP).
+    The user function computes a 20-bar momentum sign; the oracle states the
+    same rule in SQL, proving the Arrow hook preserves exact semantics."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+
+    def _momentum(pdf):
+        mom = pdf["close"].pct_change(20)
+        return np.where(mom > 2.0e-3, 1, np.where(mom < -2.0e-3, -1, 0))
+
+    s = signals.apply_pandas_strategy(b, _momentum)
+    return s.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"), "signal")
+
+
+@_register(
+    "q63_macd",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    seq AS (SELECT symbol, bts, close,
+                   row_number() OVER (PARTITION BY symbol ORDER BY bts) - 1
+                     AS i
+            FROM bars WHERE symbol = 'click'),
+    e AS (SELECT symbol, bts, i,
+                 sum(close * power({_dlit(_BINV12)}, i)) OVER wc
+                   / sum(power({_dlit(_BINV12)}, i)) OVER wc AS e12,
+                 sum(close * power({_dlit(_BINV26)}, i)) OVER wc
+                   / sum(power({_dlit(_BINV26)}, i)) OVER wc AS e26
+          FROM seq WINDOW wc AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (SELECT symbol, bts, i, e12 - e26 AS macd FROM e),
+    s AS (SELECT symbol, bts, macd,
+                 sum(macd * power({_dlit(_BINV9)}, i)) OVER wc
+                   / sum(power({_dlit(_BINV9)}, i)) OVER wc AS sig
+          FROM m WINDOW wc AS (PARTITION BY symbol ORDER BY bts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(macd, 6) AS macd, round(sig, 6) AS macd_signal,
+           round(macd - sig, 6) AS macd_hist
+    FROM s
+    """,
+)
+def q63(spark, sf_dir):
+    """MACD(12,26,9) (ml_strategy.py:151-155): pandas-exact applyInPandas
+    EWM kernel vs the closed-form adjust=True ratio stated in SQL — the
+    signal line is an EWM over a derived (linear-in-price) series, still
+    closed-form expressible."""
+    ticks = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    m = ewm_fns.macd(b, fast=12, slow=26, signal=9, value_col="close")
+    return m.select(
+        "symbol",
+        F.unix_micros("ts").alias("bar_us"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
