@@ -59,6 +59,7 @@ def simulate_order_book(
     slippage_pct: float = 0.001,
     symbol_col: str = "symbol",
     emit: str = "fills",
+    cross_orders: bool = False,
 ) -> DataFrame:
     """Replay orders + ticks through the matching engine per symbol.
 
@@ -84,6 +85,17 @@ def simulate_order_book(
     ``emit='snapshots'`` returns per-tick book state instead of fills:
     ``(ts, symbol, last, best_bid, best_ask, spread, bid_depth, ask_depth)``
     — the get_order_book_snapshot surface (order_book.py:179-203).
+
+    ``cross_orders=True`` enables continuous-double-auction matching BETWEEN
+    resting orders — an extension beyond the reference, which only matches
+    resting orders against the tick tape (order_book.py:391-460). An
+    incoming limit order first sweeps the opposite side of the book in
+    price-time priority, trading at each RESTING order's price with partial
+    fills (both counterparties get a fill row sharing the trade price);
+    any remainder rests (the marketable-vs-last shortcut is disabled — the
+    book is the source of truth). A market order sweeps the book first and
+    falls back to last-tick +/- slippage only for the unfilled remainder.
+    Tick-tape matching and stop triggering are unchanged.
     """
     if emit == "snapshots":
         out_schema = ("ts timestamp, symbol string, last double, "
@@ -129,7 +141,35 @@ def simulate_order_book(
             fills.append((f"{pdf['symbol'].iloc[0]}-{n}", ts,
                           pdf["symbol"].iloc[0], side, qty, px, order_id))
 
+        def cross(order_id, side, qty, limit_price, ts):
+            """Sweep the opposite book in price-time priority; return the
+            unfilled remainder. Trades print at the RESTING order's price;
+            both counterparties get a fill row."""
+            heap = book.asks if side == "buy" else book.bids
+            while qty > 0 and heap:
+                top_px = heap[0][0] if side == "buy" else -heap[0][0]
+                if limit_price is not None and (
+                    (side == "buy" and top_px > limit_price)
+                    or (side == "sell" and top_px < limit_price)
+                ):
+                    break
+                od = heap[0][2]
+                traded = min(qty, od["quantity"])
+                fill(order_id, side, traded, top_px, ts)
+                fill(od["order_id"], od["side"], traded, top_px, ts)
+                qty -= traded
+                od["quantity"] -= traded
+                if od["quantity"] <= 0:
+                    heapq.heappop(heap)
+            return qty
+
         def submit_limit(order_id, side, qty, price, ts):
+            if cross_orders:
+                qty = cross(order_id, side, qty, price, ts)
+                if qty > 0:
+                    book.add({"order_id": order_id, "side": side,
+                              "quantity": qty, "price": price})
+                return
             marketable = last is not None and (
                 (side == "buy" and price >= last)
                 or (side == "sell" and price <= last)
@@ -177,10 +217,15 @@ def simulate_order_book(
                                   len(book.bids), len(book.asks)))
             else:
                 if row.order_type == "market":
+                    qty = row.quantity
+                    if cross_orders:
+                        qty = cross(row.order_id, row.side, qty, None, row.ts)
+                        if qty <= 0:
+                            continue
                     if last is None:
                         continue  # rejected: no reference price (:277-280)
                     px = last * (1 + slip) if row.side == "buy" else last * (1 - slip)
-                    fill(row.order_id, row.side, row.quantity, px, row.ts)
+                    fill(row.order_id, row.side, qty, px, row.ts)
                 elif row.order_type == "limit":
                     if row.price is None or not row.price == row.price:
                         continue  # rejected: limit requires price (:259-261)

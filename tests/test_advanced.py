@@ -62,6 +62,72 @@ def test_order_book_market_and_limit_matching(spark):
     assert "o4" not in got  # rejected, no reference price
 
 
+def test_order_book_order_vs_order_crossing(spark):
+    """cross_orders=True: continuous-double-auction matching between resting
+    orders (extension beyond the reference's tick-only matching,
+    order_book.py:391-460) — price-time priority, partial fills, trades
+    print at the resting order's price."""
+    schema = ("order_id string, ts timestamp, symbol string, side string, "
+              "order_type string, quantity double, price double, "
+              "stop_price double")
+    orders = spark.createDataFrame([
+        # two resting asks, price-time priority: s1 @101 before s2 @102
+        ("s1", _ts(1), "A", "sell", "limit", 10.0, 101.0, None),
+        ("s2", _ts(2), "A", "sell", "limit", 10.0, 102.0, None),
+        # aggressive buy 15 @102: sweeps s1 fully (10@101), s2 partially
+        # (5@102) — nothing rests
+        ("b1", _ts(3), "A", "buy", "limit", 15.0, 102.0, None),
+        # market buy 3: takes s2's remaining 5 partially at 102
+        ("b2", _ts(4), "A", "buy", "market", 3.0, None, None),
+    ], schema)
+    ticks = spark.createDataFrame([
+        Row(ts=_ts(0), symbol="A", price=100.0),
+    ])
+    fills = orderbook.simulate_order_book(
+        orders, ticks, slippage_pct=0.001, cross_orders=True)
+    rows = fills.collect()
+    by_order: dict[str, list] = {}
+    for r in rows:
+        by_order.setdefault(r.order_id, []).append(r)
+    # b1 sweeps: 10 @101 (s1's price) then 5 @102 (s2's price)
+    b1 = sorted(by_order["b1"], key=lambda r: r.price)
+    assert [(r.quantity, r.price) for r in b1] == [(10.0, 101.0), (5.0, 102.0)]
+    # counterparties fill at the same prices
+    assert [(r.quantity, r.price) for r in by_order["s1"]] == [(10.0, 101.0)]
+    s2 = sorted(by_order["s2"], key=lambda r: r.quantity)
+    assert [(r.quantity, r.price) for r in s2] == [(3.0, 102.0), (5.0, 102.0)]
+    # market buy b2 hit the book (s2's remaining), not last+slippage
+    assert [(r.quantity, r.price) for r in by_order["b2"]] == [(3.0, 102.0)]
+    # every trade has both counterparties: total bought == total sold
+    bought = sum(r.quantity for r in rows if r.side == "buy")
+    sold = sum(r.quantity for r in rows if r.side == "sell")
+    assert bought == sold == 18.0
+
+
+def test_order_book_crossing_remainder_rests(spark):
+    """Unfilled remainder of a crossing limit rests in the book and still
+    fills off the tick tape later; the marketable-vs-last shortcut is
+    disabled in crossing mode."""
+    schema = ("order_id string, ts timestamp, symbol string, side string, "
+              "order_type string, quantity double, price double, "
+              "stop_price double")
+    orders = spark.createDataFrame([
+        ("s1", _ts(1), "A", "sell", "limit", 4.0, 101.0, None),
+        # buy 10 @101: fills 4 from s1, remainder 6 rests @101 even though
+        # 101 > last (no marketable-vs-last immediate fill in cross mode)
+        ("b1", _ts(2), "A", "buy", "limit", 10.0, 101.0, None),
+    ], schema)
+    ticks = spark.createDataFrame([
+        Row(ts=_ts(0), symbol="A", price=100.0),
+        Row(ts=_ts(3), symbol="A", price=100.5),  # crosses resting b1 @101
+    ])
+    fills = orderbook.simulate_order_book(
+        orders, ticks, slippage_pct=0.001, cross_orders=True)
+    b1 = sorted((r for r in fills.collect() if r.order_id == "b1"),
+                key=lambda r: r.quantity)
+    assert [(r.quantity, r.price) for r in b1] == [(4.0, 101.0), (6.0, 101.0)]
+
+
 def test_event_driven_engine_cash_accounting(spark):
     """Buy reduces cash by shares*price*(1+slip) + fee; equity = cash +
     position*price (test_backtest_engine.py:70-83)."""
