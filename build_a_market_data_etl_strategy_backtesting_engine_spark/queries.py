@@ -2823,3 +2823,42 @@ def q63(spark, sf_dir):
         F.round("macd_signal", 6).alias("macd_signal"),
         F.round("macd_hist", 6).alias("macd_hist"),
     )
+
+
+@_register(
+    "q64_salted_agg",
+    f"""
+    WITH {TICKS_CTE}
+    SELECT symbol, count(*) AS n_ticks,
+           round(sum(price), 4) AS sum_price,
+           round(avg(price), 9) AS avg_price,
+           min(price) AS min_price, max(price) AS max_price,
+           round(sum(volume), 2) AS sum_volume
+    FROM ticks GROUP BY symbol
+    """,
+)
+def q64(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py::salted_agg — the
+    hot-key fallback measured in examples/skew_bench.py / SCALING.md):
+    per-(symbol, salt) partials merged per symbol must equal the plain
+    GROUP BY the oracle states."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import skew
+
+    ticks = _ticks(spark, sf_dir)
+    out = skew.salted_agg(
+        ticks, "symbol",
+        {"n_ticks": ("count", "price"),
+         "sum_price": ("sum", "price"),
+         "avg_price": ("avg", "price"),
+         "min_price": ("min", "price"),
+         "max_price": ("max", "price"),
+         "sum_volume": ("sum", "volume")},
+        n_salt=16, salt_from=["seq"],
+    )
+    return out.select(
+        "symbol", "n_ticks",
+        F.round("sum_price", 4).alias("sum_price"),
+        F.round("avg_price", 9).alias("avg_price"),
+        "min_price", "max_price",
+        F.round("sum_volume", 2).alias("sum_volume"),
+    )

@@ -73,29 +73,54 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 
 def test_salted_aggregation_equals_plain(spark):
-    """Two-phase salted aggregation for a pathologically hot key gives the
+    """operators/skew.py::salted_agg for a pathologically hot key gives the
     same answer as the direct aggregation (the manual fallback when AQE
     skew handling isn't enough — e.g. 90% of rows on one symbol)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import skew
+
     pdf = pd.DataFrame({
         "symbol": ["HOT"] * 9000 + ["COLD"] * 1000,
         "v": np.arange(10000, dtype=float),
     })
     df = spark.createDataFrame(pdf).repartition(8)
-    plain = {r.symbol: (r.n, r.s) for r in df.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+    plain = {r.symbol: (r.n, r.s, r.m, r.a) for r in df.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.max("v").alias("m"), F.avg("v").alias("a")).collect()}
 
-    salted = (
-        df.withColumn("_salt", (F.xxhash64("v") % 16).cast("int"))
-        .groupBy("symbol", "_salt")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
-        .groupBy("symbol")
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    salted = skew.salted_agg(
+        df, "symbol",
+        {"n": ("count", "v"), "s": ("sum", "v"),
+         "m": ("max", "v"), "a": ("avg", "v")},
+        n_salt=16, salt_from=["v"],
     )
-    got = {r.symbol: (r.n, r.s) for r in salted.collect()}
+    got = {r.symbol: (r.n, r.s, r.m, r.a) for r in salted.collect()}
     assert got.keys() == plain.keys()
     for k in plain:
         assert got[k][0] == plain[k][0]
         assert got[k][1] == pytest.approx(plain[k][1], rel=1e-12)
+        assert got[k][2] == plain[k][2]
+        assert got[k][3] == pytest.approx(plain[k][3], rel=1e-12)
+
+
+def test_salted_join_equals_plain(spark):
+    """salted_join output == plain join output on a hot-key fact/dim pair,
+    for inner and left (incl. unmatched fact keys)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import skew
+
+    fact = spark.createDataFrame(pd.DataFrame({
+        "symbol": ["HOT"] * 900 + ["COLD"] * 90 + ["ORPHAN"] * 10,
+        "v": np.arange(1000, dtype=float),
+    })).repartition(8)
+    dim = spark.createDataFrame(pd.DataFrame({
+        "symbol": ["HOT", "HOT", "COLD"],
+        "w": [1.0, 2.0, 3.0],
+    }))
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "symbol", how)
+        salted = skew.salted_join(fact, dim, "symbol", n_salt=8, how=how)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, how
 
 
 def test_aqe_coalesces_small_shuffles(spark):
