@@ -91,6 +91,68 @@ def media_features(
     return media.mapInPandas(_run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("media_id long, kind string, content binary, width int, "
+                 "height int, resized boolean")
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Image resize stage via mapInPandas (the preprocessing step before
+    feature extraction in a vision-training pipeline).
+
+    Real path (``use_real_decoder=True``): PIL decode -> resize ->
+    re-encode inside the UDF — raises in this container (no PIL, by rule).
+    Stub path: passes the payload through untouched and stamps the target
+    dims + ``resized`` flag, keeping the batch shape, schema, and binary
+    round-trip through Arrow real (binary columns survive the Python
+    boundary byte-exact — asserted in tests). Items already at target size
+    are passed through with ``resized=false`` in both paths.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            at_size = (
+                (pdf["width"] == target_width)
+                & (pdf["height"] == target_height)
+            ).fillna(False)
+            if use_real_decoder:
+                # PIL path: decode/resize/re-encode each image payload
+                pdf["content"] = pdf.apply(
+                    lambda r: _resize_one(
+                        r["content"], target_width, target_height)
+                    if r["kind"] == "image" else r["content"], axis=1)
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "content": pdf["content"],
+                "width": pdf["width"].where(~is_img, target_width)
+                .astype("Int32"),
+                "height": pdf["height"].where(~is_img, target_height)
+                .astype("Int32"),
+                "resized": (is_img & ~at_size),
+            })
+            yield out
+
+    return media.select(
+        "media_id", "kind", "content", "width", "height"
+    ).mapInPandas(_run, RESIZE_SCHEMA)
+
+
+def _resize_one(content: bytes, w: int, h: int) -> bytes:
+    """Real PIL decode->resize->PNG re-encode; raises without PIL."""
+    img = decode_image(content)
+    import io
+
+    buf = io.BytesIO()
+    img.resize((w, h)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -491,6 +491,30 @@ def test_multimodal_real_decoder_stub(spark):
         multimodal.decode_image(b"notanimage")
 
 
+def test_multimodal_resize_plumbing(spark):
+    """resize_images stub path: binary payloads round-trip Arrow byte-exact,
+    images get target dims + resized flag, non-images pass through."""
+    media = multimodal.synthetic_media(spark, 12)
+    src = {r.media_id: (r.kind, bytes(r.content), r.width, r.height)
+           for r in media.select(
+               "media_id", "kind", "content", "width", "height").collect()}
+    out = multimodal.resize_images(media, 224, 224).collect()
+    assert len(out) == 12
+    for r in out:
+        kind, content, w, h = src[r.media_id]
+        assert bytes(r.content) == content  # byte-exact Arrow round-trip
+        if kind == "image":
+            assert (r.width, r.height) == (224, 224)
+            assert r.resized  # synthetic media is 64x48, never at target
+        else:
+            assert (r.width, r.height) == (w, h)
+            assert not r.resized
+    # real-decoder path raises without PIL, same as decode_image
+    with pytest.raises(Exception):
+        multimodal.resize_images(
+            media, use_real_decoder=True).collect()
+
+
 def test_config_dot_notation(tmp_path):
     cfg = Config({"backtesting": {"commission": 0.002}})
     assert cfg.commission == 0.002
