@@ -1594,6 +1594,24 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         (19, 0.650638, 1.116368, 0.564902, 1.0),
       ],
      }),
+    'q65': (['symbol', 'n_snaps', 'max_bid_depth', 'max_ask_depth',
+             'n_quoted', 'avg_spread', 'final_bid', 'final_ask'],
+     {
+      1000: [
+        ('click', 210, 2, 2, 10, 55.2817, None, 75.327),
+        ('error', 201, 2, 3, 69, 192.3656, 2.793, 211.1655),
+        ('purchase', 202, 2, 1, 0, None, None, None),
+        ('signup', 199, 2, 2, 5, 100.7119, None, None),
+        ('view', 188, 2, 2, 0, None, None, None),
+      ],
+      10000: [
+        ('click', 2006, 4, 3, 449, 143.7275, 0.0095, None),
+        ('error', 2014, 3, 4, 308, 188.7259, None, 294.8715),
+        ('purchase', 1981, 3, 4, 335, 227.8678, None, 389.2455),
+        ('signup', 2017, 3, 3, 223, 160.2044, 0.076, None),
+        ('view', 1982, 3, 3, 62, 93.3088, 0.665, None),
+      ],
+     }),
 }
 
 
@@ -2861,4 +2879,38 @@ def q64(spark, sf_dir):
         F.round("avg_price", 9).alias("avg_price"),
         "min_price", "max_price",
         F.round("sum_volume", 2).alias("sum_volume"),
+    )
+
+
+@_register("q65_book_snapshots", _golden_sql("q65"))
+def q65(spark, sf_dir):
+    """Per-tick book depth snapshots (order_book.py:179-203) with resting
+    limits AND stop-limit orders that convert to resting limits on trigger
+    — deterministic replay, golden-pinned. Covers the get_order_book_snapshot
+    surface: best bid/ask, spread, depth counts."""
+    ticks = _ticks(spark, sf_dir)
+    base = ticks.filter(F.col("seq") % 7 == 0)
+    orders = base.select(
+        F.concat(F.lit("o"), F.col("seq")).alias("order_id"),
+        "ts", "symbol",
+        F.when(F.col("seq") % 14 == 0, "buy").otherwise("sell").alias("side"),
+        F.when(F.col("seq") % 35 == 0, "stop_limit").otherwise("limit")
+        .alias("order_type"),
+        F.lit(10.0).alias("quantity"),
+        # limits rest away from the market; stop_limits carry a non-
+        # marketable limit for after the trigger
+        F.round(F.col("price") * F.when(F.col("seq") % 14 == 0, 0.95)
+                .otherwise(1.05), 4).alias("price"),
+        F.when(F.col("seq") % 35 == 0, F.round(F.col("price") * 1.02, 4))
+        .cast("double").alias("stop_price"),
+    )
+    snaps = ob_ops.simulate_order_book(orders, ticks, emit="snapshots")
+    return snaps.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_snaps"),
+        F.max("bid_depth").alias("max_bid_depth"),
+        F.max("ask_depth").alias("max_ask_depth"),
+        F.count("spread").alias("n_quoted"),
+        F.round(F.avg("spread"), 4).alias("avg_spread"),
+        F.round(F.max_by("best_bid", "ts"), 4).alias("final_bid"),
+        F.round(F.max_by("best_ask", "ts"), 4).alias("final_ask"),
     )
