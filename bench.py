@@ -117,6 +117,7 @@ BENCHES = {
     "event_driven": bench_event_driven,
     "embedding_topk": bench_from_query("q24_embedding_topk"),
     "black_scholes": bench_from_query("q26_black_scholes"),
+    "corpus_curation": bench_from_query("q66_corpus_curation"),
 }
 
 

@@ -1,0 +1,81 @@
+"""Corpus curation: the composed LLM-training-data pipeline.
+
+The individual stages (exact dedup, quality features, language ID, token
+budgeting) each have their own operator + oracle (dedup.py, text.py —
+q22/q25/q31/q21); this module composes them in the order a real curation
+run applies them, so the *composition* is itself a tested, benched unit:
+
+    exact-dedup -> annotate (tokens / quality / language) -> filter
+
+All stages are pure JVM expressions; the whole pipeline is ONE shuffle
+(the dedup window over the content hash) — the annotate+filter stages fuse
+into the post-shuffle projection. At 100 TB that means a single exchange
+over the corpus, with the filters applied before anything downstream
+(near-dup, embedding) sees a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    dedup,
+    text as text_ops,
+)
+
+__all__ = ["curate_corpus", "curation_summary"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] | None = ("en",),
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Curate a raw document table for training-data use.
+
+    1. exact dedup (lowest-id representative per content hash — one
+       shuffle);
+    2. annotate: whitespace + BPE-ish token counts, stopword ratio, alpha
+       ratio, predicted language;
+    3. filter: token-count window, alpha-ratio floor, language allowlist
+       (``langs=None`` keeps all languages).
+
+    Returns surviving docs with the annotation columns attached.
+    """
+    d = dedup.distinct_by_content(docs, text_col, doc_id_col)
+    c = F.col(text_col)
+    toks = text_ops.tokens(text_col)
+    d = d.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        text_ops.bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        text_ops.stopword_ratio(text_col).alias("stop_ratio"),
+        (F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c))
+        .alias("alpha_ratio"),
+        text_ops.predict_language(text_col).alias("pred_lang"),
+    )
+    d = d.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    if langs is not None:
+        d = d.filter(F.col("pred_lang").isin(list(langs)))
+    return d
+
+
+def curation_summary(curated: DataFrame) -> DataFrame:
+    """Per-language corpus budget: doc counts and token totals — the
+    numbers a training-mix plan is built from. Map-combinable single agg."""
+    return curated.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+    )

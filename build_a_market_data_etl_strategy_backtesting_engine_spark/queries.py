@@ -2914,3 +2914,60 @@ def q65(spark, sf_dir):
         F.round(F.max_by("best_bid", "ts"), 4).alias("final_bid"),
         F.round(F.max_by("best_ask", "ts"), 4).alias("final_ask"),
     )
+
+
+@_register(
+    "q66_corpus_curation",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents),
+    u AS (SELECT doc_id, text FROM d WHERE rn = 1),
+    a AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM u),
+    s AS (SELECT doc_id,
+            CAST(len(toks) AS INTEGER) AS n_tokens,
+            CAST(len(list_filter(
+              regexp_split_to_array(
+                trim(regexp_replace(text, '([.,;:!?()])', ' \1 ', 'g')),
+                '\s+'),
+              x -> x <> '')) AS INTEGER) AS n_bpe_tokens,
+            len(list_filter(toks, x -> x IN ('the','a','of','to','in',
+              'and','is','it','that','for'))) / len(toks) AS stop_ratio,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / length(text) AS alpha_ratio,
+            len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','it','that','for'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','que'))) AS s_es,
+            len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que'))) AS s_fr
+          FROM a),
+    p AS (SELECT *,
+            CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                 ELSE 'unknown' END AS pred_lang
+          FROM s),
+    f AS (SELECT * FROM p
+          WHERE n_tokens >= 10 AND n_tokens <= 1000000
+            AND alpha_ratio >= 0.5e0 AND pred_lang = 'en')
+    SELECT pred_lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           round(avg(stop_ratio), 6) AS avg_stop_ratio,
+           round(avg(alpha_ratio), 6) AS avg_alpha_ratio
+    FROM f GROUP BY pred_lang
+    """,
+)
+def q66(spark, sf_dir):
+    """The composed corpus-curation pipeline (operators/corpus.py):
+    exact-dedup -> token/quality/language annotation -> filter -> per-
+    language budget summary. One shuffle for dedup + one map-combinable
+    agg; the stage operators are individually oracled (q22/q25/q31/q21),
+    this pins their composition."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import corpus
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cur = corpus.curate_corpus(docs, min_tokens=10, min_alpha_ratio=0.5,
+                               langs=("en",))
+    return corpus.curation_summary(cur)
