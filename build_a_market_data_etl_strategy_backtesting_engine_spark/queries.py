@@ -2971,3 +2971,97 @@ def q66(spark, sf_dir):
     cur = corpus.curate_corpus(docs, min_tokens=10, min_alpha_ratio=0.5,
                                langs=("en",))
     return corpus.curation_summary(cur)
+
+
+@_register(
+    "q67_walk_forward_splits",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    b AS (SELECT epoch_us(bts) AS us FROM bars),
+    bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM b),
+    j AS (SELECT i,
+                 lo + i * ((hi - lo) // 6) AS cut,
+                 lo + (i + 1) * ((hi - lo) // 6) AS fend
+          FROM range(1, 6) t(i), bounds)
+    SELECT CAST(i AS INTEGER) AS fold,
+           count(*) FILTER (WHERE us <= cut) AS n_train,
+           count(*) FILTER (WHERE us > cut
+                            AND (i = 5 OR us <= fend)) AS n_test
+    FROM b, j GROUP BY i
+    """,
+)
+def q67(spark, sf_dir):
+    """Expanding-window walk-forward splits (ml_strategy.py:437-488):
+    5 folds over the 1H-bar time axis; per-fold train/test cardinalities
+    pin the cut arithmetic (train_i ⊇ train_{i-1}, no leakage — the
+    boundary conditions the reference's tests assert)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    folds = ml_ops.walk_forward_splits(b, n_splits=5, ts_col="ts")
+    out = None
+    for i, (tr, te) in enumerate(folds, 1):
+        row = (
+            tr.agg(F.count(F.lit(1)).alias("n_train"))
+            .crossJoin(te.agg(F.count(F.lit(1)).alias("n_test")))
+            .select(F.lit(i).alias("fold"), "n_train", "n_test")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@_register(
+    "q68_ensemble_signal",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+           FROM bars),
+    sg AS (SELECT symbol, bts, rn,
+                  CASE WHEN (CASE WHEN rn >= 5 THEN avg(p) OVER w5 END)
+                            > (CASE WHEN rn >= 20 THEN avg(p) OVER w20 END)
+                       THEN 1 ELSE 0 END AS s_ma,
+                  CASE WHEN rn >= 21 AND p / lag(p, 20) OVER w - 1.0e0 > 2.0e-3 THEN 1
+                       WHEN rn >= 21 AND p / lag(p, 20) OVER w - 1.0e0 < -2.0e-3 THEN -1
+                       ELSE 0 END AS s_mom,
+                  CASE WHEN rn >= 20 AND (p - avg(p) OVER w20)
+                             / stddev_samp(p) OVER w20 < -2.0e0 THEN 1
+                       WHEN rn >= 20 AND (p - avg(p) OVER w20)
+                             / stddev_samp(p) OVER w20 > 2.0e0 THEN -1
+                       ELSE 0 END AS s_mr
+           FROM px WINDOW
+             w AS (PARTITION BY symbol ORDER BY bts),
+             w5 AS (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY symbol ORDER BY bts
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    e AS (SELECT symbol, bts, s_ma, s_mom, s_mr,
+                 (s_ma * 0.5e0 + s_mom * 0.3e0 + s_mr * 0.2e0) / 1.0e0 AS avg_s
+          FROM sg)
+    SELECT symbol, epoch_us(bts) AS bar_us, s_ma, s_mom, s_mr,
+           CASE WHEN avg_s > 0.25e0 THEN 1
+                WHEN avg_s < -0.25e0 THEN -1 ELSE 0 END AS signal
+    FROM e
+    """,
+)
+def q68(spark, sf_dir):
+    """Weighted ensemble vote over three strategy signals
+    (ml_strategy.py:312-356): MA-cross(5/20) + momentum(20) +
+    mean-reversion(20, 2σ), weights .5/.3/.2, threshold 0.25 — pure
+    expressions sharing ONE window sort."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    d = signals.ma_cross_signal(px, fast=5, slow=20, price_col="px",
+                                out_col="s_ma")
+    d = signals.momentum_signal(d, lookback=20, threshold=2.0e-3,
+                                price_col="px", out_col="s_mom")
+    d = signals.mean_reversion_signal(d, n=20, num_std=2.0, price_col="px",
+                                      out_col="s_mr")
+    d = ml_ops.ensemble_signal(d, ["s_ma", "s_mom", "s_mr"],
+                               weights=[0.5, 0.3, 0.2], threshold=0.25)
+    return d.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "s_ma", "s_mom", "s_mr", "signal",
+    )
