@@ -2694,8 +2694,8 @@ def q60(spark, sf_dir):
     """Partitioned zstd-parquet sink -> pruned scan round-trip
     (etl/database_writer.py:84-88's index role): bars written
     partitionBy(symbol), read back with a symbol predicate that must become
-    partition pruning (asserted in tests/test_plans.py), then aggregated
-    against an oracle over the original ticks."""
+    partition pruning (asserted in tests/test_scale_patterns.py), then
+    aggregated against an oracle over the original ticks."""
     ticks = _ticks(spark, sf_dir)
     b = bars.ticks_to_ohlcv(ticks, "1H")
     path = _scratch(sf_dir, "bars_by_symbol")

@@ -117,3 +117,30 @@ def test_clean_pipeline_auto_selects_sketch_at_scale(spark):
         cleaner.clean_pipeline(small, dedup_subset=["seq"]), "simple")
     assert "approx_percentile" not in plan_small
     assert "percentile" in plan_small
+
+
+def test_corpus_curation_single_shuffle(spark):
+    """curate_corpus is structurally ONE exchange (the dedup window over
+    the content hash); annotate + filter fuse into the post-shuffle
+    projection. The budget summary adds exactly one map-combinable agg."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import corpus
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import load_tables
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    cur = corpus.curate_corpus(docs)
+    assert plans.count_shuffles(cur) == 1
+    assert plans.count_shuffles(corpus.curation_summary(cur)) == 2
+
+
+def test_salted_agg_two_exchanges(spark):
+    """salted_agg = exactly two hash exchanges: per-(key, salt) partials,
+    then the per-key merge — never more (a third would mean the salt
+    leaked into downstream distribution)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import skew
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import load_tables
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    out = skew.salted_agg(
+        docs, "lang",
+        {"n": ("count", "doc_id"), "c": ("sum", "n_chars")}, n_salt=8)
+    assert plans.count_shuffles(out) == 2
