@@ -930,3 +930,46 @@ def test_rl_strategy_signals_match_sequential(spark):
                 exp.append(agent.predict(rets[i - 10:i].reshape(1, -1)))
     assert got.signal.tolist() == exp
     assert (got.signal.iloc[:10] == 0).all()
+
+
+def test_dashboard_http_surface():
+    """Route parity with the reference Flask dashboard (dashboard.py:44-110)
+    on the stdlib server: /, /api/<section>, /api/summary, POST /api/update."""
+    import json
+    import urllib.request
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.dashboard import Dashboard
+
+    d = Dashboard()
+    d.update(
+        performance=[{"equity": 101000.0}],
+        risk={"max_drawdown": -0.02},
+        metrics_rows=[{"symbol": "A", "total_return": 0.01}],
+        curves={"A": [1.0, 1.01, 1.02]},
+    )
+    port = d.start(port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        perf = json.load(urllib.request.urlopen(f"{base}/api/performance"))
+        assert perf == [{"equity": 101000.0}]
+        summ = json.load(urllib.request.urlopen(f"{base}/api/summary"))
+        assert summ["risk"] == {"max_drawdown": -0.02}
+        assert summ["orders"] == []
+        html_doc = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "svg" in html_doc and "A" in html_doc
+        # POST /api/update replaces a section
+        req = urllib.request.Request(
+            f"{base}/api/update",
+            data=json.dumps({"orders": [{"id": 1}]}).encode(),
+            method="POST")
+        assert json.load(urllib.request.urlopen(req)) == {"status": "ok"}
+        got = json.load(urllib.request.urlopen(f"{base}/api/orders"))
+        assert got == [{"id": 1}]
+        # unknown endpoint -> 404
+        try:
+            urllib.request.urlopen(f"{base}/api/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        d.stop()
