@@ -37,20 +37,30 @@ def expected_returns(
     returns_col: str = "ret",
 ) -> DataFrame:
     """Annualized expected returns per symbol: historical mean * 252, or the
-    last EWM(span) mean * 252 (portfolio_optimization.py:36-42)."""
+    last EWM(span) mean * 252 (portfolio_optimization.py:36-42).
+
+    ``method="both"`` emits (exp_ret_hist, exp_ret_ewm) from ONE aggregation
+    over the EWM-annotated frame — half the exchanges of running the two
+    methods separately and joining (plan-measured: 3 vs 5)."""
     if method == "historical":
         return returns.groupBy(symbol_col).agg(
             (F.avg(returns_col) * PERIODS_PER_YEAR).alias("exp_ret")
         )
-    if method == "ewm":
+    if method in ("ewm", "both"):
         from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.ewm import (
             ewm_mean,
         )
 
         e = ewm_mean(returns, span=span, value_col=returns_col,
                      symbol_col=symbol_col, ts_col=ts_col)
+        if method == "ewm":
+            return e.groupBy(symbol_col).agg(
+                (F.max_by("ewm", ts_col) * PERIODS_PER_YEAR).alias("exp_ret")
+            )
         return e.groupBy(symbol_col).agg(
-            (F.max_by("ewm", ts_col) * PERIODS_PER_YEAR).alias("exp_ret")
+            (F.avg(returns_col) * PERIODS_PER_YEAR).alias("exp_ret_hist"),
+            (F.max_by("ewm", ts_col) * PERIODS_PER_YEAR)
+            .alias("exp_ret_ewm"),
         )
     raise ValueError(f"unknown method {method!r}")
 

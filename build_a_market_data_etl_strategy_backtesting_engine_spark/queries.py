@@ -2512,16 +2512,12 @@ def q56(spark, sf_dir):
     b = bars.ticks_to_ohlcv(ticks, "1H")
     px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
     r = signals.simple_returns(px, price_col="close", out_col="ret")
-    hist = po_ops.expected_returns(r, method="historical", returns_col="ret")
-    ewm = po_ops.expected_returns(r, method="ewm", span=60, returns_col="ret")
-    return (
-        hist.withColumnRenamed("exp_ret", "h")
-        .join(ewm.withColumnRenamed("exp_ret", "e"), "symbol")
-        .select(
-            "symbol",
-            F.round("h", 9).alias("exp_ret_hist"),
-            F.round("e", 9).alias("exp_ret_ewm"),
-        )
+    both = po_ops.expected_returns(r, method="both", span=60,
+                                   returns_col="ret")
+    return both.select(
+        "symbol",
+        F.round("exp_ret_hist", 9).alias("exp_ret_hist"),
+        F.round("exp_ret_ewm", 9).alias("exp_ret_ewm"),
     )
 
 
