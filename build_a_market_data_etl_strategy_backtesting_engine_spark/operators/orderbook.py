@@ -106,7 +106,21 @@ def simulate_order_book(
                       "side string, quantity double, price double, "
                       "order_id string")
     slip = float(slippage_pct)
+    merged = merge_order_tick_events(orders, ticks, symbol_col)
 
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _Matcher(pdf["symbol"].iloc[0], slip, cross_orders, emit)
+        m.process(pdf)
+        return m.to_frame()
+
+    return merged.groupBy("symbol").applyInPandas(_run, out_schema)
+
+
+def merge_order_tick_events(
+    orders: DataFrame, ticks: DataFrame, symbol_col: str = "symbol"
+) -> DataFrame:
+    """Union orders + ticks into the matcher's event schema (works on both
+    batch and streaming DataFrames)."""
     o = orders.select(
         F.col("ts"), F.col(symbol_col).alias("symbol"),
         F.lit("order").alias("kind"), F.col("order_id"), F.col("side"),
@@ -123,134 +137,211 @@ def simulate_order_book(
         F.col("price").cast("double").alias("price"),
         F.lit(None).cast("double").alias("stop_price"),
     )
-    merged = o.unionByName(t)
+    return o.unionByName(t)
 
-    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+
+class _Matcher:
+    """Per-symbol matching state machine — the ONE kernel behind the batch
+    replay (`simulate_order_book`) and the streaming twin
+    (`streaming/stateful.py::streaming_order_book`). State (book heaps,
+    resting stops, last price, fill counter) round-trips through
+    `to_state`/`from_state` for the streaming state store."""
+
+    def __init__(self, symbol, slip, cross_orders=False, emit="fills"):
+        self.symbol = symbol
+        self.slip = slip
+        self.cross_orders = cross_orders
+        self.emit = emit
+        self.book = _Book()
+        self.last = None
+        self.stops: list[dict] = []  # resting stop / stop_limit orders
+        self.n = 0
+        self.fills: list[tuple] = []
+        self.snaps: list[tuple] = []
+
+    # ------------------------------------------------------------ matching
+
+    def fill(self, order_id, side, qty, px, ts):
+        self.n += 1
+        self.fills.append((f"{self.symbol}-{self.n}", ts, self.symbol,
+                           side, qty, px, order_id))
+
+    def cross(self, order_id, side, qty, limit_price, ts):
+        """Sweep the opposite book in price-time priority; return the
+        unfilled remainder. Trades print at the RESTING order's price;
+        both counterparties get a fill row."""
+        heap = self.book.asks if side == "buy" else self.book.bids
+        while qty > 0 and heap:
+            top_px = heap[0][0] if side == "buy" else -heap[0][0]
+            if limit_price is not None and (
+                (side == "buy" and top_px > limit_price)
+                or (side == "sell" and top_px < limit_price)
+            ):
+                break
+            od = heap[0][2]
+            traded = min(qty, od["quantity"])
+            self.fill(order_id, side, traded, top_px, ts)
+            self.fill(od["order_id"], od["side"], traded, top_px, ts)
+            qty -= traded
+            od["quantity"] -= traded
+            if od["quantity"] <= 0:
+                heapq.heappop(heap)
+        return qty
+
+    def submit_limit(self, order_id, side, qty, price, ts):
+        if self.cross_orders:
+            qty = self.cross(order_id, side, qty, price, ts)
+            if qty > 0:
+                self.book.add({"order_id": order_id, "side": side,
+                               "quantity": qty, "price": price})
+            return
+        marketable = self.last is not None and (
+            (side == "buy" and price >= self.last)
+            or (side == "sell" and price <= self.last)
+        )
+        if marketable:
+            self.fill(order_id, side, qty, price, ts)
+        else:
+            self.book.add({"order_id": order_id, "side": side,
+                           "quantity": qty, "price": price})
+
+    def on_tick(self, ts, price):
+        self.last = last = price
+        # trigger resting stops (order_book.py:333-360)
+        still = []
+        for od in self.stops:
+            hit = (od["side"] == "sell" and last <= od["stop_price"]) \
+                or (od["side"] == "buy" and last >= od["stop_price"])
+            if hit:
+                if od["order_type"] == "stop":
+                    px = last * (1 + self.slip) if od["side"] == "buy" \
+                        else last * (1 - self.slip)
+                    self.fill(od["order_id"], od["side"], od["quantity"],
+                              px, ts)
+                else:  # stop_limit -> becomes a limit order
+                    self.submit_limit(od["order_id"], od["side"],
+                                      od["quantity"], od["price"], ts)
+            else:
+                still.append(od)
+        self.stops[:] = still
+        # match resting limits against the tick (order_book.py:427-460)
+        book = self.book
+        while book.bids and -book.bids[0][0] >= last:
+            _, _, od = heapq.heappop(book.bids)
+            self.fill(od["order_id"], "buy", od["quantity"], od["price"], ts)
+        while book.asks and book.asks[0][0] <= last:
+            _, _, od = heapq.heappop(book.asks)
+            self.fill(od["order_id"], "sell", od["quantity"], od["price"], ts)
+        if self.emit == "snapshots":
+            bb, ba = book.best_bid(), book.best_ask()
+            self.snaps.append((ts, self.symbol, last, bb, ba,
+                               (ba - bb) if bb is not None
+                               and ba is not None else None,
+                               len(book.bids), len(book.asks)))
+
+    def on_order(self, row):
+        if row.order_type == "market":
+            qty = row.quantity
+            if self.cross_orders:
+                qty = self.cross(row.order_id, row.side, qty, None, row.ts)
+                if qty <= 0:
+                    return
+            if self.last is None:
+                return  # rejected: no reference price (:277-280)
+            px = self.last * (1 + self.slip) if row.side == "buy" \
+                else self.last * (1 - self.slip)
+            self.fill(row.order_id, row.side, qty, px, row.ts)
+        elif row.order_type == "limit":
+            if row.price is None or not row.price == row.price:
+                return  # rejected: limit requires price (:259-261)
+            self.submit_limit(row.order_id, row.side, row.quantity,
+                              row.price, row.ts)
+        elif row.order_type in ("stop", "stop_limit"):
+            sp = row.stop_price
+            if sp is None or not sp == sp:
+                return  # rejected: stop requires stop_price
+            self.stops.append({"order_id": row.order_id, "side": row.side,
+                               "quantity": row.quantity, "price": row.price,
+                               "stop_price": sp,
+                               "order_type": row.order_type})
+
+    def process(self, pdf: pd.DataFrame) -> None:
         # orders (kind='order') sort before ticks at equal ts
         pdf = pdf.sort_values(["ts", "kind"]).reset_index(drop=True)
-        book = _Book()
-        last = None
-        fills = []
-        snaps = []
-        stops = []  # resting stop / stop_limit orders
-        n = 0
-
-        def fill(order_id, side, qty, px, ts):
-            nonlocal n
-            n += 1
-            fills.append((f"{pdf['symbol'].iloc[0]}-{n}", ts,
-                          pdf["symbol"].iloc[0], side, qty, px, order_id))
-
-        def cross(order_id, side, qty, limit_price, ts):
-            """Sweep the opposite book in price-time priority; return the
-            unfilled remainder. Trades print at the RESTING order's price;
-            both counterparties get a fill row."""
-            heap = book.asks if side == "buy" else book.bids
-            while qty > 0 and heap:
-                top_px = heap[0][0] if side == "buy" else -heap[0][0]
-                if limit_price is not None and (
-                    (side == "buy" and top_px > limit_price)
-                    or (side == "sell" and top_px < limit_price)
-                ):
-                    break
-                od = heap[0][2]
-                traded = min(qty, od["quantity"])
-                fill(order_id, side, traded, top_px, ts)
-                fill(od["order_id"], od["side"], traded, top_px, ts)
-                qty -= traded
-                od["quantity"] -= traded
-                if od["quantity"] <= 0:
-                    heapq.heappop(heap)
-            return qty
-
-        def submit_limit(order_id, side, qty, price, ts):
-            if cross_orders:
-                qty = cross(order_id, side, qty, price, ts)
-                if qty > 0:
-                    book.add({"order_id": order_id, "side": side,
-                              "quantity": qty, "price": price})
-                return
-            marketable = last is not None and (
-                (side == "buy" and price >= last)
-                or (side == "sell" and price <= last)
-            )
-            if marketable:
-                fill(order_id, side, qty, price, ts)
-            else:
-                book.add({"order_id": order_id, "side": side,
-                          "quantity": qty, "price": price})
-
         for row in pdf.itertuples(index=False):
             if row.kind == "tick":
-                last = row.price
-                # trigger resting stops (order_book.py:333-360)
-                still = []
-                for od in stops:
-                    hit = (od["side"] == "sell" and last <= od["stop_price"]) \
-                        or (od["side"] == "buy" and last >= od["stop_price"])
-                    if hit:
-                        if od["order_type"] == "stop":
-                            px = last * (1 + slip) if od["side"] == "buy" \
-                                else last * (1 - slip)
-                            fill(od["order_id"], od["side"], od["quantity"],
-                                 px, row.ts)
-                        else:  # stop_limit -> becomes a limit order
-                            submit_limit(od["order_id"], od["side"],
-                                         od["quantity"], od["price"], row.ts)
-                    else:
-                        still.append(od)
-                stops[:] = still
-                # match resting limits against the tick (order_book.py:427-460)
-                while book.bids and -book.bids[0][0] >= last:
-                    _, _, od = heapq.heappop(book.bids)
-                    fill(od["order_id"], "buy", od["quantity"], od["price"],
-                         row.ts)
-                while book.asks and book.asks[0][0] <= last:
-                    _, _, od = heapq.heappop(book.asks)
-                    fill(od["order_id"], "sell", od["quantity"], od["price"],
-                         row.ts)
-                if emit == "snapshots":
-                    bb, ba = book.best_bid(), book.best_ask()
-                    snaps.append((row.ts, pdf["symbol"].iloc[0], last, bb, ba,
-                                  (ba - bb) if bb is not None
-                                  and ba is not None else None,
-                                  len(book.bids), len(book.asks)))
+                self.on_tick(row.ts, row.price)
             else:
-                if row.order_type == "market":
-                    qty = row.quantity
-                    if cross_orders:
-                        qty = cross(row.order_id, row.side, qty, None, row.ts)
-                        if qty <= 0:
-                            continue
-                    if last is None:
-                        continue  # rejected: no reference price (:277-280)
-                    px = last * (1 + slip) if row.side == "buy" else last * (1 - slip)
-                    fill(row.order_id, row.side, qty, px, row.ts)
-                elif row.order_type == "limit":
-                    if row.price is None or not row.price == row.price:
-                        continue  # rejected: limit requires price (:259-261)
-                    submit_limit(row.order_id, row.side, row.quantity,
-                                 row.price, row.ts)
-                elif row.order_type in ("stop", "stop_limit"):
-                    sp = row.stop_price
-                    if sp is None or not sp == sp:
-                        continue  # rejected: stop requires stop_price
-                    stops.append({"order_id": row.order_id, "side": row.side,
-                                  "quantity": row.quantity, "price": row.price,
-                                  "stop_price": sp,
-                                  "order_type": row.order_type})
-        if emit == "snapshots":
+                self.on_order(row)
+
+    def to_frame(self) -> pd.DataFrame:
+        if self.emit == "snapshots":
             return pd.DataFrame(
-                snaps, columns=["ts", "symbol", "last", "best_bid",
-                                "best_ask", "spread", "bid_depth",
-                                "ask_depth"],
+                self.snaps, columns=["ts", "symbol", "last", "best_bid",
+                                     "best_ask", "spread", "bid_depth",
+                                     "ask_depth"],
             )
         return pd.DataFrame(
-            fills, columns=["trade_id", "ts", "symbol", "side", "quantity",
-                            "price", "order_id"],
+            self.fills, columns=["trade_id", "ts", "symbol", "side",
+                                 "quantity", "price", "order_id"],
         )
 
-    return merged.groupBy("symbol").applyInPandas(_run, out_schema)
+    # --------------------------------------------- streaming-state codec
+
+    STATE_SCHEMA = (
+        "last double, n long, seq long, "
+        "bid_id array<string>, bid_qty array<double>, bid_px array<double>, "
+        "bid_seq array<long>, "
+        "ask_id array<string>, ask_qty array<double>, ask_px array<double>, "
+        "ask_seq array<long>, "
+        "st_id array<string>, st_side array<string>, st_qty array<double>, "
+        "st_px array<double>, st_sp array<double>, st_type array<string>"
+    )
+
+    def to_state(self) -> tuple:
+        def side(heap, sgn):
+            return ([od["order_id"] for _, _, od in heap],
+                    [od["quantity"] for _, _, od in heap],
+                    [sgn * key for key, _, od in heap],
+                    [s for _, s, _ in heap])
+
+        b = side(self.book.bids, -1)
+        a = side(self.book.asks, 1)
+        st = self.stops
+        return (
+            float("nan") if self.last is None else self.last,
+            self.n, self.book.seq,
+            b[0], b[1], b[2], b[3], a[0], a[1], a[2], a[3],
+            [o["order_id"] for o in st], [o["side"] for o in st],
+            [o["quantity"] for o in st],
+            [float("nan") if o["price"] is None else o["price"] for o in st],
+            [o["stop_price"] for o in st], [o["order_type"] for o in st],
+        )
+
+    @classmethod
+    def from_state(cls, symbol, slip, cross_orders, state) -> "_Matcher":
+        m = cls(symbol, slip, cross_orders, emit="fills")
+        (last, n, seq, bid_id, bid_qty, bid_px, bid_seq,
+         ask_id, ask_qty, ask_px, ask_seq,
+         st_id, st_side, st_qty, st_px, st_sp, st_type) = state
+        m.last = None if last != last else last
+        m.n = n
+        m.book.seq = seq
+        m.book.bids = [
+            (-p, s, {"order_id": i, "side": "buy", "quantity": q, "price": p})
+            for i, q, p, s in zip(bid_id, bid_qty, bid_px, bid_seq)]
+        m.book.asks = [
+            (p, s, {"order_id": i, "side": "sell", "quantity": q, "price": p})
+            for i, q, p, s in zip(ask_id, ask_qty, ask_px, ask_seq)]
+        heapq.heapify(m.book.bids)
+        heapq.heapify(m.book.asks)
+        m.stops = [
+            {"order_id": i, "side": sd, "quantity": q,
+             "price": None if p != p else p, "stop_price": sp,
+             "order_type": ot}
+            for i, sd, q, p, sp, ot
+            in zip(st_id, st_side, st_qty, st_px, st_sp, st_type)]
+        return m
 
 
 def event_driven_backtest(

@@ -207,3 +207,57 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+FILLS_SCHEMA = ("trade_id string, ts timestamp, symbol string, side string, "
+                "quantity double, price double, order_id string")
+
+
+def streaming_order_book(
+    events: DataFrame,
+    slippage_pct: float = 0.001,
+    cross_orders: bool = False,
+) -> DataFrame:
+    """Live limit-order-book matching on a stream — the streaming twin of
+    ``operators/orderbook.py::simulate_order_book`` running the SAME
+    ``_Matcher`` kernel, so batch replay == stream replay (asserted in
+    tests/test_streaming.py).
+
+    ``events`` is the merged order+tick stream
+    (``orderbook.merge_order_tick_events`` works on streaming inputs too).
+    State per symbol = the full book (both heaps with price-time seq),
+    resting stops, last price, and the fill counter — round-tripped through
+    the state store between micro-batches, so resting orders persist and
+    trade ids stay globally unique. Within a micro-batch events are
+    processed in (ts, kind) order; ACROSS batches the source must deliver
+    in event-time order (file/Kafka sources with ordered production — same
+    contract as any stateful sequence-dependent operator).
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.orderbook import (
+        _Matcher,
+    )
+
+    slip = float(slippage_pct)
+    cross = bool(cross_orders)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            m = _Matcher.from_state(symbol, slip, cross, tuple(state.get))
+        else:
+            m = _Matcher(symbol, slip, cross, emit="fills")
+        for pdf in pdfs:
+            m.process(pdf)
+        state.update(m.to_state())
+        out = m.to_frame()
+        yield out
+
+    return events.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=FILLS_SCHEMA,
+        stateStructType=_Matcher.STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

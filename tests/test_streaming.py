@@ -435,3 +435,78 @@ def test_idempotent_sink_survives_epoch_replay(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert spark.read.parquet(sink2).count() == 5
+
+
+def test_streaming_order_book_matches_batch(spark, tmp_path):
+    """The streaming book (applyInPandasWithState, state = full book +
+    stops + last + fill counter) produces EXACTLY the batch replay's fills
+    when the same events arrive split across micro-batches — resting
+    orders must survive the batch boundary and fill later."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import orderbook
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        stateful,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(sec, kind, **kw):
+        base = {"ts": (t0 + pd.Timedelta(seconds=sec)).isoformat(),
+                "symbol": kw.pop("symbol", "A"), "kind": kind,
+                "order_id": None, "side": None, "order_type": None,
+                "quantity": None, "price": None, "stop_price": None}
+        base.update(kw)
+        return base
+
+    events = [
+        ev(0, "tick", price=100.0),
+        # resting buy limit below market — must survive into batch 2
+        ev(1, "order", order_id="o1", side="buy", order_type="limit",
+           quantity=5.0, price=99.0),
+        # stop-limit armed above market — triggers in batch 2
+        ev(2, "order", order_id="o2", side="buy", order_type="stop_limit",
+           quantity=3.0, price=100.5, stop_price=101.0),
+        ev(3, "tick", price=100.4),
+        # ---- micro-batch boundary ----
+        ev(4, "tick", price=101.2),   # triggers o2 -> resting limit @100.5
+        ev(5, "order", order_id="o3", side="sell", order_type="market",
+           quantity=2.0),
+        ev(6, "tick", price=98.5),    # crosses o1@99 AND o2's limit@100.5
+        ev(7, "order", order_id="o4", side="sell", order_type="limit",
+           quantity=4.0, price=98.0),  # marketable vs last
+    ]
+    schema = ("ts timestamp, symbol string, kind string, order_id string, "
+              "side string, order_type string, quantity double, "
+              "price double, stop_price double")
+    d = tmp_path / "book_in"
+    d.mkdir()
+    pd.DataFrame(events[:4]).to_json(d / "b0.json", orient="records",
+                                     lines=True)
+    pd.DataFrame(events[4:]).to_json(d / "b1.json", orient="records",
+                                     lines=True)
+    src = (spark.readStream.format("json").schema(schema)
+           .option("maxFilesPerTrigger", 1).load(str(d)))
+    out = stateful.streaming_order_book(src, slippage_pct=0.001)
+    q = (out.writeStream.format("memory").queryName("sbook")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM sbook").toPandas()
+           .sort_values("trade_id").reset_index(drop=True))
+
+    # batch replay of the same merged events through the same kernel
+    pdf = pd.DataFrame(events)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    merged = spark.createDataFrame(pdf, schema)
+    orders_df = merged.filter(F.col("kind") == "order").drop("kind")
+    ticks_df = (merged.filter(F.col("kind") == "tick")
+                .select("ts", "symbol", "price"))
+    batch = (orderbook.simulate_order_book(orders_df, ticks_df,
+                                           slippage_pct=0.001)
+             .toPandas().sort_values("trade_id").reset_index(drop=True))
+    assert len(got) == len(batch) > 0
+    for col in ["trade_id", "ts", "symbol", "side", "order_id"]:
+        assert got[col].tolist() == batch[col].tolist(), col
+    np.testing.assert_allclose(got["quantity"], batch["quantity"])
+    np.testing.assert_allclose(got["price"], batch["price"])
+    # the resting limit and the converted stop-limit filled across the
+    # micro-batch boundary
+    assert {"o1", "o2", "o3", "o4"} <= set(batch["order_id"])
