@@ -81,6 +81,8 @@ def simulate_order_book(
       (slippage) resp. limit order.
     - each tick: resting buy limits with price >= tick fill at limit; sells
       with price <= tick fill at limit (:427-460).
+    - cancel (order_type='cancel' naming an earlier order_id): removes the
+      resting limit or armed stop from the book (remove_order, :109-123).
 
     ``emit='snapshots'`` returns per-tick book state instead of fills:
     ``(ts, symbol, last, best_bid, best_ask, spread, bid_depth, ask_depth)``
@@ -264,6 +266,21 @@ class _Matcher:
                                "quantity": row.quantity, "price": row.price,
                                "stop_price": sp,
                                "order_type": row.order_type})
+        elif row.order_type == "cancel":
+            self.cancel(row.order_id)
+
+    def cancel(self, order_id):
+        """Remove a resting limit or armed stop (order_book.py:109-123
+        remove_order). Eager heap rebuild — books are per-symbol small, and
+        depth snapshots must not count cancelled orders."""
+        for heap in (self.book.bids, self.book.asks):
+            kept = [e for e in heap if e[2]["order_id"] != order_id]
+            if len(kept) != len(heap):
+                heap[:] = kept
+                heapq.heapify(heap)
+                return
+        self.stops[:] = [o for o in self.stops
+                         if o["order_id"] != order_id]
 
     def process(self, pdf: pd.DataFrame) -> None:
         # orders (kind='order') sort before ticks at equal ts

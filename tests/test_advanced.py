@@ -973,3 +973,37 @@ def test_dashboard_http_surface():
             assert e.code == 404
     finally:
         d.stop()
+
+
+def test_order_book_cancel(spark):
+    """Cancel removes a resting limit / armed stop before it can fill
+    (order_book.py:109-123 remove_order semantics)."""
+    schema = ("order_id string, ts timestamp, symbol string, side string, "
+              "order_type string, quantity double, price double, "
+              "stop_price double")
+    orders = spark.createDataFrame([
+        # resting buy limit, cancelled before the crossing tick
+        ("o1", _ts(1), "A", "buy", "limit", 5.0, 99.0, None),
+        ("c1", _ts(2), "A", None, "cancel", None, None, None),
+        # armed stop, cancelled before its trigger
+        ("o2", _ts(1), "B", "sell", "stop", 5.0, None, 95.0),
+        ("c2", _ts(2), "B", None, "cancel", None, None, None),
+        # identical uncancelled orders that DO fill
+        ("o3", _ts(1), "C", "buy", "limit", 5.0, 99.0, None),
+    ], schema)
+    # cancel rows reference their target via order_id: rewrite c1/c2
+    orders = orders.withColumn(
+        "order_id",
+        F.when(F.col("order_id") == "c1", "o1")
+        .when(F.col("order_id") == "c2", "o2")
+        .otherwise(F.col("order_id")))
+    ticks = spark.createDataFrame([
+        Row(ts=_ts(0), symbol=s, price=100.0) for s in "ABC"
+    ] + [
+        Row(ts=_ts(3), symbol=s, price=94.0) for s in "ABC"  # would trigger
+    ])
+    fills = orderbook.simulate_order_book(orders, ticks, slippage_pct=0.001)
+    got = {(r.symbol, r.order_id) for r in fills.collect()}
+    assert ("C", "o3") in got          # uncancelled twin fills
+    assert ("A", "o1") not in got      # cancelled limit never fills
+    assert ("B", "o2") not in got      # cancelled stop never triggers
