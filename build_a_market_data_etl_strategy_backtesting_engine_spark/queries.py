@@ -1478,6 +1478,18 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('view', 'buy', 104, 55375.08),
         ('view', 'sell', 80, 43039.64),
       ],
+      100000: [
+        ('click', 'buy', 1005, 527572.34),
+        ('click', 'sell', 1000, 506677.21),
+        ('error', 'buy', 980, 503582.2),
+        ('error', 'sell', 1043, 529694.8),
+        ('purchase', 'buy', 976, 477909.15),
+        ('purchase', 'sell', 1025, 521570.97),
+        ('signup', 'buy', 1002, 485410.36),
+        ('signup', 'sell', 986, 491806.98),
+        ('view', 'buy', 1036, 526074.02),
+        ('view', 'sell', 945, 477784.64),
+      ],
      }),
     'q37': (['symbol', 'n_bars', 'final_cash', 'final_position', 'final_equity'],
      {
@@ -1494,6 +1506,13 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('purchase', 673, 17841.64, -100.0, 6868.84),
         ('signup', 686, 6414.51, 0.0, 6414.51),
         ('view', 667, 19643.75, -100.0, 9602.95),
+      ],
+      100000: [
+        ('click', 720, 17595.07, -100.0, 6204.47),
+        ('error', 720, 6350.42, 0.0, 6350.42),
+        ('purchase', 720, 16108.74, -100.0, 3836.24),
+        ('signup', 720, 15138.85, -100.0, 5088.05),
+        ('view', 720, 18815.48, -100.0, 8352.78),
       ],
      }),
     'q38': (['objective', 'symbol', 'weight', 'port_vol', 'port_sharpe'],
@@ -1531,6 +1550,23 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('risk_parity', 'purchase', 0.188672, 0.444502, 1.109993),
         ('risk_parity', 'signup', 0.195952, 0.444502, 1.109993),
         ('risk_parity', 'view', 0.232992, 0.444502, 1.109993),
+      ],
+      100000: [
+        ('max_sharpe', 'click', 0.209333, 0.455099, 1.16007),
+        ('max_sharpe', 'error', 0.200272, 0.455099, 1.16007),
+        ('max_sharpe', 'purchase', 0.236188, 0.455099, 1.16007),
+        ('max_sharpe', 'signup', 0.186615, 0.455099, 1.16007),
+        ('max_sharpe', 'view', 0.167592, 0.455099, 1.16007),
+        ('min_volatility', 'click', 0.224004, 0.453646, 1.156365),
+        ('min_volatility', 'error', 0.196434, 0.453646, 1.156365),
+        ('min_volatility', 'purchase', 0.24861, 0.453646, 1.156365),
+        ('min_volatility', 'signup', 0.159693, 0.453646, 1.156365),
+        ('min_volatility', 'view', 0.171259, 0.453646, 1.156365),
+        ('risk_parity', 'click', 0.212931, 0.455169, 1.158553),
+        ('risk_parity', 'error', 0.198697, 0.455169, 1.158553),
+        ('risk_parity', 'purchase', 0.225297, 0.455169, 1.158553),
+        ('risk_parity', 'signup', 0.178637, 0.455169, 1.158553),
+        ('risk_parity', 'view', 0.184437, 0.455169, 1.158553),
       ],
      }),
     'q39': (['symbol', 'n', 'sum_price', 'sum_volume', 'min_price', 'max_price'],
@@ -1593,6 +1629,28 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         (18, 0.64307, 1.025362, 0.607659, 0.918084),
         (19, 0.650638, 1.116368, 0.564902, 1.0),
       ],
+      100000: [
+        (0, 0.54458, 0.453646, 1.156365, 0.24861),
+        (1, 0.549321, 0.456523, 1.159462, 0.231119),
+        (2, 0.554061, 0.465047, 1.148403, 0.235506),
+        (3, 0.558801, 0.478916, 1.125043, 0.273413),
+        (4, 0.563542, 0.497685, 1.092141, 0.31132),
+        (5, 0.568282, 0.520823, 1.052723, 0.349227),
+        (6, 0.573023, 0.547777, 1.009576, 0.387133),
+        (7, 0.577763, 0.578014, 0.964965, 0.42504),
+        (8, 0.582503, 0.611046, 0.920558, 0.462947),
+        (9, 0.587244, 0.646445, 0.877482, 0.500853),
+        (10, 0.591984, 0.683843, 0.836425, 0.53876),
+        (11, 0.596724, 0.722943, 0.797745, 0.577467),
+        (12, 0.601465, 0.764079, 0.761001, 0.620504),
+        (13, 0.606205, 0.807331, 0.726102, 0.665962),
+        (14, 0.610945, 0.854073, 0.691914, 0.719263),
+        (15, 0.615686, 0.904452, 0.658615, 0.772563),
+        (16, 0.620426, 0.958524, 0.626407, 0.82835),
+        (17, 0.625167, 1.017861, 0.594547, 0.885567),
+        (18, 0.629907, 1.081781, 0.563799, 0.942783),
+        (19, 0.634647, 1.14952, 0.534699, 1.0),
+      ],
      }),
     'q65': (['symbol', 'n_snaps', 'max_bid_depth', 'max_ask_depth',
              'n_quoted', 'avg_spread', 'final_bid', 'final_ask'],
@@ -1610,6 +1668,13 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('purchase', 1981, 3, 4, 335, 227.8678, None, 389.2455),
         ('signup', 2017, 3, 3, 223, 160.2044, 0.076, None),
         ('view', 1982, 3, 3, 62, 93.3088, 0.665, None),
+      ],
+      100000: [
+        ('click', 19863, 4, 6, 5491, 345.9405, None, 322.6965),
+        ('error', 19810, 5, 4, 4012, 194.9507, 0.038, None),
+        ('purchase', 20084, 4, 5, 5578, 218.8402, 15.1145, 399.42),
+        ('signup', 20302, 5, 6, 8016, 296.7504, 0.0095, 428.295),
+        ('view', 19941, 4, 4, 3216, 180.9536, None, None),
       ],
      }),
 }
