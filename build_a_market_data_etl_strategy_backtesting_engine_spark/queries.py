@@ -3126,3 +3126,46 @@ def q68(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("bar_us"),
         "s_ma", "s_mom", "s_mr", "signal",
     )
+
+
+@_register(
+    "q69_rl_policy_signals",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) AS rn
+           FROM bars),
+    r AS (SELECT symbol, bts, rn,
+                 coalesce(p / lag(p) OVER w - 1.0e0, 0.0e0) AS ret
+          FROM px WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    st AS (SELECT symbol, bts, rn,
+                  avg(ret) OVER (PARTITION BY symbol ORDER BY bts
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m
+           FROM r)
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           CASE WHEN rn > 10 AND m > 5.0e-4 THEN 1
+                WHEN rn > 10 AND m < -5.0e-4 THEN -1
+                ELSE 0 END AS signal
+    FROM st
+    """,
+)
+def q69(spark, sf_dir):
+    """The RL strategy bridge (ml_strategy.py:252-309) under a deterministic
+    linear policy: state = previous 10 returns, action = sign(mean(state))
+    past a ±5e-4 threshold. Pins the Arrow loop's state-window construction
+    (rets[i-n:i], zeros-filled warm-up, signal 0 for the first n rows) —
+    a learned agent plugs into the identical code path."""
+    import numpy as np
+
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+
+    def policy(state: "np.ndarray") -> int:
+        m = float(state.mean())
+        return 1 if m > 5.0e-4 else (-1 if m < -5.0e-4 else 0)
+
+    out = ml_ops.rl_strategy_signals(px, policy, state_size=10)
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"), "signal")
