@@ -3169,3 +3169,47 @@ def q69(spark, sf_dir):
     out = ml_ops.rl_strategy_signals(px, policy, state_size=10)
     return out.select(
         "symbol", F.unix_micros("ts").alias("bar_us"), "signal")
+
+
+@_register(
+    "q70_sequence_tensors",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    px AS (SELECT symbol, bts, 100.0e0 + close / 10.0e0 AS p FROM bars),
+    r AS (SELECT symbol, bts,
+                 coalesce(p / lag(p) OVER w - 1.0e0, 0.0e0) AS ret,
+                 row_number() OVER w AS rn
+          FROM px WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    s AS (SELECT symbol, bts, rn,
+                 list(ret) OVER (PARTITION BY symbol ORDER BY bts
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS seq
+          FROM r)
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           CASE WHEN rn >= 10 THEN CAST(len(seq) AS INTEGER) END AS n,
+           CASE WHEN rn >= 10 THEN round(seq[1], 9) END AS first_ret,
+           CASE WHEN rn >= 10 THEN round(seq[-1], 9) END AS last_ret,
+           CASE WHEN rn >= 10 THEN round(list_sum(seq), 9) END AS checksum
+    FROM s
+    """,
+)
+def q70(spark, sf_dir):
+    """Sequence-tensor builder (ml_strategy.py:223-249): per-row arrays of
+    the trailing 10 returns with NULL warm-up. The oracle pins the window
+    frame's ORDER, bounds, and gating through scalar projections (length,
+    endpoints, element checksum) of the array column."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    r = signals.simple_returns(px, price_col="close", out_col="ret")
+    s = ml_ops.build_sequences(r, ["ret"], seq_len=10)
+    vals = F.transform(F.col("sequence"), lambda x: x["ret"])
+    return s.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.size("sequence").alias("n"),
+        F.round(F.element_at(vals, 1), 9).alias("first_ret"),
+        F.round(F.element_at(vals, -1), 9).alias("last_ret"),
+        F.round(
+            F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), 9
+        ).alias("checksum"),
+    )
