@@ -116,3 +116,88 @@ def test_metrics_invariants(spark, rets):
     assert -1e-12 <= m.win_rate <= 1 + 1e-12
     exp_tr = float(np.prod(1 + np.array(rets)) - 1)
     assert abs(m.total_return - exp_tr) <= 1e-9 * max(1.0, abs(exp_tr))
+
+
+# ------------------------------------------------ matcher kernel (no Spark)
+
+def _mk_events(spec):
+    """spec: list of (kind, side, otype, qty, price, stop) tuples -> the
+    matcher's event frame, strictly increasing ts."""
+    rows = []
+    for i, (kind, side, otype, qty, price, stop) in enumerate(spec):
+        rows.append({
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+            "kind": kind, "order_id": f"o{i}", "side": side,
+            "order_type": otype, "quantity": qty, "price": price,
+            "stop_price": stop,
+        })
+    return pd.DataFrame(rows)
+
+
+_event_st = st.lists(
+    st.one_of(
+        # tick
+        st.tuples(st.just("tick"), st.none(), st.none(), st.none(),
+                  st.floats(1.0, 200.0), st.none()),
+        # limit / market / stop / stop_limit order
+        st.tuples(st.just("order"),
+                  st.sampled_from(["buy", "sell"]),
+                  st.sampled_from(["limit", "market", "stop", "stop_limit"]),
+                  st.floats(1.0, 50.0),
+                  st.floats(1.0, 200.0),
+                  st.floats(1.0, 200.0)),
+    ),
+    min_size=2, max_size=40,
+)
+
+
+@given(spec=_event_st, frac=st.floats(0.1, 0.9),
+       cross=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_matcher_state_roundtrip_equals_oneshot(spec, frac, cross):
+    """Streaming-state codec soundness: processing events [0..k) then
+    serializing the matcher through to_state()/from_state() and processing
+    [k..n) yields EXACTLY the one-shot fills — for any split point, any
+    event mix, with and without order-vs-order crossing. This is the
+    invariant the streaming order book's correctness rests on."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.orderbook import (
+        _Matcher,
+    )
+
+    events = _mk_events(spec)
+    k = max(1, min(len(events) - 1, int(len(events) * frac)))
+
+    one = _Matcher("A", 0.001, cross, "fills")
+    one.process(events)
+
+    m1 = _Matcher("A", 0.001, cross, "fills")
+    m1.process(events.iloc[:k])
+    state = m1.to_state()
+    fills_head = list(m1.fills)
+    m2 = _Matcher.from_state("A", 0.001, cross, state)
+    m2.process(events.iloc[k:])
+    assert fills_head + list(m2.fills) == list(one.fills)
+
+
+@given(spec=_event_st, cross=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_matcher_conservation(spec, cross):
+    """Per-order fill conservation: an order never fills more than its
+    submitted quantity; every fill has positive qty and price; and in
+    crossing mode book-vs-book trades balance buys against sells."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.orderbook import (
+        _Matcher,
+    )
+
+    events = _mk_events(spec)
+    m = _Matcher("A", 0.001, cross, "fills")
+    m.process(events)
+    submitted = {
+        f"o{i}": spec[i][3] for i in range(len(spec)) if spec[i][0] == "order"
+    }
+    filled: dict[str, float] = {}
+    for (_tid, _ts, _sym, _side, qty, px, oid) in m.fills:
+        assert qty > 0 and px > 0
+        filled[oid] = filled.get(oid, 0.0) + qty
+    for oid, q in filled.items():
+        assert q <= submitted[oid] + 1e-9
