@@ -3213,3 +3213,134 @@ def q70(spark, sf_dir):
             F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), 9
         ).alias("checksum"),
     )
+
+
+# Date-window constants for the TPC-H-shaped queries. The date columns are
+# TIMESTAMP_NTZ (naive): Spark string->timestamp_ntz casts and DuckDB naive
+# TIMESTAMP literals compare identically in ANY session timezone.
+_D_1996_Q1_LO = "1996-01-01 00:00:00"
+_D_1996_Q1_HI = "1996-04-01 00:00:00"
+_D_1998 = "1998-01-01 00:00:00"
+
+
+def _ntz(x: str):
+    return F.lit(x).cast("timestamp_ntz")
+
+
+@_register(
+    "q71_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1.0e0 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_D_1998}'
+      AND l_shipdate > TIMESTAMP '{_D_1998}'
+    GROUP BY l_orderkey, odate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q71(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
+    revenue per order, top 10 — dims broadcast, one agg shuffle, then
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return (
+        t["lineitem"]
+        .join(F.broadcast(
+            t["orders"].filter(F.col("o_orderdate") < _ntz(_D_1998))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("l_shipdate") > _ntz(_D_1998))
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                 "o_orderpriority")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q72_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1.0e0 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{_D_1996_Q1_LO}'
+      AND o_orderdate < TIMESTAMP '{_D_1996_Q1_HI}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q72(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter-windowed 4-way
+    join on returnflag='R', revenue per customer, top 20."""
+    t = load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "nation"])
+    od = F.col("o_orderdate")
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(
+            t["orders"].filter((od >= _ntz(_D_1996_Q1_LO))
+                               & (od < _ntz(_D_1996_Q1_HI)))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q73_promo_revenue",
+    f"""
+    SELECT round(100.0e0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1.0e0 - l_discount) END)
+                 / sum(l_extendedprice * (1.0e0 - l_discount)), 6)
+             AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{_D_1996_Q1_LO}'
+      AND l_shipdate < TIMESTAMP '{_D_1996_Q1_HI}'
+    """,
+)
+def q73(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional-ratio aggregate over
+    a quarter-windowed lineitem ⋈ part broadcast join — single scalar row."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    sd = F.col("l_shipdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter((sd >= _ntz(_D_1996_Q1_LO)) & (sd < _ntz(_D_1996_Q1_HI)))
+        .join(F.broadcast(t["part"]),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev)) / F.sum(rev), 6)
+            .alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
