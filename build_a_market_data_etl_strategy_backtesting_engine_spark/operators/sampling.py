@@ -1,0 +1,151 @@
+"""Deterministic sampling + token-budget packing for training-corpus curation.
+
+Beyond-reference components (the reference engine has no sampling surface):
+these are the knobs a 100 TB LLM-data pipeline turns constantly — "keep 3%
+of CommonCrawl but 100% of books", "shard documents into ~8k-token training
+sequences" — expressed so they scale:
+
+- hash sampling is pure map-side: a deterministic per-row expression, no
+  shuffle, no RNG state to coordinate across 1000 executors, and stable
+  under retries/re-partitioning (the same row is always in or always out);
+- stratified rates ride a literal CASE expression (a handful of strata) —
+  no join at all;
+- packing uses a window cumsum; at scale it partitions by an explicit
+  shard column so no global sort is required.
+
+Two hash flavours:
+- production: ``xxhash64`` (JVM codegen, 64-bit, fast);
+- portable:   first 4 md5 hex digits (identical in DuckDB — the oracle
+  twin), decoded with ``ascii()`` arithmetic so both engines evaluate the
+  exact same integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "portable_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_token_budget",
+]
+
+#: bucket space for rate thresholds (rate 0.1234 -> threshold 1234)
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, n: int = N_BUCKETS) -> Column:
+    """Fast production bucket in [0, n): pmod(xxhash64(key), n)."""
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(n))
+
+
+def _hex_digit(h: Column, j: int) -> Column:
+    """Value 0..15 of 1-based hex char ``j`` of a lowercase hex string.
+
+    ascii('0'..'9') = 48..57, ascii('a'..'f') = 97..102 — decoded with
+    arithmetic only, so the same expression runs verbatim in DuckDB.
+    """
+    a = F.ascii(F.substring(h, j, 1))
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def portable_bucket(key: Column, n: int = N_BUCKETS) -> Column:
+    """Engine-portable bucket in [0, n): first 4 md5 hex digits mod n.
+
+    4 hex digits span [0, 65536) -> ``n`` must be <= 65536. Used by the
+    DuckDB oracle twins; ~2x slower than xxhash64 but still codegen'd.
+    """
+    if n > 65536:
+        raise ValueError("portable_bucket supports n <= 65536")
+    h = F.md5(key.cast("string"))
+    v = (
+        _hex_digit(h, 1) * 4096 + _hex_digit(h, 2) * 256
+        + _hex_digit(h, 3) * 16 + _hex_digit(h, 4)
+    )
+    return v % n
+
+
+def portable_bucket_sql(key_sql: str, n: int = N_BUCKETS) -> str:
+    """The DuckDB-SQL twin of :func:`portable_bucket` (same arithmetic)."""
+    digit = (
+        "(CASE WHEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) >= 97 "
+        "THEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 87 "
+        "ELSE ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 48 END)"
+    )
+    d = [digit.format(k=key_sql, j=j) for j in (1, 2, 3, 4)]
+    return f"(({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]}) % {n})"
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by hashing ``key_col``.
+
+    Map-side filter — no shuffle, reproducible across runs/retries, and
+    consistent across tables (the same key sampled in two tables keeps or
+    drops together, which plain ``df.sample`` cannot guarantee).
+    """
+    bucket = (portable_bucket if portable else hash_bucket)(F.col(key_col))
+    return df.filter(bucket < int(round(rate * N_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling ("keep 10% of en, all of fr").
+
+    Rates become one literal CASE expression — no join, no broadcast, the
+    filter stays inside whole-stage codegen next to the scan.
+    """
+    thr = F.lit(int(round(default_rate * N_BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, int(round(rate * N_BUCKETS))
+        ).otherwise(thr)
+    bucket = (portable_bucket if portable else hash_bucket)(F.col(key_col))
+    return df.filter(bucket < thr)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training shards.
+
+    Sequential packing rule: order documents by ``order_col`` (within
+    ``shard_col`` if given), take the running token count *before* each
+    document, and put the document in bin ``floor(start / budget)``.
+    Integer arithmetic end-to-end — bit-identical across engines.
+
+    100 TB: always pass ``shard_col`` (e.g. a hash-derived shard id) so the
+    window sorts per-shard instead of globally; bins are then
+    (shard, bin_in_shard) pairs. A single global ordering of 100 TB of
+    documents is exactly the sort this avoids.
+    """
+    part = [shard_col] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    out = df.withColumn("bin", F.floor(start / F.lit(budget)))
+    if shard_col:
+        out = out.withColumn(
+            "bin", F.concat_ws("#", F.col(shard_col), F.col("bin"))
+        )
+    return out

@@ -100,6 +100,99 @@ def quality_features(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count / doc token count; idf = ln(N_docs / doc_freq);
+    rank by the *rounded* score (granularity >> cross-engine libm noise)
+    with term as the deterministic tiebreak.
+
+    Shape at 100 TB: tokenize+explode is map-side; (doc, term) counts are a
+    map-combinable agg; doc totals reuse the doc_id partitioning via a
+    window; doc_freq is a second map-combinable agg joined back on term
+    (term dimension ~ vocabulary, far smaller than the postings table);
+    N_docs rides a broadcast 1-row crossJoin — the plan stays fully lazy.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.withColumn(
+        "total", F.sum("cnt").over(W.partitionBy(id_col))
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
+    ndocs = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("total"))
+                * F.log(F.col("n_docs") / F.col("doc_freq")),
+                round_digits,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tfidf", "rn")
+    )
+
+
+#: (name, regex) redaction rules — Java-regex and RE2 compatible subset
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b555-[0-9]{4}\b"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    token: str = "[{name}]",
+) -> DataFrame:
+    """Scrub PII-like spans, emitting the redacted text plus one match-count
+    column per rule (``n_<name>``).
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` expressions — the whole
+    scrub is map-side codegen with zero shuffle, which is the only shape
+    that survives scrubbing 100 TB. Patterns stay in the RE2-compatible
+    subset of Java regex so the DuckDB oracle twin runs them verbatim.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = docs
+    redacted = F.col(text_col)
+    for name, pat in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+        redacted = F.regexp_replace(
+            redacted, pat, token.format(name=name.upper())
+        )
+    return out.withColumn("redacted", redacted)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted token
     multiset — catches shuffled-word duplicates exact hashing misses."""

@@ -3344,3 +3344,144 @@ def q73(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ===================== corpus curation extensions: tf-idf / sampling / packing
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    sampling as sampling_ops,
+)
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, t AS term FROM documents, "
+    "unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+    " AS u(t))"
+)
+
+@_register(
+    "q74_tfidf_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks
+           GROUP BY doc_id, term),
+    tft AS (SELECT doc_id, term, cnt,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS total FROM tf),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks
+              GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round((cnt / CAST(total AS DOUBLE))
+                   * ln(CAST(n_docs AS DOUBLE) / doc_freq), 8) AS tfidf
+      FROM tft JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+               FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q74(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.py tfidf_top_terms):
+    explode -> two map-combinable aggs -> vocabulary join -> broadcast N ->
+    rounded-score ranking with term tiebreak."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return text_ops.tfidf_top_terms(t["documents"], k=3)
+
+
+_STRAT_RATES = {"en": 0.05, "de": 0.5, "es": 0.25, "fr": 1.0, "zh": 0.0}
+_BUCKET_SQL = sampling_ops.portable_bucket_sql("doc_id")
+
+@_register(
+    "q75_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET_SQL} <
+          (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 5000
+                     WHEN 'es' THEN 2500 WHEN 'fr' THEN 10000 ELSE 0 END)
+    """,
+)
+def q75(spark, sf_dir):
+    """Deterministic stratified hash-sample by language
+    (operators/sampling.py): portable md5-bucket < per-stratum threshold,
+    a pure map-side filter — no shuffle, no RNG state, retry-stable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return sampling_ops.stratified_sample(
+        t["documents"], "doc_id", "lang", _STRAT_RATES, portable=True
+    ).select("doc_id", "lang", "source")
+
+
+@_register(
+    "q76_token_budget_packing",
+    """
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) - n_tok AS start FROM d)
+    SELECT CAST(floor(start / 2000) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY bin
+    """,
+)
+def q76(spark, sf_dir):
+    """Sequential token-budget packing into 2000-token training shards
+    (operators/sampling.py pack_token_budget): integer cumsum window ->
+    floor(start/budget) bins, then per-bin stats."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id", text_ops.token_count("text").alias("n_tok")
+    )
+    packed = sampling_ops.pack_token_budget(d, "n_tok", "doc_id", 2000)
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+@_register(
+    "q77_pii_redaction",
+    """
+    WITH d AS (SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text2
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text2, '\\b555-[0-9]{4}\\b'))
+                AS INTEGER) AS n_phone,
+           md5(regexp_replace(regexp_replace(text2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '[EMAIL]', 'g'),
+                '\\b555-[0-9]{4}\\b', '[PHONE]', 'g')) AS redacted_md5
+    FROM d
+    """,
+)
+def q77(spark, sf_dir):
+    """PII scrub (operators/text.py redact_pii) over deterministic
+    synthesized spans (corpus text has no PII, so the query plants an email
+    + phone per doc from doc_id): per-rule match counts + md5 of the
+    redacted text. Entirely map-side regexp codegen."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].withColumn(
+        "text2",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ),
+    )
+    red = text_ops.redact_pii(d, "text2")
+    return red.select(
+        "doc_id", F.col("n_email"), F.col("n_phone"),
+        F.md5("redacted").alias("redacted_md5"),
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for operators/sampling.py and the tf-idf / redaction text ops."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    sampling,
+    text as text_ops,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i % 7} common w{i % 3} tail{i}",
+             lang=["en", "de", "fr"][i % 3]) for i in range(300)]
+    )
+
+
+def test_deterministic_sample_stable_and_rate(spark, docs):
+    a = sampling.deterministic_sample(docs, "doc_id", 0.3)
+    b = sampling.deterministic_sample(docs.repartition(7), "doc_id", 0.3)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b  # partitioning-invariant membership
+    assert 0.15 < len(ids_a) / 300 < 0.45  # rate in the right ballpark
+    # subset property: lower rate selects a subset of a higher rate
+    small = {r.doc_id for r in
+             sampling.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert small <= set(ids_a)
+
+
+def test_portable_bucket_matches_duckdb(spark, docs):
+    import duckdb
+
+    got = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", sampling.portable_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    sql = sampling.portable_bucket_sql("i")
+    want = dict(
+        duckdb.connect().execute(
+            f"SELECT i, {sql} FROM range(300) t(i)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_stratified_sample_rates(spark, docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    ).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in out}
+    assert counts["en"] == 100  # rate 1.0 keeps every en doc
+    assert "de" not in counts  # rate 0.0 drops all de docs
+    assert 20 < counts.get("fr", 0) < 80  # default rate applies to fr
+
+
+def test_pack_token_budget_invariants(spark, docs):
+    d = docs.select("doc_id", text_ops.token_count("text").alias("n_tok"))
+    packed = sampling.pack_token_budget(d, "n_tok", "doc_id", 50)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    # conservation: every doc lands in exactly one bin
+    assert len(rows) == 300
+    # bins are contiguous in doc order and each starts below the budget
+    start = 0
+    for r in rows:
+        assert r.bin == start // 50
+        start += r.n_tok
+    # sharded mode: window partitions by shard, bin keys are shard-scoped
+    sharded = sampling.pack_token_budget(
+        d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4))),
+        "n_tok", "doc_id", 50, shard_col="shard",
+    )
+    assert sharded.filter(~F.col("bin").contains("#")).count() == 0
+
+
+def test_tfidf_hand_case(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="apple banana apple"),
+        Row(doc_id=1, text="banana cherry"),
+    ])
+    out = {(r.doc_id, r.term): r.tfidf
+           for r in text_ops.tfidf_top_terms(d, k=3).collect()}
+    # apple: tf 2/3 in doc0, df=1 of 2 docs -> (2/3)*ln(2)
+    assert out[(0, "apple")] == pytest.approx((2 / 3) * math.log(2), abs=1e-7)
+    # banana appears in both docs -> idf ln(1) = 0
+    assert out[(0, "banana")] == 0.0
+    assert out[(1, "cherry")] == pytest.approx(0.5 * math.log(2), abs=1e-7)
+
+
+def test_redact_pii_counts_and_text(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="mail a@b.com and c.d@e.org, call 555-1234"),
+        Row(doc_id=1, text="nothing here"),
+    ])
+    rows = {r.doc_id: r for r in text_ops.redact_pii(d).collect()}
+    assert (rows[0].n_email, rows[0].n_phone) == (2, 1)
+    assert rows[0].redacted == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert (rows[1].n_email, rows[1].n_phone) == (0, 0)
+    assert rows[1].redacted == "nothing here"
