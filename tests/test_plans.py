@@ -144,3 +144,41 @@ def test_salted_agg_two_exchanges(spark):
         docs, "lang",
         {"n": ("count", "doc_id"), "c": ("sum", "n_chars")}, n_salt=8)
     assert plans.count_shuffles(out) == 2
+
+
+def test_stratified_sample_is_shuffle_free_codegen(spark):
+    """Hash sampling must stay a map-side filter: zero exchanges, and the
+    bucket-threshold predicate lives inside whole-stage codegen next to
+    the scan — the only shape that survives sampling 100 TB."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sampling
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5})
+    assert plans.count_shuffles(out) == 0
+    assert plans.wholestage_codegen_count(out) >= 1
+    out2 = sampling.deterministic_sample(docs, "doc_id", 0.25)
+    assert plans.count_shuffles(out2) == 0
+
+
+def test_pack_token_budget_sharded_single_shuffle(spark):
+    """Sharded packing = one exchange (hash by shard for the window sort);
+    the global variant is for small/oracle inputs only."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sampling
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id", text_ops.token_count("text").alias("n_tok"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("shard"))
+    packed = sampling.pack_token_budget(
+        d, "n_tok", "doc_id", 2000, shard_col="shard")
+    assert plans.count_shuffles(packed) == 1
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    out = text_ops.redact_pii(docs)
+    assert plans.count_shuffles(out) == 0
