@@ -163,3 +163,44 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int quantization for embedding storage.
+
+    scale = max(|x|) / (2^(bits-1) - 1); q_i = round(x_i / scale) — the
+    standard absmax scheme that cuts a float32 embedding store 4x (int8)
+    before ANN indexing. Emits the quantized array, its scale, and the
+    max absolute reconstruction error so a pipeline can gate on quality.
+
+    Pure higher-order array expressions (transform/aggregate) — map-side,
+    zero shuffle, survives a 100 TB embedding table by construction.
+    Zero vectors keep scale=0 and quantize to all-zero with zero error.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(qmax)
+    q = F.when(
+        F.col("q_scale") > 0,
+        F.transform(v, lambda x: F.round(x / F.col("q_scale")).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    err = F.when(
+        F.col("q_scale") > 0,
+        F.array_max(
+            F.zip_with(
+                v, F.col("q_vec"),
+                lambda x, qi: F.abs(x - qi.cast("double") * F.col("q_scale")),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        embeddings.withColumn("q_scale", scale)
+        .withColumn("q_vec", q)
+        .withColumn("max_abs_err", err)
+        .select(id_col, "q_scale", "q_vec", "max_abs_err")
+    )

@@ -3485,3 +3485,39 @@ def q77(spark, sf_dir):
         "doc_id", F.col("n_email"), F.col("n_phone"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+@_register(
+    "q78_embedding_quantization",
+    """
+    WITH v AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+          list_max(list_transform(e, x -> abs(x))) / 127.0e0 AS q_scale
+          FROM v)
+    SELECT vec_id, round(q_scale, 8) AS q_scale_r,
+           CAST(CASE WHEN q_scale > 0 THEN list_sum(list_transform(e,
+                x -> CAST(round(x / q_scale) AS INTEGER))) ELSE 0 END
+                AS BIGINT) AS q_sum,
+           round(CASE WHEN q_scale > 0 THEN list_max(list_transform(e,
+                x -> abs(x - round(x / q_scale) * q_scale))) ELSE 0.0e0 END,
+                8) AS max_abs_err_r
+    FROM s
+    """,
+)
+def q78(spark, sf_dir):
+    """Int8 absmax embedding quantization (operators/similarity.py
+    quantize_embeddings): per-vector scale, quantized-sum checksum, and max
+    reconstruction error — all higher-order array expressions, zero
+    shuffle."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qd = sim_ops.quantize_embeddings(t["embeddings"])
+    return qd.select(
+        "vec_id",
+        F.round("q_scale", 8).alias("q_scale_r"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.round("max_abs_err", 8).alias("max_abs_err_r"),
+    )

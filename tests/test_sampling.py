@@ -104,3 +104,28 @@ def test_redact_pii_counts_and_text(spark):
     assert rows[0].redacted == "mail [EMAIL] and [EMAIL], call [PHONE]"
     assert (rows[1].n_email, rows[1].n_phone) == (0, 0)
     assert rows[1].redacted == "nothing here"
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        similarity,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import plans
+
+    d = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, -0.5, 0.25]),
+         Row(vec_id=1, embedding=[0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    out = similarity.quantize_embeddings(d)
+    rows = {r.vec_id: r for r in out.collect()}
+    # absmax maps the largest-|x| element to +/-127 exactly
+    assert rows[0].q_vec == [127, -64, 32]
+    assert rows[0].q_scale == pytest.approx(1.0 / 127, rel=1e-12)
+    # reconstruction error bounded by scale/2 (round-to-nearest)
+    assert rows[0].max_abs_err <= rows[0].q_scale / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, zero error (no div-by-zero)
+    assert rows[1].q_scale == 0.0
+    assert rows[1].q_vec == [0, 0, 0]
+    assert rows[1].max_abs_err == 0.0
+    # map-side only: no exchange in the plan
+    assert plans.count_shuffles(out) == 0
