@@ -153,6 +153,45 @@ def _resize_one(content: bytes, w: int, h: int) -> bytes:
     return buf.getvalue()
 
 
+AUDIO_SCHEMA = ("media_id long, n_bytes int, n_samples int, "
+                "duration_s double, rms double, peak double")
+
+
+def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Waveform features over raw PCM16 audio payloads — a REAL decode
+    (unlike the stubbed image path): little-endian int16 PCM needs only
+    numpy, so rms/peak/duration are computed from the actual bytes.
+
+    mapInPandas keeps one Python crossing per Arrow batch; the numpy body
+    is vectorized per item. Containerized formats (wav/mp3/flac) would
+    strip headers in the same UDF body on a real cluster — the engine-side
+    contract (binary column in, typed feature rows out) is unchanged.
+    """
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                a /= 32768.0
+                n = len(a)
+                feats.append((
+                    mid, len(bytes(b or b"")), n, n / sample_rate,
+                    float(np.sqrt(np.mean(a * a))) if n else 0.0,
+                    float(np.max(np.abs(a))) if n else 0.0,
+                ))
+            yield pd.DataFrame(feats, columns=[
+                "media_id", "n_bytes", "n_samples",
+                "duration_s", "rms", "peak",
+            ])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _run, AUDIO_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

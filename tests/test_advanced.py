@@ -1007,3 +1007,37 @@ def test_order_book_cancel(spark):
     assert ("C", "o3") in got          # uncancelled twin fills
     assert ("A", "o1") not in got      # cancelled limit never fills
     assert ("B", "o2") not in got      # cancelled stop never triggers
+
+
+def test_audio_features_pcm_decode(spark):
+    """audio_features is a REAL decode: a synthesized int16 sine wave must
+    come back with rms ~ A/sqrt(2), peak ~ A, exact sample count."""
+    import math
+    import struct
+
+    import numpy as np
+
+    sr = 16000
+    n = sr // 4  # 250 ms
+    amp = 0.5
+    wave = [int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+            for i in range(n)]
+    payload = struct.pack(f"<{n}h", *wave)
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), "t/a", None, None, None, {}),
+         (2, "audio", bytearray(b""), "t/b", None, None, None, {}),
+         (3, "image", bytearray(b"xx"), "t/c", None, None, None, {})],
+        MEDIA_SCHEMA)
+    rows = {r.media_id: r
+            for r in multimodal.audio_features(media, sr).collect()}
+    assert set(rows) == {1, 2}  # image row filtered out
+    got = rows[1]
+    assert got.n_samples == n
+    assert got.duration_s == pytest.approx(0.25)
+    assert got.rms == pytest.approx(amp / np.sqrt(2), rel=2e-3)
+    assert got.peak == pytest.approx(amp, rel=2e-3)
+    assert rows[2].n_samples == 0 and rows[2].rms == 0.0
