@@ -228,3 +228,41 @@ def rolling_hash_fingerprints(
     fps = sh.withColumn("fp", F.min("h").over(w))
     # keep one row per distinct fingerprint value per doc (winnowing dedup)
     return fps.groupBy(doc_id_col, "fp").agg(F.min("pos").alias("pos"))
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-unigram LM score per document (perplexity proxy): the average
+    token log-probability under the corpus's own unigram distribution —
+    the cheap end of LM-based quality filtering (gibberish and boilerplate
+    score far from the corpus center; no OOV smoothing needed because the
+    vocabulary is built from the same corpus — plug add-k smoothing into
+    the ``cnt`` expression when scoring against an external LM table).
+
+    100 TB shape: two map-combinable aggs (term freq, per-doc avg) + one
+    join on the vocabulary (≪ postings) + a broadcast 1-row total.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), round_digits
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )

@@ -3521,3 +3521,24 @@ def q78(spark, sf_dir):
         ).alias("q_sum"),
         F.round("max_abs_err", 8).alias("max_abs_err_r"),
     )
+
+
+@_register(
+    "q79_unigram_logprob",
+    f"""
+    WITH {_TOKS_CTE},
+    freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT doc_id,
+           round(avg(ln(cnt / CAST(total AS DOUBLE))), 6) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q79(spark, sf_dir):
+    """Unigram-LM quality score (operators/text.py unigram_logprob):
+    per-document average token log-probability under the corpus unigram
+    distribution — the perplexity-proxy quality filter."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return text_ops.unigram_logprob(t["documents"])

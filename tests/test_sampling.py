@@ -129,3 +129,19 @@ def test_quantize_embeddings_roundtrip(spark):
     assert rows[1].max_abs_err == 0.0
     # map-side only: no exchange in the plan
     assert plans.count_shuffles(out) == 0
+
+
+def test_unigram_logprob_hand_case(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="a a b"),
+        Row(doc_id=1, text="b"),
+    ])
+    # corpus: a:2, b:2, total 4 -> p(a)=p(b)=0.5
+    rows = {r.doc_id: r for r in text_ops.unigram_logprob(d).collect()}
+    assert rows[0].avg_logprob == pytest.approx(math.log(0.5), abs=1e-6)
+    assert rows[0].n_tok == 3
+    assert rows[1].avg_logprob == pytest.approx(math.log(0.5), abs=1e-6)
+    # a rare token scores lower than common ones
+    d2 = d.union(spark.createDataFrame([Row(doc_id=2, text="rare")]))
+    r2 = {r.doc_id: r for r in text_ops.unigram_logprob(d2).collect()}
+    assert r2[2].avg_logprob < r2[0].avg_logprob
