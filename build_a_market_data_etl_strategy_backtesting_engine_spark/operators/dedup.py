@@ -362,3 +362,67 @@ def embedding_near_dups(
                 (dot / (na * nb)).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clustering: connected components over near-dup
+    pairs by min-label propagation (each node repeatedly adopts the
+    smallest label in its neighborhood). The cluster id is the smallest
+    member id — deterministic, partition-invariant.
+
+    Near-dup pair emitters (LSH bands, simhash, embedding buckets) produce
+    EDGES; dropping `doc_b` of each pair under-merges transitive chains
+    (a~b, b~c but a!~c). This closes the chains.
+
+    Scale shape: each round is one equi-join (edges ⋈ labels) + one
+    map-combinable min-agg; rounds needed = component diameter (near-dup
+    clusters are shallow — a handful). ``localCheckpoint`` truncates plan
+    lineage per round; the per-round convergence check is a single scalar
+    count (the standard driver boundary for iterative algorithms, same as
+    the k-means loop in similarity.py). For 100 TB graphs with adversarial
+    diameters, swap in large-star/small-star (O(log n) rounds) — the loop
+    scaffold is identical.
+    """
+    und = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = und.union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    if nodes is None:
+        nodes = und.select(F.col("src").alias(node_col)).distinct()
+    labels = nodes.select(
+        F.col(node_col).alias("id"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(nbr["nbr_min"], labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        old = labels.select("id", F.col("label").alias("old_label"))
+        changed = (
+            new_labels.join(old, "id")
+            .filter(F.col("label") != F.col("old_label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(node_col), F.col("label").alias("cluster")
+    )

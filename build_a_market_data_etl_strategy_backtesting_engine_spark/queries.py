@@ -3542,3 +3542,49 @@ def q79(spark, sf_dir):
     distribution — the perplexity-proxy quality filter."""
     t = load_tables(spark, sf_dir, ["documents"])
     return text_ops.unigram_logprob(t["documents"])
+
+
+@_register(
+    "q80_dup_clusters",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM g a JOIN g b
+             ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id
+    """,
+)
+def q80(spark, sf_dir):
+    """Transitive duplicate clusters (operators/dedup.py
+    connected_components): min-label propagation over same-source 3-gram
+    Jaccard >= 0.05 near-dup edges; every document labeled with the
+    smallest doc_id in its component. Oracle = DuckDB recursive CTE
+    reachability — a genuinely independent formulation of the same
+    fixpoint."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = (
+        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
+              "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    j = dedup_ops.ngram_jaccard_pairs(
+        d, cand.select("source", "doc_a", "doc_b"), n=3)
+    edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    return dedup_ops.connected_components(edges, d.select("doc_id"))

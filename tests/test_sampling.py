@@ -145,3 +145,25 @@ def test_unigram_logprob_hand_case(spark):
     d2 = d.union(spark.createDataFrame([Row(doc_id=2, text="rare")]))
     r2 = {r.doc_id: r for r in text_ops.unigram_logprob(d2).collect()}
     assert r2[2].avg_logprob < r2[0].avg_logprob
+
+
+def test_connected_components_chain_and_invariance(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (4, 5)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 6, 9)], "doc_id bigint")
+    out = {r.doc_id: r.cluster
+           for r in dedup.connected_components(edges, nodes).collect()}
+    # chain 1-2-3-9 closes transitively; 4-5 separate; 6 singleton
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4, 6: 6}
+    # partition invariance: same fixpoint under a different layout
+    out2 = {r.doc_id: r.cluster
+            for r in dedup.connected_components(
+                edges.repartition(5), nodes.repartition(3)).collect()}
+    assert out2 == out
+    # nodes=None derives the node set from the edges (no singletons)
+    out3 = {r.doc_id: r.cluster
+            for r in dedup.connected_components(edges).collect()}
+    assert out3 == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4}
