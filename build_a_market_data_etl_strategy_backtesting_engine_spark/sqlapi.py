@@ -51,6 +51,10 @@ def register_functions(spark: SparkSession) -> list[str]:
         "simple_return": ("cur DOUBLE, prev DOUBLE",
                           "CASE WHEN prev IS NULL THEN 0.0"
                           " ELSE cur / prev - 1.0 END"),
+        # deterministic sampling from SQL: WHERE sample_bucket(key) < 10000*rate
+        # (same xxhash64 bucket as operators/sampling.py hash_bucket)
+        "sample_bucket": ("k STRING",
+                          "CAST(pmod(xxhash64(k), 10000) AS DOUBLE)"),
     }
     for name, (args, body) in defs.items():
         spark.sql(_fn(name, args, body))

@@ -70,3 +70,28 @@ def test_full_pipeline_as_pure_sql(spark):
 def test_kelly_sql(spark):
     r = spark.sql("SELECT kelly_quarter(0.6, 0.02, -0.01) AS k").first()
     assert 0.0 <= r.k <= 0.25
+
+
+def test_sample_bucket_sql_matches_operator(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import sqlapi
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        sampling,
+    )
+
+    sqlapi.register_functions(spark)
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    df.createOrReplaceTempView("sb_in")
+    via_sql = {r.doc_id: r.b for r in spark.sql(
+        "SELECT doc_id, sample_bucket(CAST(doc_id AS STRING)) AS b"
+        " FROM sb_in").collect()}
+    via_col = {r.doc_id: float(r.b) for r in df.select(
+        "doc_id", sampling.hash_bucket(F.col("doc_id")).alias("b")
+    ).collect()}
+    assert via_sql == via_col
+    # a SQL-first sampling filter keeps the same rows as the operator
+    kept_sql = {r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM sb_in"
+        " WHERE sample_bucket(CAST(doc_id AS STRING)) < 3000").collect()}
+    kept_op = {r.doc_id for r in
+               sampling.deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert kept_sql == kept_op
