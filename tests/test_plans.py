@@ -182,3 +182,14 @@ def test_redact_pii_is_shuffle_free(spark):
     docs = load_tables(spark, SF, ["documents"])["documents"]
     out = text_ops.redact_pii(docs)
     assert plans.count_shuffles(out) == 0
+
+
+def test_tfidf_and_unigram_bounded_shuffles(spark):
+    """TF-IDF and unigram-LM keep their algebraic shuffle minimum: two
+    map-combinable aggs + vocab join + (rank window | final agg). Upper
+    bounds pinned so a refactor can't silently add exchanges."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    plans.assert_max_shuffles(text_ops.tfidf_top_terms(docs), 7)
+    plans.assert_max_shuffles(text_ops.unigram_logprob(docs), 6)
