@@ -30,6 +30,7 @@ __all__ = [
     "portable_bucket",
     "deterministic_sample",
     "stratified_sample",
+    "stratified_fixed_n",
     "pack_token_budget",
 ]
 
@@ -149,3 +150,38 @@ def pack_token_budget(
             "bin", F.concat_ws("#", F.col(shard_col), F.col("bin"))
         )
     return out
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n: int,
+    portable: bool = False,
+    n_salt: int = 64,
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample ("take 1000 docs per
+    language"): rank rows inside each stratum by (hash bucket, key) and
+    keep the first n — a uniform, reproducible, order-free draw.
+
+    Scale shape: a naive window over the stratum puts an entire stratum
+    (billions of rows for 'en') in one partition. This uses the exact
+    two-phase top-n instead: rank within (stratum, salt) keeping n per
+    salt — the stratum's true top-n is always contained in that union —
+    then re-rank the <= n*n_salt survivors per stratum. The first pass
+    spreads each stratum over ``n_salt`` partitions; the second touches
+    only n*n_salt rows per stratum.
+    """
+    bucket = (portable_bucket if portable else hash_bucket)(F.col(key_col))
+    d = df.withColumn("_b", bucket)
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_salt))
+    w1 = Window.partitionBy(F.col(strata_col), salt).orderBy("_b", key_col)
+    cand = d.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= n
+    )
+    w2 = Window.partitionBy(strata_col).orderBy("_b", key_col)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= n)
+        .drop("_b", "_rn")
+    )

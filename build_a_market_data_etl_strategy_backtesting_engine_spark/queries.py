@@ -3588,3 +3588,24 @@ def q80(spark, sf_dir):
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
     return dedup_ops.connected_components(edges, d.select("doc_id"))
+
+
+@_register(
+    "q81_fixed_n_per_stratum",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER
+             (PARTITION BY lang ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q81(spark, sf_dir):
+    """Exactly-20-per-language deterministic sample (operators/sampling.py
+    stratified_fixed_n): hash-ordered two-phase top-n per stratum —
+    semantically identical to the oracle's single window, but spread over
+    n_salt partitions per stratum so no stratum ever sits in one task."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return sampling_ops.stratified_fixed_n(
+        t["documents"], "doc_id", "lang", 20, portable=True
+    ).select("doc_id", "lang")

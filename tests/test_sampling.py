@@ -167,3 +167,24 @@ def test_connected_components_chain_and_invariance(spark):
     out3 = {r.doc_id: r.cluster
             for r in dedup.connected_components(edges).collect()}
     assert out3 == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4}
+
+
+def test_stratified_fixed_n_two_phase_equals_naive(spark, docs):
+    # two-phase top-n must equal the naive single-window formulation
+    from pyspark.sql import Window
+
+    got = sampling.stratified_fixed_n(docs, "doc_id", "lang", 7)
+    b = sampling.hash_bucket(F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(b, "doc_id")
+    want = (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7).drop("rn"))
+    assert ({(r.doc_id, r.lang) for r in got.collect()}
+            == {(r.doc_id, r.lang) for r in want.collect()})
+    # exactly 7 per stratum, deterministic across repartitioning
+    counts = {r.lang: r["count"]
+              for r in got.groupBy("lang").count().collect()}
+    assert set(counts.values()) == {7}
+    again = sampling.stratified_fixed_n(
+        docs.repartition(11), "doc_id", "lang", 7)
+    assert ({r.doc_id for r in got.collect()}
+            == {r.doc_id for r in again.collect()})
