@@ -266,3 +266,48 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-rule repetition signals per document: duplicate-token
+    fraction, duplicate-bigram fraction, and most-frequent-token coverage
+    — the standard within-document repetition filters for corpus quality
+    (high values = boilerplate / degenerate generation).
+
+    All pure array expressions over the token list — per-row compute,
+    zero shuffle, no explode (the top-token scan is O(distinct x n) per
+    document, bounded by document length, not corpus size).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    top_cnt = F.array_max(
+        F.transform(
+            uniq, lambda u: F.size(F.filter(toks, lambda x: x == u))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.round(1.0 - F.size(uniq) / n, round_digits)
+        .alias("dup_token_frac"),
+        F.round(
+            F.when(ng > 0, 1.0 - F.size(F.array_distinct(grams)) / ng)
+            .otherwise(0.0),
+            round_digits,
+        ).alias("dup_2gram_frac"),
+        F.round(top_cnt / n, round_digits).alias("top_token_frac"),
+    )

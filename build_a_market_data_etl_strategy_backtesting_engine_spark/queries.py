@@ -3609,3 +3609,34 @@ def q81(spark, sf_dir):
     return sampling_ops.stratified_fixed_n(
         t["documents"], "doc_id", "lang", 20, portable=True
     ).select("doc_id", "lang")
+
+
+@_register(
+    "q82_repetition_quality",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) >= 2 THEN list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id,
+           round(1.0e0 - len(list_distinct(toks)) / CAST(n AS DOUBLE), 6)
+             AS dup_token_frac,
+           round(CASE WHEN len(grams) > 0 THEN 1.0e0 -
+                 len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                 ELSE 0.0e0 END, 6) AS dup_2gram_frac,
+           round(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u))))
+                 / CAST(n AS DOUBLE), 6) AS top_token_frac
+    FROM g
+    """,
+)
+def q82(spark, sf_dir):
+    """Gopher-rule repetition quality (operators/text.py
+    repetition_features): dup-token / dup-bigram / top-token fractions —
+    zero-shuffle array expressions."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return text_ops.repetition_features(t["documents"])

@@ -188,3 +188,22 @@ def test_stratified_fixed_n_two_phase_equals_naive(spark, docs):
         docs.repartition(11), "doc_id", "lang", 7)
     assert ({r.doc_id for r in got.collect()}
             == {r.doc_id for r in again.collect()})
+
+
+def test_repetition_features_hand_case(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="a a a a"),        # fully repeated
+        Row(doc_id=1, text="a b c d"),        # all distinct
+        Row(doc_id=2, text="x"),              # single token edge
+    ])
+    rows = {r.doc_id: r
+            for r in text_ops.repetition_features(d).collect()}
+    assert rows[0].dup_token_frac == 0.75      # 1 - 1/4
+    assert rows[0].dup_2gram_frac == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert rows[0].top_token_frac == 1.0
+    assert rows[1].dup_token_frac == 0.0
+    assert rows[1].dup_2gram_frac == 0.0
+    assert rows[1].top_token_frac == 0.25
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[2].dup_2gram_frac == 0.0       # no bigrams -> 0, not NULL
+    assert rows[2].top_token_frac == 1.0
