@@ -426,3 +426,34 @@ def connected_components(
     return labels.select(
         F.col("id").alias(node_col), F.col("label").alias("cluster")
     )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: count distinct word-n-grams each training
+    document shares with the benchmark/eval corpus. Anti-join the result
+    (or threshold ``n_shared``) to drop contaminated documents before
+    training — the standard n-gram-overlap decontamination pass.
+
+    Shape: eval grams are tiny next to a training corpus (benchmarks are
+    MBs, training data is TBs) -> broadcast them so the whole pass is one
+    map-side hash join + one map-combinable count. Set
+    ``broadcast_eval=False`` for giant eval sets to fall back to a shuffle
+    join on the uniform gram key.
+    """
+    tg = word_ngrams(train_docs, n, text_col, doc_id_col).distinct()
+    eg = word_ngrams(eval_docs, n, text_col, doc_id_col).select(
+        "gram").distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy(doc_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

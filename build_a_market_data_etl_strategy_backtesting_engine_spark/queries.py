@@ -3640,3 +3640,30 @@ def q82(spark, sf_dir):
     zero-shuffle array expressions."""
     t = load_tables(spark, sf_dir, ["documents"])
     return text_ops.repetition_features(t["documents"])
+
+
+@_register(
+    "q83_decontamination",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS grams
+          FROM t),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id % 50 = 0),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+           WHERE doc_id % 50 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tg JOIN eg USING (gram) GROUP BY doc_id
+    """,
+)
+def q83(spark, sf_dir):
+    """Train/eval decontamination (operators/dedup.py decontaminate):
+    every 50th document plays the benchmark set; remaining docs are scored
+    by shared distinct 3-grams via a broadcast gram join."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    tr = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup_ops.decontaminate(tr, ev, n=3)

@@ -207,3 +207,22 @@ def test_repetition_features_hand_case(spark):
     assert rows[2].dup_token_frac == 0.0
     assert rows[2].dup_2gram_frac == 0.0       # no bigrams -> 0, not NULL
     assert rows[2].top_token_frac == 1.0
+
+
+def test_decontaminate_hand_case(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import dedup
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import plans
+
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps"),   # shares grams
+        Row(doc_id=2, text="completely different words here"),
+        Row(doc_id=3, text="the quick brown cat"),          # 1 shared gram
+    ])
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox runs")])
+    hits = dedup.decontaminate(train, ev, n=3)
+    got = {r.doc_id: r.n_shared for r in hits.collect()}
+    # doc1 shares 'the quick brown' + 'quick brown fox'; doc3 one gram;
+    # doc2 clean (absent — anti-join semantics)
+    assert got == {1: 2, 3: 1}
+    assert plans.has_broadcast_join(hits)  # eval grams ride a broadcast
