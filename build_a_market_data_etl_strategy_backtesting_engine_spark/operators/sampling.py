@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "stratified_fixed_n",
     "pack_token_budget",
+    "mixture_rates",
 ]
 
 #: bucket space for rate thresholds (rate 0.1234 -> threshold 1234)
@@ -185,3 +186,34 @@ def stratified_fixed_n(
         .filter(F.col("_rn") <= n)
         .drop("_b", "_rn")
     )
+
+
+def mixture_rates(
+    counts: dict[str, int],
+    temperature: float = 1.0,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep-rates implementing exponentiated-smoothing corpus
+    rebalancing (the multilingual-LM mixture rule): sample stratum i with
+    probability p_i ∝ n_i^(1/T). T=1 keeps natural proportions; T→∞
+    approaches uniform over strata (boosting low-resource strata).
+
+    ``counts`` are stratum sizes (docs or tokens); ``target_total`` is the
+    corpus budget after sampling (defaults to the full corpus size). The
+    returned rates feed :func:`stratified_sample` directly — driver-side
+    arithmetic over a handful of strata, nothing distributed.
+
+    Rates are capped at 1.0 (hash sampling never upsamples); when a
+    low-resource stratum hits the cap, the shortfall is NOT redistributed
+    — callers wanting exact budgets should iterate or accept the deficit.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    alpha = 1.0 / temperature
+    weights = {k: float(v) ** alpha for k, v in counts.items() if v > 0}
+    wsum = sum(weights.values())
+    total = sum(counts.values()) if target_total is None else target_total
+    return {
+        k: min(1.0, (weights[k] / wsum) * total / counts[k])
+        for k in weights
+    }

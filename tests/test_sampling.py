@@ -226,3 +226,24 @@ def test_decontaminate_hand_case(spark):
     # doc2 clean (absent — anti-join semantics)
     assert got == {1: 2, 3: 1}
     assert plans.has_broadcast_join(hits)  # eval grams ride a broadcast
+
+
+def test_mixture_rates_temperature():
+    counts = {"en": 8000, "fr": 1500, "zh": 500}
+    # T=1: natural proportions -> every rate is target/total
+    r1 = sampling.mixture_rates(counts, temperature=1.0, target_total=5000)
+    assert all(v == pytest.approx(0.5) for v in r1.values())
+    # higher temperature boosts low-resource strata relative to en
+    r1b = sampling.mixture_rates(counts, temperature=1.0, target_total=3000)
+    r2 = sampling.mixture_rates(counts, temperature=2.0, target_total=3000)
+    assert r2["zh"] > r1b["zh"] and r2["en"] < r1b["en"]
+    # expected kept size respects the budget when no stratum caps at 1.0
+    assert max(r2.values()) < 1.0
+    kept = sum(r2[k] * counts[k] for k in counts)
+    assert kept == pytest.approx(3000, rel=1e-9)
+    # cap: uniform limit with tiny stratum saturates at 1.0
+    r3 = sampling.mixture_rates(counts, temperature=100.0,
+                                target_total=9000)
+    assert r3["zh"] == 1.0
+    with pytest.raises(ValueError):
+        sampling.mixture_rates(counts, temperature=0.0)
