@@ -3667,3 +3667,91 @@ def q83(spark, sf_dir):
     ev = d.filter(F.col("doc_id") % 50 == 0)
     tr = d.filter(F.col("doc_id") % 50 != 0)
     return dedup_ops.decontaminate(tr, ev, n=3)
+
+
+# ========================================= microstructure / liquidity surface
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    microstructure as micro_ops,
+)
+
+@_register(
+    "q84_ofi_bars",
+    f"""
+    WITH {TICKS_CTE},
+    s AS (SELECT symbol, ts, volume, seq,
+                 sign(price - lag(price) OVER
+                      (PARTITION BY symbol ORDER BY ts, seq)) AS raw
+          FROM ticks),
+    s2 AS (SELECT symbol, ts, volume,
+                  CAST(coalesce(last_value(nullif(raw, 0) IGNORE NULLS)
+                       OVER (PARTITION BY symbol ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                             ROW), 0) AS INTEGER) AS trade_sign
+           FROM s)
+    SELECT symbol, epoch_us(time_bucket(INTERVAL '15 minutes', ts))
+             AS bar_us,
+           sum(trade_sign * volume) AS signed_volume,
+           sum(volume) AS volume,
+           CASE WHEN sum(volume) > 0
+                THEN sum(trade_sign * volume) / sum(volume) END AS ofi,
+           count(*) AS n_ticks
+    FROM s2 GROUP BY symbol, bar_us
+    """,
+)
+def q84(spark, sf_dir):
+    """Order-flow-imbalance bars (operators/microstructure.py): Lee-Ready
+    tick-rule signing (zero ticks inherit the last non-zero sign) then
+    signed-volume / OFI per 15-min bucket. Integer-valued volumes make the
+    sums exact — emitted unrounded, bit-equal across engines."""
+    ticks = _ticks(spark, sf_dir)
+    signed = micro_ops.tick_rule_signs(ticks)
+    b = micro_ops.ofi_bars(signed, "15min")
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "signed_volume", "volume", "ofi", "n_ticks",
+    )
+
+
+@_register(
+    "q85_daily_risk_measures",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)},
+    r AS (SELECT symbol, date_trunc('day', bts) AS day, bts, close, volume,
+                 CASE WHEN lag(close) OVER
+                        (PARTITION BY symbol, date_trunc('day', bts)
+                         ORDER BY bts) > 0 AND close > 0
+                      THEN close / lag(close) OVER
+                        (PARTITION BY symbol, date_trunc('day', bts)
+                         ORDER BY bts) - 1 END AS r
+          FROM bars),
+    r2 AS (SELECT *, lag(r) OVER
+               (PARTITION BY symbol, day ORDER BY bts) AS rp
+           FROM r WHERE TRUE)
+    SELECT symbol, epoch_us(day) AS day_us,
+           round(sum(r * r), 6) AS realized_var,
+           round({_dlit(math.pi / 2)} * sum(abs(r) * abs(rp)), 6)
+             AS bipower_var,
+           round(avg(CASE WHEN volume > 0 AND close > 0
+                     THEN abs(r) / (close * volume) END) * 1.0e6, 6)
+             AS amihud_x1e6,
+           count(*) AS n_bars
+    FROM r2 WHERE r IS NOT NULL GROUP BY symbol, day
+    """,
+)
+def q85(spark, sf_dir):
+    """Daily realized variance, bipower variation, Amihud illiquidity from
+    15-min bars (operators/microstructure.py daily_risk_measures):
+    within-day close-to-close returns, jump-robust |r||r_prev| products,
+    zero-volume bars excluded from the Amihud mean."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    m = micro_ops.daily_risk_measures(b)
+    return m.select(
+        "symbol", F.unix_micros("day").alias("day_us"),
+        F.round("realized_var", 6).alias("realized_var"),
+        F.round("bipower_var", 6).alias("bipower_var"),
+        F.round("amihud_x1e6", 6).alias("amihud_x1e6"),
+        "n_bars",
+    )

@@ -247,3 +247,63 @@ def test_mixture_rates_temperature():
     assert r3["zh"] == 1.0
     with pytest.raises(ValueError):
         sampling.mixture_rates(counts, temperature=0.0)
+
+
+def test_tick_rule_signs_and_ofi(spark):
+    import datetime as dt
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 9, 0, m)
+
+    ticks = spark.createDataFrame(
+        [("A", t(0), 10.0, 5.0, 1),
+         ("A", t(1), 11.0, 2.0, 2),   # uptick  +1
+         ("A", t(2), 11.0, 3.0, 3),   # zero tick -> inherit +1
+         ("A", t(3), 10.5, 4.0, 4),   # downtick -1
+         ("A", t(4), 10.5, 1.0, 5)],  # zero tick -> inherit -1
+        "symbol string, ts timestamp, price double, volume double,"
+        " seq long")
+    signed = micro.tick_rule_signs(ticks)
+    got = {r.seq: r.trade_sign for r in signed.collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: -1, 5: -1}
+    bar = micro.ofi_bars(signed, "15min").collect()
+    assert len(bar) == 1
+    b = bar[0]
+    # signed vol = 0*5 + 2 + 3 - 4 - 1 = 0 ; volume = 15
+    assert b.signed_volume == 0.0 and b.volume == 15.0 and b.ofi == 0.0
+
+
+def test_daily_risk_measures_hand_case(spark):
+    import datetime as dt
+    import math
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    bars_df = spark.createDataFrame(
+        [("A", t(9), 100.0, 10.0),
+         ("A", t(10), 110.0, 20.0),
+         ("A", t(11), 99.0, 0.0),     # zero volume: excluded from amihud
+         ("B", t(9), 50.0, 5.0),
+         ("B", t(10), 0.0, 5.0),      # invalid close: no return defined
+         ("B", t(11), 60.0, 5.0)],
+        "symbol string, ts timestamp, close double, volume double")
+    rows = {r.symbol: r for r in micro.daily_risk_measures(bars_df).collect()}
+    a = rows["A"]
+    r1, r2 = 0.1, 99.0 / 110.0 - 1
+    assert a.realized_var == pytest.approx(r1 ** 2 + r2 ** 2, rel=1e-12)
+    assert a.bipower_var == pytest.approx(
+        math.pi / 2 * abs(r2) * abs(r1), rel=1e-12)
+    # only the 10:00 bar contributes to amihud (11:00 has zero volume)
+    assert a.amihud_x1e6 == pytest.approx(
+        r1 / (110.0 * 20.0) * 1e6, rel=1e-12)
+    # B: both returns undefined (into and out of the zero close)
+    assert "B" not in rows or rows["B"].n_bars == 0
