@@ -126,3 +126,49 @@ def daily_risk_measures(
             F.count(F.lit(1)).alias("n_bars"),
         )
     )
+
+
+def kyle_lambda(
+    signed_ticks: DataFrame,
+    freq: str = "15min",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Kyle's lambda price-impact estimate per (symbol, day): the OLS slope
+    of bar price change on bar signed volume,
+    lambda = cov(dp, sv) / var(sv) — how many price units one unit of net
+    order flow moves the market.
+
+    Two map-combinable aggregations (bar build, then per-day moments) —
+    covar_samp/var_samp are single-pass distributed aggregates; days with
+    degenerate flow (var(sv)=0 or <2 bars) yield NULL rather than a fake
+    zero impact.
+    """
+    bucket = F.window(F.col(ts_col), to_interval(freq)).start.alias("bts")
+    b = (
+        signed_ticks.groupBy(symbol_col, bucket)
+        .agg(
+            (F.max_by(price_col, ts_col) - F.min_by(price_col, ts_col))
+            .alias("dp"),
+            F.sum(F.col("trade_sign") * F.col(volume_col)).alias("sv"),
+        )
+    )
+    day = F.date_trunc("day", F.col("bts"))
+    return (
+        b.groupBy(symbol_col, day.alias("day"))
+        .agg(
+            F.covar_samp("dp", "sv").alias("cov_dp_sv"),
+            F.var_samp("sv").alias("var_sv"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .withColumn(
+            "lambda_x1e6",
+            F.when(
+                F.col("var_sv") > 0,
+                F.col("cov_dp_sv") / F.col("var_sv") * 1e6,
+            ),
+        )
+        .drop("cov_dp_sv", "var_sv")
+    )

@@ -3755,3 +3755,42 @@ def q85(spark, sf_dir):
         F.round("amihud_x1e6", 6).alias("amihud_x1e6"),
         "n_bars",
     )
+
+
+@_register(
+    "q86_kyle_lambda",
+    f"""
+    WITH {TICKS_CTE},
+    s AS (SELECT symbol, ts, price, volume, seq,
+                 sign(price - lag(price) OVER
+                      (PARTITION BY symbol ORDER BY ts, seq)) AS raw
+          FROM ticks),
+    s2 AS (SELECT symbol, ts, price, volume,
+                  CAST(coalesce(last_value(nullif(raw, 0) IGNORE NULLS)
+                       OVER (PARTITION BY symbol ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                             ROW), 0) AS INTEGER) AS trade_sign
+           FROM s),
+    b AS (SELECT symbol, time_bucket(INTERVAL '15 minutes', ts) AS bts,
+                 arg_max(price, ts) - arg_min(price, ts) AS dp,
+                 sum(trade_sign * volume) AS sv
+          FROM s2 GROUP BY symbol, bts)
+    SELECT symbol, epoch_us(date_trunc('day', bts)) AS day_us,
+           count(*) AS n_bars,
+           round(CASE WHEN var_samp(sv) > 0
+                 THEN covar_samp(dp, sv) / var_samp(sv) * 1.0e6 END, 6)
+             AS lambda_x1e6
+    FROM b GROUP BY symbol, day_us
+    """,
+)
+def q86(spark, sf_dir):
+    """Kyle's lambda per (symbol, day) (operators/microstructure.py
+    kyle_lambda): OLS slope of bar open->close price change on bar signed
+    volume via distributed covar_samp/var_samp."""
+    ticks = _ticks(spark, sf_dir)
+    signed = micro_ops.tick_rule_signs(ticks)
+    lam = micro_ops.kyle_lambda(signed, "15min")
+    return lam.select(
+        "symbol", F.unix_micros("day").alias("day_us"), "n_bars",
+        F.round("lambda_x1e6", 6).alias("lambda_x1e6"),
+    )

@@ -193,3 +193,17 @@ def test_tfidf_and_unigram_bounded_shuffles(spark):
     docs = load_tables(spark, SF, ["documents"])["documents"]
     plans.assert_max_shuffles(text_ops.tfidf_top_terms(docs), 7)
     plans.assert_max_shuffles(text_ops.unigram_logprob(docs), 6)
+
+
+def test_microstructure_shuffle_shapes(spark):
+    """Signing = 1 window sort; OFI bars add 1 map-combinable agg; the
+    kyle-lambda day agg reuses the bar distribution. Upper bounds pinned."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    signed = micro.tick_rule_signs(ticks)
+    plans.assert_max_shuffles(signed, 1)
+    plans.assert_max_shuffles(micro.ofi_bars(signed), 2)
+    plans.assert_max_shuffles(micro.kyle_lambda(signed), 3)
