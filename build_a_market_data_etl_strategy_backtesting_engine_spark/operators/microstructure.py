@@ -172,3 +172,41 @@ def kyle_lambda(
         )
         .drop("cov_dp_sv", "var_sv")
     )
+
+
+def roll_spread(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Roll (1984) implied effective spread per (symbol, day):
+    spread = 2 * sqrt(-cov(dp_t, dp_{t-1})) over successive bar price
+    changes — bid-ask bounce makes adjacent changes negatively correlated,
+    and the covariance recovers the spread without any quote data.
+
+    Positive serial covariance (trending, no bounce signal) yields NULL
+    (the estimator is undefined there, per the original paper). One window
+    pass + one map-combinable covariance aggregate.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    w = Window.partitionBy(symbol_col, day).orderBy(ts_col)
+    dp = F.col(close_col) - F.lag(close_col).over(w)
+    d = bars.withColumn("_dp", dp).withColumn(
+        "_dp_prev", F.lag("_dp").over(w)
+    )
+    return (
+        d.filter(F.col("_dp").isNotNull() & F.col("_dp_prev").isNotNull())
+        .groupBy(symbol_col, day.alias("day"))
+        .agg(
+            F.covar_samp("_dp", "_dp_prev").alias("serial_cov"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .withColumn(
+            "roll_spread",
+            F.when(
+                F.col("serial_cov") < 0,
+                2 * F.sqrt(-F.col("serial_cov")),
+            ),
+        )
+    )

@@ -3794,3 +3794,40 @@ def q86(spark, sf_dir):
         "symbol", F.unix_micros("day").alias("day_us"), "n_bars",
         F.round("lambda_x1e6", 6).alias("lambda_x1e6"),
     )
+
+
+@_register(
+    "q87_roll_spread",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)},
+    d AS (SELECT symbol, date_trunc('day', bts) AS day, bts, close,
+                 close - lag(close) OVER
+                   (PARTITION BY symbol, date_trunc('day', bts)
+                    ORDER BY bts) AS dp
+          FROM bars),
+    d2 AS (SELECT *, lag(dp) OVER
+               (PARTITION BY symbol, day ORDER BY bts) AS dpp
+           FROM d)
+    SELECT symbol, epoch_us(day) AS day_us,
+           round(covar_samp(dp, dpp), 2) AS serial_cov,
+           count(*) AS n_obs,
+           round(CASE WHEN covar_samp(dp, dpp) < 0
+                 THEN 2 * sqrt(-covar_samp(dp, dpp)) END, 4)
+             AS roll_spread
+    FROM d2 WHERE dp IS NOT NULL AND dpp IS NOT NULL
+    GROUP BY symbol, day_us
+    """,
+)
+def q87(spark, sf_dir):
+    """Roll (1984) implied spread per (symbol, day)
+    (operators/microstructure.py roll_spread): 2*sqrt(-serial covariance
+    of bar price changes); NULL where the estimator is undefined."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    r = micro_ops.roll_spread(b)
+    return r.select(
+        "symbol", F.unix_micros("day").alias("day_us"),
+        F.round("serial_cov", 2).alias("serial_cov"), "n_obs",
+        F.round("roll_spread", 4).alias("roll_spread"),
+    )

@@ -307,3 +307,30 @@ def test_daily_risk_measures_hand_case(spark):
         r1 / (110.0 * 20.0) * 1e6, rel=1e-12)
     # B: both returns undefined (into and out of the zero close)
     assert "B" not in rows or rows["B"].n_bars == 0
+
+
+def test_roll_spread_hand_case(spark):
+    import datetime as dt
+    import math
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # bid-ask bounce around 100 with spread 2: closes alternate 99, 101
+    bounce = [("A", t(9, 5 * i), 99.0 if i % 2 else 101.0)
+              for i in range(10)]
+    trend = [("B", t(9, 5 * i), 100.0 + i) for i in range(10)]
+    bars_df = spark.createDataFrame(
+        bounce + trend, "symbol string, ts timestamp, close double")
+    rows = {r.symbol: r for r in micro.roll_spread(bars_df).collect()}
+    # perfect alternation: dp = +/-2, cov(dp, dp_prev) = -4*(n/(n-1)) ~ -4
+    assert rows["A"].serial_cov < 0
+    assert rows["A"].roll_spread == pytest.approx(
+        2 * math.sqrt(-rows["A"].serial_cov), rel=1e-12)
+    assert 3.5 < rows["A"].roll_spread < 4.8  # ~2*sqrt(4.57)
+    # monotone trend: dp constant +1 -> cov 0 -> estimator undefined
+    assert rows["B"].roll_spread is None
