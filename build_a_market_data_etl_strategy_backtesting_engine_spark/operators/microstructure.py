@@ -210,3 +210,54 @@ def roll_spread(
             ),
         )
     )
+
+
+def vpin(
+    signed_ticks: DataFrame,
+    bucket_volume: float = 5000.0,
+    window_buckets: int = 5,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    volume_col: str = "volume",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """VPIN (volume-synchronized probability of informed trading,
+    Easley/Lopez de Prado/O'Hara): partition the tape into equal-VOLUME
+    buckets (not time), take |buy - sell| / total per bucket, and smooth
+    over the trailing ``window_buckets`` buckets.
+
+    Volume bucketing is the same cumsum-sharding pattern as
+    ``sampling.pack_token_budget``: one per-symbol window cumsum assigns
+    ``floor(prior_volume / bucket_volume)``, then one map-combinable agg
+    per bucket and a short trailing window over the tiny bucket table.
+    Zero-sign (unclassifiable first-of-symbol) volume counts toward bucket
+    totals but neither side — imbalance is understated, never fabricated.
+    """
+    order = [ts_col] + ([seq_col] if seq_col else [])
+    w = (
+        Window.partitionBy(symbol_col).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumv = F.sum(volume_col).over(w) - F.col(volume_col)
+    d = signed_ticks.withColumn(
+        "vbucket", F.floor(cumv / F.lit(bucket_volume))
+    )
+    sgn = F.col("trade_sign")
+    vol = F.col(volume_col)
+    b = d.groupBy(symbol_col, "vbucket").agg(
+        F.sum(F.when(sgn > 0, vol).otherwise(0.0)).alias("buy_vol"),
+        F.sum(F.when(sgn < 0, vol).otherwise(0.0)).alias("sell_vol"),
+        F.sum(vol).alias("total_vol"),
+    )
+    imb = F.when(
+        F.col("total_vol") > 0,
+        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
+    )
+    wv = (
+        Window.partitionBy(symbol_col).orderBy("vbucket")
+        .rowsBetween(-(window_buckets - 1), Window.currentRow)
+    )
+    return (
+        b.withColumn("imbalance", imb)
+        .withColumn("vpin", F.avg("imbalance").over(wv))
+    )

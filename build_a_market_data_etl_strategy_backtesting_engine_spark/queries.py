@@ -3831,3 +3831,54 @@ def q87(spark, sf_dir):
         F.round("serial_cov", 2).alias("serial_cov"), "n_obs",
         F.round("roll_spread", 4).alias("roll_spread"),
     )
+
+
+@_register(
+    "q88_vpin",
+    f"""
+    WITH {TICKS_CTE},
+    s AS (SELECT symbol, ts, price, volume, seq,
+                 sign(price - lag(price) OVER
+                      (PARTITION BY symbol ORDER BY ts, seq)) AS raw
+          FROM ticks),
+    s2 AS (SELECT symbol, ts, volume, seq,
+                  CAST(coalesce(last_value(nullif(raw, 0) IGNORE NULLS)
+                       OVER (PARTITION BY symbol ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                             ROW), 0) AS INTEGER) AS trade_sign
+           FROM s),
+    v AS (SELECT symbol, volume, trade_sign,
+                 sum(volume) OVER (PARTITION BY symbol ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - volume AS cumv
+          FROM s2),
+    b AS (SELECT symbol, CAST(floor(cumv / 5.0e3) AS BIGINT) AS vbucket,
+                 sum(CASE WHEN trade_sign > 0 THEN volume ELSE 0 END)
+                   AS buy_vol,
+                 sum(CASE WHEN trade_sign < 0 THEN volume ELSE 0 END)
+                   AS sell_vol,
+                 sum(volume) AS total_vol
+          FROM v GROUP BY symbol, vbucket)
+    SELECT symbol, vbucket, buy_vol, sell_vol, total_vol,
+           CASE WHEN total_vol > 0
+                THEN abs(buy_vol - sell_vol) / total_vol END AS imbalance,
+           round(avg(CASE WHEN total_vol > 0
+                 THEN abs(buy_vol - sell_vol) / total_vol END)
+                 OVER (PARTITION BY symbol ORDER BY vbucket
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 8)
+             AS vpin
+    FROM b
+    """,
+)
+def q88(spark, sf_dir):
+    """VPIN flow toxicity (operators/microstructure.py vpin): tick-rule
+    signed volume in equal-volume buckets, |buy-sell|/total imbalance,
+    trailing-5-bucket mean. Integer-valued volumes keep bucket sums exact;
+    only the trailing mean is rounded."""
+    ticks = _ticks(spark, sf_dir)
+    signed = micro_ops.tick_rule_signs(ticks)
+    v = micro_ops.vpin(signed, 5000.0, 5)
+    return v.select(
+        "symbol", "vbucket", "buy_vol", "sell_vol", "total_vol",
+        "imbalance", F.round("vpin", 8).alias("vpin"),
+    )

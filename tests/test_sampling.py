@@ -334,3 +334,34 @@ def test_roll_spread_hand_case(spark):
     assert 3.5 < rows["A"].roll_spread < 4.8  # ~2*sqrt(4.57)
     # monotone trend: dp constant +1 -> cov 0 -> estimator undefined
     assert rows["B"].roll_spread is None
+
+
+def test_vpin_hand_case(spark):
+    import datetime as dt
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 9, 0, m)
+
+    # prices strictly rising -> every classified tick is a buy
+    ticks = spark.createDataFrame(
+        [("A", t(i), 100.0 + i, 10.0, i) for i in range(10)],
+        "symbol string, ts timestamp, price double, volume double,"
+        " seq long")
+    signed = micro.tick_rule_signs(ticks)
+    out = sorted(micro.vpin(signed, bucket_volume=30.0,
+                            window_buckets=2).collect(),
+                 key=lambda r: r.vbucket)
+    # 100 total volume in 30-volume buckets -> buckets 0..3
+    assert [r.vbucket for r in out] == [0, 1, 2, 3]
+    assert sum(r.total_vol for r in out) == 100.0
+    # bucket 0 holds the unclassified first tick: imbalance 20/30
+    assert out[0].imbalance == pytest.approx(2 / 3)
+    # all later buckets are pure buys -> imbalance 1.0
+    assert all(r.imbalance == 1.0 for r in out[1:])
+    # trailing-2 mean: bucket 1 averages (2/3 + 1)/2
+    assert out[1].vpin == pytest.approx((2 / 3 + 1) / 2)
+    assert out[3].vpin == 1.0
