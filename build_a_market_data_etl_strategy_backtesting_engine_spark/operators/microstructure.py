@@ -261,3 +261,51 @@ def vpin(
         b.withColumn("imbalance", imb)
         .withColumn("vpin", F.avg("imbalance").over(wv))
     )
+
+
+def corwin_schultz(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Corwin-Schultz (2012) high-low spread estimator per (symbol, day):
+    for each adjacent bar pair,
+
+      beta  = ln(H_t/L_t)^2 + ln(H_t+1/L_t+1)^2
+      gamma = ln(max(H_t,H_t+1) / min(L_t,L_t+1))^2
+      alpha = (sqrt(2*beta) - sqrt(beta)) / (3 - 2*sqrt(2))
+              - sqrt(gamma / (3 - 2*sqrt(2)))
+      spread = 2*(e^alpha - 1)/(1 + e^alpha), floored at 0 (the standard
+      negative-spread truncation)
+
+    averaged over the day's pairs. One lead() window + one aggregation;
+    pairs with non-positive highs/lows are excluded (invalid data).
+    """
+    import math
+
+    k = 3 - 2 * math.sqrt(2.0)
+    day = F.date_trunc("day", F.col(ts_col))
+    w = Window.partitionBy(symbol_col, day).orderBy(ts_col)
+    h1, l1 = F.col(high_col), F.col(low_col)
+    h2, l2 = F.lead(high_col).over(w), F.lead(low_col).over(w)
+    valid = (l1 > 0) & (l2 > 0) & (h1 >= l1) & (h2 >= l2)
+    beta = F.pow(F.log(h1 / l1), 2) + F.pow(F.log(h2 / l2), 2)
+    gamma = F.pow(F.log(F.greatest(h1, h2) / F.least(l1, l2)), 2)
+    alpha = (
+        (F.sqrt(2 * beta) - F.sqrt(beta)) / F.lit(k)
+        - F.sqrt(gamma / F.lit(k))
+    )
+    spread = F.greatest(
+        2 * (F.exp(alpha) - 1) / (1 + F.exp(alpha)), F.lit(0.0)
+    )
+    d = bars.withColumn("_sp", F.when(valid, spread)).withColumn("_day", day)
+    return (
+        d.filter(F.col("_sp").isNotNull())
+        .groupBy(symbol_col, F.col("_day").alias("day"))
+        .agg(
+            F.avg("_sp").alias("cs_spread"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

@@ -3882,3 +3882,44 @@ def q88(spark, sf_dir):
         "symbol", "vbucket", "buy_vol", "sell_vol", "total_vol",
         "imbalance", F.round("vpin", 8).alias("vpin"),
     )
+
+
+_CS_K = _dlit(3 - 2 * math.sqrt(2.0))
+
+@_register(
+    "q89_corwin_schultz",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)},
+    p AS (SELECT symbol, date_trunc('day', bts) AS day, bts, high, low,
+                 lead(high) OVER w AS h2, lead(low) OVER w AS l2
+          FROM bars
+          WINDOW w AS (PARTITION BY symbol, date_trunc('day', bts)
+                       ORDER BY bts)),
+    sp AS (SELECT symbol, day,
+                  ln(high / low) ^ 2 + ln(h2 / l2) ^ 2 AS beta,
+                  ln(greatest(high, h2) / least(low, l2)) ^ 2 AS gamma
+           FROM p
+           WHERE low > 0 AND l2 > 0 AND high >= low AND h2 >= l2),
+    a AS (SELECT symbol, day,
+                 (sqrt(2 * beta) - sqrt(beta)) / {_CS_K}
+                 - sqrt(gamma / {_CS_K}) AS alpha
+          FROM sp)
+    SELECT symbol, epoch_us(day) AS day_us,
+           round(avg(greatest(2.0e0 * (exp(alpha) - 1) / (1 + exp(alpha)),
+                              0.0e0)), 8) AS cs_spread,
+           count(*) AS n_pairs
+    FROM a GROUP BY symbol, day_us
+    """,
+)
+def q89(spark, sf_dir):
+    """Corwin-Schultz high-low spread per (symbol, day)
+    (operators/microstructure.py corwin_schultz): adjacent-bar beta/gamma,
+    negative spreads floored at 0, day-averaged."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    cs = micro_ops.corwin_schultz(b)
+    return cs.select(
+        "symbol", F.unix_micros("day").alias("day_us"),
+        F.round("cs_spread", 8).alias("cs_spread"), "n_pairs",
+    )

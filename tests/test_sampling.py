@@ -365,3 +365,28 @@ def test_vpin_hand_case(spark):
     # trailing-2 mean: bucket 1 averages (2/3 + 1)/2
     assert out[1].vpin == pytest.approx((2 / 3 + 1) / 2)
     assert out[3].vpin == 1.0
+
+
+def test_corwin_schultz_properties(spark):
+    import datetime as dt
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    # wide constant-range bars (bounce) vs hairline-range bars: the
+    # estimator must read a larger spread from the wide-range series
+    wide = [("W", t(9 + i), 102.0, 98.0) for i in range(6)]
+    tight = [("T", t(9 + i), 100.02, 99.98) for i in range(6)]
+    invalid = [("X", t(9), 10.0, 0.0), ("X", t(10), 10.0, -1.0)]
+    bars_df = spark.createDataFrame(
+        wide + tight + invalid,
+        "symbol string, ts timestamp, high double, low double")
+    rows = {r.symbol: r for r in micro.corwin_schultz(bars_df).collect()}
+    assert rows["W"].n_pairs == 5 and rows["T"].n_pairs == 5
+    assert rows["W"].cs_spread > rows["T"].cs_spread >= 0.0
+    # non-positive lows are invalid data: no pair survives for X
+    assert "X" not in rows
