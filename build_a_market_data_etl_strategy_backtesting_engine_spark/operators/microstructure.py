@@ -309,3 +309,39 @@ def corwin_schultz(
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+def intraday_profile(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Intraday seasonality profile per (symbol, time-of-day slot): mean
+    bar volume, its share of the average daily total, and slot tick
+    intensity — the volume curve that schedules VWAP/TWAP executions.
+
+    GroupBy on (symbol, minute-of-day) — a different grouping axis than
+    the (symbol, day) measures, but still one map-combinable aggregation;
+    the slot share rides a second tiny agg joined broadcast.
+    """
+    slot = (F.hour(ts_col) * 60 + F.minute(ts_col)).alias("slot_min")
+    per_slot = bars.groupBy(symbol_col, slot).agg(
+        F.avg(volume_col).alias("avg_volume"),
+        F.sum(volume_col).alias("tot_volume"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+    totals = per_slot.groupBy(symbol_col).agg(
+        F.sum("tot_volume").alias("sym_volume")
+    )
+    return (
+        per_slot.join(F.broadcast(totals), symbol_col)
+        .withColumn(
+            "volume_share",
+            F.when(
+                F.col("sym_volume") > 0,
+                F.col("tot_volume") / F.col("sym_volume"),
+            ),
+        )
+        .drop("tot_volume", "sym_volume")
+    )

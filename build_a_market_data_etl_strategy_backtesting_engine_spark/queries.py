@@ -3923,3 +3923,35 @@ def q89(spark, sf_dir):
         "symbol", F.unix_micros("day").alias("day_us"),
         F.round("cs_spread", 8).alias("cs_spread"), "n_pairs",
     )
+
+
+@_register(
+    "q90_intraday_profile",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(15)},
+    ps AS (SELECT symbol,
+                  CAST(hour(bts) * 60 + minute(bts) AS INTEGER) AS slot_min,
+                  avg(volume) AS avg_volume, sum(volume) AS tot_volume,
+                  count(*) AS n_bars
+           FROM bars GROUP BY symbol, slot_min),
+    t AS (SELECT symbol, sum(tot_volume) AS sym_volume FROM ps
+          GROUP BY symbol)
+    SELECT ps.symbol, slot_min, round(avg_volume, 6) AS avg_volume,
+           n_bars,
+           round(CASE WHEN sym_volume > 0
+                 THEN tot_volume / sym_volume END, 8) AS volume_share
+    FROM ps JOIN t ON ps.symbol = t.symbol
+    """,
+)
+def q90(spark, sf_dir):
+    """Intraday volume curve (operators/microstructure.py
+    intraday_profile): per (symbol, 15-min slot-of-day) mean volume and
+    share of total — the VWAP-execution scheduling input."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "15min")
+    p = micro_ops.intraday_profile(b)
+    return p.select(
+        "symbol", "slot_min", F.round("avg_volume", 6).alias("avg_volume"),
+        "n_bars", F.round("volume_share", 8).alias("volume_share"),
+    )

@@ -390,3 +390,24 @@ def test_corwin_schultz_properties(spark):
     assert rows["W"].cs_spread > rows["T"].cs_spread >= 0.0
     # non-positive lows are invalid data: no pair survives for X
     assert "X" not in rows
+
+
+def test_intraday_profile_shares_sum_to_one(spark):
+    import datetime as dt
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    bars_df = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, d, 9, 15 * s), float(10 * (s + 1)))
+         for d in (1, 2, 3) for s in range(4)],
+        "symbol string, ts timestamp, volume double")
+    out = micro.intraday_profile(bars_df).collect()
+    assert len(out) == 4  # four 15-min slots
+    # shares sum to 1 and rank with the slot volumes (10,20,30,40)
+    assert sum(r.volume_share for r in out) == pytest.approx(1.0)
+    by_slot = sorted(out, key=lambda r: r.slot_min)
+    assert [r.avg_volume for r in by_slot] == [10.0, 20.0, 30.0, 40.0]
+    assert by_slot[-1].volume_share == pytest.approx(0.4)
+    assert all(r.n_bars == 3 for r in out)  # 3 days per slot
