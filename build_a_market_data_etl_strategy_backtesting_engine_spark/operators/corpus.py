@@ -79,3 +79,49 @@ def curation_summary(curated: DataFrame) -> DataFrame:
         F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
         F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
     )
+
+
+def source_overlap(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Pairwise vocabulary Jaccard between corpus sources — the overlap
+    matrix used to spot mirrored/scraped-twice sources before setting
+    mixture rates.
+
+    Vocabulary-level by design: the per-source distinct-term projection is
+    corpus-sized but the join runs on the term dimension (vocabulary-sized,
+    uniform hash key). For document-level overlap between sources use
+    ``dedup.minhash_dedup`` — this operator answers the cheaper
+    "do these sources share a lexicon" question first.
+    """
+    from pyspark.sql import functions as F
+
+    terms = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = terms.groupBy("src").agg(F.count(F.lit(1)).alias("n_terms"))
+    a, b = terms.alias("a"), terms.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("src").alias("src_a"),
+                                F.col("n_terms").alias("na")), "src_a")
+        .join(sizes.select(F.col("src").alias("src_b"),
+                           F.col("n_terms").alias("nb")), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter", "na", "nb",
+            (F.col("n_inter")
+             / (F.col("na") + F.col("nb") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+    )

@@ -457,3 +457,65 @@ def decontaminate(
         .groupBy(doc_id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): within each
+    cluster, prune any vector whose cosine similarity to an EARLIER
+    (lower-id) cluster member reaches ``threshold`` — the deterministic
+    greedy-by-id sweep that keeps one representative per semantic
+    neighborhood.
+
+    ``cluster_col`` is the precomputed cluster assignment — the ``label``
+    column here, or ``similarity.ivf_index`` cells in production (SemDeDup
+    runs k-means first for exactly this reason: within-cluster pairwise is
+    O(c^2), so k is scaled with N to cap cluster size; the join below is a
+    hash equi-join on the cluster key, never an all-pairs).
+
+    Returns the input plus ``max_prior_sim`` (highest cosine to any earlier
+    cluster member, NULL for the cluster's first vector) and ``pruned``.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(cluster_col).alias("_cl"), F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("a._v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(F.col("b._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    prior_sims = (
+        a.join(b, (F.col("a._cl") == F.col("b._cl"))
+               & (F.col("b._id") < F.col("a._id")))
+        .select(F.col("a._id").alias("_id"),
+                (dot / (na * nb)).alias("_sim"))
+        .groupBy("_id")
+        .agg(F.max("_sim").alias("max_prior_sim"))
+    )
+    return (
+        embeddings.join(
+            prior_sims, F.col(id_col) == F.col("_id"), "left"
+        )
+        .drop("_id")
+        .withColumn(
+            "pruned",
+            F.coalesce(F.col("max_prior_sim") >= threshold, F.lit(False)),
+        )
+    )

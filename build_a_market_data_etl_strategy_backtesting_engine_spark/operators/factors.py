@@ -1,0 +1,149 @@
+"""Cross-sectional factor/regression analytics: market-model rolling beta
+and pairs-trading screening.
+
+Beyond-reference operators (the reference backtests single-asset signal
+rules; a multi-asset platform also needs the market-model regression and
+cointegration-screen primitives). Everything is window/agg moment algebra
+— OLS slopes come from ``covar_samp / var_samp``, residual variance from
+the moment identity ``var(a) - cov(a,b)^2 / var(b)`` — so both the rolling
+and the full-sample paths stay JVM-side with no per-group Python.
+
+Shuffle shape at 100 TB: inputs are OHLCV bars (already orders of
+magnitude smaller than the tape). rolling_beta costs one groupBy(ts)
+exchange for the index, one join back on ts, and the shared (symbol, ts)
+window sort. pairs_screen is a self-equi-join on ts followed by one
+map-combinable pair agg; with S symbols each bar row fans out S-1 ways, so
+screen a chosen universe (e.g. one sector), not the full cross — the
+operator takes the universe you hand it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bar_returns(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol simple returns from bar closes (NULL on each symbol's
+    first bar — warm-up is explicit, not zero-filled)."""
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    prev = F.lag(close_col).over(w)
+    return bars.withColumn(
+        "r", F.when(prev > 0, F.col(close_col) / prev - 1.0)
+    )
+
+
+def index_returns(
+    returns: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Equal-weight market return per bar timestamp: mean of the symbol
+    returns present at that ts (the market proxy when no index series is
+    supplied)."""
+    return returns.groupBy(ts_col).agg(
+        F.avg("r").alias("r_mkt"),
+        F.count("r").alias("n_constituents"),
+    )
+
+
+def rolling_beta(
+    bars: DataFrame,
+    window: int = 20,
+    market: DataFrame | None = None,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rolling market-model regression per symbol over the trailing
+    ``window`` bars: ``beta = cov(r, r_mkt)/var(r_mkt)``,
+    ``alpha = mean(r) - beta * mean(r_mkt)``, ``r2 = corr(r, r_mkt)^2``.
+
+    ``market`` (ts, r_mkt) overrides the equal-weight index built from the
+    input universe. Rows with fewer than ``window`` observations are
+    warm-up-gated to NULL, matching the repo's rolling-stat convention.
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col)
+    mkt = market if market is not None else index_returns(
+        r, symbol_col, ts_col
+    )
+    j = r.join(mkt.select(ts_col, "r_mkt"), ts_col).where(
+        F.col("r").isNotNull() & F.col("r_mkt").isNotNull()
+    )
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    cov = F.covar_samp("r", "r_mkt").over(w)
+    varm = F.var_samp("r_mkt").over(w)
+    beta = F.when((n >= window) & (varm > 0), cov / varm)
+    alpha = F.when(
+        beta.isNotNull(),
+        F.avg("r").over(w) - beta * F.avg("r_mkt").over(w),
+    )
+    r2 = F.when(beta.isNotNull(), F.pow(F.corr("r", "r_mkt").over(w), 2))
+    return j.select(
+        symbol_col, ts_col, "r", "r_mkt",
+        beta.alias("beta"), alpha.alias("alpha"), r2.alias("r2"),
+    )
+
+
+def pairs_screen(
+    bars: DataFrame,
+    min_obs: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Pairs-trading screen over a symbol universe: for every symbol pair
+    (a < b) with >= ``min_obs`` aligned bars, the return correlation, the
+    OLS hedge ratio ``beta = cov(r_a, r_b)/var(r_b)`` and the residual
+    volatility ``sqrt(var(r_a) - cov^2/var(r_b))`` of the spread
+    ``r_a - beta * r_b`` — low residual vol + high corr = cointegration
+    candidate for a mean-reversion book.
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col).where(
+        F.col("r").isNotNull()
+    ).select(symbol_col, ts_col, "r")
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), ts_col, F.col("r").alias("r_a")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"),
+        F.col(ts_col).alias("_ts_b"),
+        F.col("r").alias("r_b"),
+    )
+    j = a.join(
+        b,
+        (F.col(ts_col) == F.col("_ts_b"))
+        & (F.col("sym_a") < F.col("sym_b")),
+    )
+    g = j.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.corr("r_a", "r_b").alias("corr"),
+        F.covar_samp("r_a", "r_b").alias("_cov"),
+        F.var_samp("r_b").alias("_varb"),
+        F.var_samp("r_a").alias("_vara"),
+    )
+    beta = F.when(F.col("_varb") > 0, F.col("_cov") / F.col("_varb"))
+    resid = F.sqrt(
+        F.greatest(
+            F.col("_vara") - F.pow(F.col("_cov"), 2) / F.col("_varb"),
+            F.lit(0.0),
+        )
+    )
+    return (
+        g.where(F.col("n_obs") >= min_obs)
+        .select(
+            "sym_a", "sym_b", "n_obs", "corr",
+            beta.alias("hedge_ratio"),
+            F.when(F.col("_varb") > 0, resid).alias("resid_vol"),
+        )
+    )

@@ -345,3 +345,39 @@ def intraday_profile(
         )
         .drop("tot_volume", "sym_volume")
     )
+
+
+def trade_markouts(
+    signed_ticks: DataFrame,
+    horizons: tuple[int, ...] = (1, 5, 20),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Post-trade markouts: signed price drift ``sign * (P_{t+k} - P_t)``
+    at each event horizon ``k``, averaged per symbol — the standard
+    adverse-selection / flow-toxicity diagnostic (positive markout = the
+    aggressor kept winning after the trade).
+
+    One pass over the shared (symbol, ts, seq) window sort computes every
+    ``lead(price, k)``; the per-symbol agg is map-combinable. Trades whose
+    horizon runs off the tape (last k events of a symbol) are excluded
+    per-horizon, not dropped wholesale.
+    """
+    order = [ts_col] + ([seq_col] if seq_col else [])
+    w = Window.partitionBy(symbol_col).orderBy(*order)
+    cur = signed_ticks
+    for k in horizons:
+        cur = cur.withColumn(
+            f"_mk_{k}",
+            F.col("trade_sign")
+            * (F.lead(price_col, k).over(w) - F.col(price_col)),
+        )
+    aggs = [F.count(F.lit(1)).alias("n_trades")]
+    for k in horizons:
+        aggs.append(F.avg(f"_mk_{k}").alias(f"markout_{k}"))
+        aggs.append(
+            F.count(f"_mk_{k}").alias(f"n_{k}")
+        )
+    return cur.groupBy(symbol_col).agg(*aggs)

@@ -311,3 +311,171 @@ def repetition_features(
         ).alias("dup_2gram_frac"),
         F.round(top_cnt / n, round_digits).alias("top_token_frac"),
     )
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-budget training chunks with overlap.
+
+    Chunk ``c`` covers token positions ``[c*stride, c*stride+chunk_tokens)``;
+    with ``stride < chunk_tokens`` adjacent chunks overlap by
+    ``chunk_tokens - stride`` tokens (the usual context-window overlap when
+    preparing LLM pretraining sequences). Tail chunks may be short; they are
+    kept so no token is dropped.
+
+    Shape at 100 TB: pure map-side (split -> sequence -> explode -> slice),
+    zero shuffles; output partitioning inherits the input scan, so a
+    downstream ``repartition`` on chunk count is only needed for skewed
+    giant documents.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride)
+    )
+    ex = base.select(
+        id_col, "_toks", F.explode(starts).alias("_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        ((F.col("_start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+# -------------------------------------------------- boilerplate n-grams
+
+
+def _word_grams(text_col: str, n: int):
+    """Positional word n-grams as an array column (empty when the document
+    is shorter than ``n`` tokens)."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-grams that repeat across >= ``min_docs`` distinct documents —
+    the boilerplate dictionary (headers, footers, licence blocks) a corpus
+    pipeline strips before training (CCNet / RefinedWeb line-dedup
+    generalized to token n-grams).
+
+    Returns ``(gram, doc_freq)``. Shape at 100 TB: gram explode is
+    map-side; per-doc ``array_distinct`` BEFORE the explode collapses
+    within-doc repeats so the agg is a plain map-combinable count — no
+    count-distinct expand.
+    """
+    per_doc = docs.select(
+        F.explode(
+            F.array_distinct(_word_grams(text_col, n))
+        ).alias("gram")
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of n-gram positions covered by corpus
+    boilerplate (grams shared by >= ``min_docs`` docs). High coverage =
+    template/boilerplate page -> filter or strip before training.
+
+    Shape at 100 TB: two map-combinable aggs (gram doc-freq; per-doc gram
+    join+count). The boilerplate dictionary is vocabulary-sized — orders of
+    magnitude smaller than the postings — and joins on a uniform hash key.
+    """
+    boiler = boilerplate_grams(docs, n, min_docs, text_col, id_col)
+    pos = docs.select(
+        F.col(id_col),
+        F.explode(_word_grams(text_col, n)).alias("gram"),
+    )
+    flagged = pos.join(
+        boiler.select("gram", F.lit(1).alias("_hit")), "gram", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_boilerplate"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("boilerplate_frac"),
+    )
+
+
+# ------------------------------------------------------ vocabulary stats
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary table: per-term total count, document frequency,
+    frequency rank, and cumulative token-coverage share — the
+    Zipf/coverage curve used to size tokenizer vocabularies ("the top-k
+    terms cover p% of all tokens").
+
+    Shape at 100 TB: the postings explode is map-side and the (term) agg
+    map-combinable; the *output* is vocabulary-sized, so the global
+    rank/cumsum window (single-partition by construction) runs over
+    millions of rows, not the corpus — acceptable on a driver-adjacent
+    executor. doc_freq via a pre-distinct (term, doc) projection, not a
+    count-distinct expand.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    dfreq = (
+        toks.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    vocab = counts.join(dfreq, "term")
+    total = vocab.agg(F.sum("term_count").alias("_total"))
+    w = W.orderBy(F.desc("term_count"), F.asc("term"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.sum("term_count").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ) / F.col("_total"),
+        )
+        .drop("_total")
+    )

@@ -3955,3 +3955,388 @@ def q90(spark, sf_dir):
         "symbol", "slot_min", F.round("avg_volume", 6).alias("avg_volume"),
         "n_bars", F.round("volume_share", 8).alias("volume_share"),
     )
+
+
+# =========================== corpus chunking / boilerplate / vocab / overlap
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    corpus as corpus_ops,
+    factors as factors_ops,
+    sessions as sessions_ops,
+)
+
+
+@_register(
+    "q91_chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), 48))
+                   AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INTEGER) AS chunk_id,
+           array_to_string(toks[start : start + 63], ' ') AS chunk_text,
+           len(toks[start : start + 63]) AS n_tokens
+    FROM s
+    """,
+)
+def q91(spark, sf_dir):
+    """Fixed-token-budget chunking with stride overlap
+    (operators/text.py chunk_documents): 64-token chunks every 48 tokens,
+    tails kept. Pure map-side explode — zero shuffles."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return text_ops.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+@_register(
+    "q92_boilerplate_coverage",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i : i + 2], ' '))
+                 ELSE [] END AS grams
+          FROM t),
+    per_doc AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g),
+    boiler AS (SELECT gram FROM per_doc GROUP BY gram
+               HAVING count(*) >= 3),
+    pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    j AS (SELECT pos.doc_id, pos.gram,
+                 CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM pos LEFT JOIN boiler ON pos.gram = boiler.gram)
+    SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_boilerplate,
+           round(sum(hit) / CAST(count(*) AS DOUBLE), 8)
+             AS boilerplate_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def q92(spark, sf_dir):
+    """Boilerplate n-gram coverage (operators/text.py
+    boilerplate_coverage): word 3-grams shared by >= 3 docs form the
+    boilerplate dictionary; per-doc fraction of gram positions hitting it.
+    Counts are exact integers; only the ratio is rounded."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cov = text_ops.boilerplate_coverage(d, n=3, min_docs=3)
+    return cov.select(
+        "doc_id", "n_grams",
+        F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+        F.round("boilerplate_frac", 8).alias("boilerplate_frac"),
+    )
+
+
+@_register(
+    "q93_semantic_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+      SELECT a.vec_id,
+             max(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v)
+                        * list_dot_product(b.v, b.v))) AS max_prior_sim
+      FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id)
+    SELECT e.vec_id, e.label,
+           round(sims.max_prior_sim, 6) AS max_prior_sim,
+           coalesce(sims.max_prior_sim >= {_dlit(0.3)}, FALSE) AS pruned
+    FROM e LEFT JOIN sims ON e.vec_id = sims.vec_id
+    """,
+)
+def q93(spark, sf_dir):
+    """SemDeDup-style semantic pruning (operators/dedup.py semantic_dedup):
+    within each precomputed cluster (label), prune vectors whose cosine to
+    an earlier member reaches 0.3. Threshold compares the unrounded cosine
+    on both engines; the emitted similarity is rounded at the edge."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = dedup_ops.semantic_dedup(
+        e, cluster_col="label", threshold=0.3
+    )
+    return out.select(
+        "vec_id", "label",
+        F.round("max_prior_sim", 6).alias("max_prior_sim"), "pruned",
+    )
+
+
+@_register(
+    "q94_vocab_coverage",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    c AS (SELECT term, count(*) AS term_count,
+                 count(DISTINCT doc_id) AS doc_freq
+          FROM toks GROUP BY term),
+    t AS (SELECT sum(term_count) AS total FROM c)
+    SELECT term, term_count, doc_freq,
+           CAST(row_number() OVER w AS INTEGER) AS rank,
+           round(sum(term_count) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(total AS DOUBLE), 8) AS cum_share
+    FROM c, t
+    WINDOW w AS (ORDER BY term_count DESC, term)
+    """,
+)
+def q94(spark, sf_dir):
+    """Vocabulary Zipf/coverage table (operators/text.py vocab_coverage):
+    term totals, doc frequency, frequency rank, cumulative token-coverage
+    share. Integer cumsums are exact; only the share ratio is rounded."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    v = text_ops.vocab_coverage(d)
+    return v.select(
+        "term", "term_count", "doc_freq", "rank",
+        F.round("cum_share", 8).alias("cum_share"),
+    )
+
+
+@_register(
+    "q95_source_overlap",
+    """
+    WITH terms AS (SELECT DISTINCT source AS src,
+                          unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+    sizes AS (SELECT src, count(*) AS n_terms FROM terms GROUP BY src),
+    inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_inter
+              FROM terms a JOIN terms b
+                ON a.term = b.term AND a.src < b.src
+              GROUP BY a.src, b.src)
+    SELECT src_a, src_b, n_inter, sa.n_terms AS na, sb.n_terms AS nb,
+           round(n_inter / CAST(sa.n_terms + sb.n_terms - n_inter
+                                AS DOUBLE), 8) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.src_a = sa.src
+    JOIN sizes sb ON inter.src_b = sb.src
+    """,
+)
+def q95(spark, sf_dir):
+    """Pairwise source vocabulary overlap (operators/corpus.py
+    source_overlap): Jaccard over distinct term sets per source — the
+    mirror-detection matrix before mixture-rate setting."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ov = corpus_ops.source_overlap(d)
+    return ov.select(
+        "src_a", "src_b", "n_inter", "na", "nb",
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
+# ======================================= factor regressions / event funnels
+
+
+@_register(
+    "q96_rolling_beta",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    r AS (SELECT symbol, bts,
+                 CASE WHEN lag(close) OVER
+                        (PARTITION BY symbol ORDER BY bts) > 0
+                      THEN close / lag(close) OVER
+                        (PARTITION BY symbol ORDER BY bts) - 1 END AS r
+          FROM bars),
+    m AS (SELECT bts, avg(r) AS r_mkt FROM r WHERE r IS NOT NULL
+          GROUP BY bts),
+    j AS (SELECT r.symbol, r.bts, r.r, m.r_mkt
+          FROM r JOIN m ON r.bts = m.bts WHERE r.r IS NOT NULL),
+    w AS (SELECT symbol, bts, r, r_mkt,
+                 count(*) OVER win AS n,
+                 covar_samp(r, r_mkt) OVER win AS cov,
+                 var_samp(r_mkt) OVER win AS varm,
+                 avg(r) OVER win AS mr, avg(r_mkt) OVER win AS mm,
+                 corr(r, r_mkt) OVER win AS c
+          FROM j
+          WINDOW win AS (PARTITION BY symbol ORDER BY bts
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(r, 8) AS r, round(r_mkt, 8) AS r_mkt,
+           round(CASE WHEN n >= 20 AND varm > 0 THEN cov / varm END, 6)
+             AS beta,
+           round(CASE WHEN n >= 20 AND varm > 0
+                 THEN mr - cov / varm * mm END, 6) AS alpha,
+           round(CASE WHEN n >= 20 AND varm > 0 THEN c ^ 2 END, 6) AS r2
+    FROM w
+    """,
+)
+def q96(spark, sf_dir):
+    """Rolling market-model beta/alpha/R^2 vs the equal-weight index
+    (operators/factors.py rolling_beta) over trailing 20 one-hour bars,
+    warm-up gated. Moment windows (covar/var/corr) are order-insensitive
+    pairwise reductions — rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1h")
+    rb = factors_ops.rolling_beta(b, window=20)
+    return rb.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("r", 8).alias("r"), F.round("r_mkt", 8).alias("r_mkt"),
+        F.round("beta", 6).alias("beta"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+@_register(
+    "q97_pairs_screen",
+    f"""
+    WITH {TICKS_CTE},
+    bars AS (SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bts,
+                    arg_max(price, ts) AS close
+             FROM ticks GROUP BY symbol, bts),
+    r AS (SELECT symbol, bts,
+                 CASE WHEN lag(close) OVER
+                        (PARTITION BY symbol ORDER BY bts) > 0
+                      THEN close / lag(close) OVER
+                        (PARTITION BY symbol ORDER BY bts) - 1 END AS r
+          FROM bars),
+    rr AS (SELECT symbol, bts, r FROM r WHERE r IS NOT NULL),
+    g AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+                 count(*) AS n_obs, corr(a.r, b.r) AS corr,
+                 covar_samp(a.r, b.r) AS cov,
+                 var_samp(b.r) AS varb, var_samp(a.r) AS vara
+          FROM rr a JOIN rr b
+            ON a.bts = b.bts AND a.symbol < b.symbol
+          GROUP BY a.symbol, b.symbol)
+    SELECT sym_a, sym_b, n_obs, round(corr, 6) AS corr,
+           round(CASE WHEN varb > 0 THEN cov / varb END, 6)
+             AS hedge_ratio,
+           round(CASE WHEN varb > 0
+                 THEN sqrt(greatest(vara - cov ^ 2 / varb, 0.0e0)) END, 6)
+             AS resid_vol
+    FROM g WHERE n_obs >= 20
+    """,
+)
+def q97(spark, sf_dir):
+    """Pairs-trading screen (operators/factors.py pairs_screen) on daily
+    bars: per symbol pair the return correlation, OLS hedge ratio and
+    spread residual volatility from distributed moment aggregates."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    ps = factors_ops.pairs_screen(b, min_obs=20)
+    return ps.select(
+        "sym_a", "sym_b", "n_obs", F.round("corr", 6).alias("corr"),
+        F.round("hedge_ratio", 6).alias("hedge_ratio"),
+        F.round("resid_vol", 6).alias("resid_vol"),
+    )
+
+
+@_register(
+    "q98_trade_markouts",
+    f"""
+    WITH {TICKS_CTE},
+    s AS (SELECT symbol, ts, price, volume, seq,
+                 sign(price - lag(price) OVER
+                      (PARTITION BY symbol ORDER BY ts, seq)) AS raw
+          FROM ticks),
+    s2 AS (SELECT symbol, ts, price, seq,
+                  CAST(coalesce(last_value(nullif(raw, 0) IGNORE NULLS)
+                       OVER (PARTITION BY symbol ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                             ROW), 0) AS INTEGER) AS trade_sign
+           FROM s),
+    mk AS (SELECT symbol,
+                  trade_sign * (lead(price, 1) OVER w - price) AS mk1,
+                  trade_sign * (lead(price, 5) OVER w - price) AS mk5,
+                  trade_sign * (lead(price, 20) OVER w - price) AS mk20
+           FROM s2
+           WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq))
+    SELECT symbol, count(*) AS n_trades,
+           round(avg(mk1), 6) AS markout_1, count(mk1) AS n_1,
+           round(avg(mk5), 6) AS markout_5, count(mk5) AS n_5,
+           round(avg(mk20), 6) AS markout_20, count(mk20) AS n_20
+    FROM mk GROUP BY symbol
+    """,
+)
+def q98(spark, sf_dir):
+    """Post-trade markouts at 1/5/20-event horizons
+    (operators/microstructure.py trade_markouts): tick-rule-signed price
+    drift after each trade, averaged per symbol; horizon windows that run
+    off the tape are excluded per-horizon."""
+    ticks = _ticks(spark, sf_dir)
+    signed = micro_ops.tick_rule_signs(ticks)
+    m = micro_ops.trade_markouts(signed, horizons=(1, 5, 20))
+    return m.select(
+        "symbol", "n_trades",
+        F.round("markout_1", 6).alias("markout_1"), "n_1",
+        F.round("markout_5", 6).alias("markout_5"), "n_5",
+        F.round("markout_20", 6).alias("markout_20"), "n_20",
+    )
+
+
+@_register(
+    "q99_sessionization",
+    """
+    WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                      event_id, value
+               FROM events),
+    flags AS (SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w
+                               >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, ts, value,
+                    sum(new_session) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_idx
+             FROM flags)
+    SELECT user_id, epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) AS end_us,
+           count(*) AS n_events, round(sum(value), 6) AS value_sum
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q99(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py sessionize) via
+    Spark's native session_window (30-minute inactivity gap) — the same
+    operator Structured Streaming uses, so this batch query is the
+    streaming query. Oracle mirrors with gaps-and-islands SQL."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s = sessions_ops.sessionize(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events", F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+@_register(
+    "q100_event_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      make_timestamp(epoch_us(ts)) AS ts
+               FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+           GROUP BY e.user_id)
+    SELECT s1.user_id, epoch_us(s1.t_view) AS view_us,
+           epoch_us(s2.t_click) AS click_us,
+           epoch_us(s3.t_purchase) AS purchase_us
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q100(spark, sf_dir):
+    """Ordered view->click->purchase funnel (operators/sessions.py
+    funnel): each step's earliest completion at-or-after the previous
+    step's. Chained per-user min-aggs reuse one user_id hash
+    partitioning; timestamps are exact (no FP)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    f = sessions_ops.funnel(ev, steps=("view", "click", "purchase"))
+    return f.select(
+        "user_id",
+        F.unix_micros("t_view").alias("view_us"),
+        F.unix_micros("t_click").alias("click_us"),
+        F.unix_micros("t_purchase").alias("purchase_us"),
+    )

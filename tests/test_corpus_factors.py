@@ -1,0 +1,314 @@
+"""Unit tests for the round-2 extension operators: chunking, boilerplate
+n-grams, vocabulary coverage, semantic dedup, source overlap, rolling
+beta, pairs screen, trade markouts, sessionization, funnel."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    corpus,
+    dedup,
+    factors,
+    microstructure as micro,
+    sessions,
+    text,
+)
+
+
+def _t(minute, second=0):
+    return datetime.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_documents_exact_windows(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h i j")]
+    )
+    out = text.chunk_documents(df, chunk_tokens=4, stride=3).orderBy(
+        "chunk_id"
+    ).collect()
+    assert [(r.chunk_id, r.chunk_text, r.n_tokens) for r in out] == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+        (3, "j", 1),
+    ]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    out = text.chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "x y" and out[0].n_tokens == 2
+
+
+def test_chunk_documents_no_token_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate([1, 47, 48, 49, 64, 65, 200])]
+    )
+    out = text.chunk_documents(df, chunk_tokens=64, stride=48)
+    # every token position 0..n-1 appears in some chunk
+    covered = (
+        out.select(
+            "doc_id",
+            F.explode(F.split("chunk_text", " ")).alias("tok"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    expect = {i: n for i, n in enumerate([1, 47, 48, 49, 64, 65, 200])}
+    assert {r.doc_id: r["count"] for r in covered} == expect
+
+
+# ------------------------------------------------------ boilerplate grams
+
+def test_boilerplate_coverage_hand_case(spark):
+    # gram "a b c" appears in docs 1,2,3 -> boilerplate at min_docs=3
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c x"),
+            Row(doc_id=2, text="z a b c"),
+            Row(doc_id=3, text="a b c"),
+            Row(doc_id=4, text="p q r s"),
+        ]
+    )
+    cov = {
+        r.doc_id: (r.n_grams, r.n_boilerplate)
+        for r in text.boilerplate_coverage(df, n=3, min_docs=3).collect()
+    }
+    # doc1 grams: "a b c","b c x" -> 1 boiler; doc3 has exactly 1 gram
+    assert cov[1] == (2, 1)
+    assert cov[2] == (2, 1)
+    assert cov[3] == (1, 1)
+    assert cov[4] == (2, 0)
+
+
+def test_boilerplate_within_doc_repeat_not_counted(spark):
+    # "a b c" twice in one doc is still doc_freq 1 -> not boilerplate
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c a b c"), Row(doc_id=2, text="q r s")]
+    )
+    assert text.boilerplate_grams(df, n=3, min_docs=2).count() == 0
+
+
+# ------------------------------------------------------------ vocab stats
+
+def test_vocab_coverage_ranks_and_shares(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c")]
+    )
+    rows = {r.term: r for r in text.vocab_coverage(df).collect()}
+    assert rows["a"].term_count == 3 and rows["a"].doc_freq == 2
+    assert rows["a"].rank == 1
+    assert rows["a"].cum_share == pytest.approx(3 / 5)
+    # b and c tie on count 1 -> alphabetical tiebreak
+    assert rows["b"].rank == 2 and rows["c"].rank == 3
+    assert rows["c"].cum_share == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_prunes_later_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=2, label=0, embedding=[0.99, 0.01]),  # near v1
+            Row(vec_id=3, label=0, embedding=[0.0, 1.0]),    # orthogonal
+            Row(vec_id=4, label=1, embedding=[1.0, 0.0]),    # other cluster
+        ]
+    )
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, cluster_col="label", threshold=0.9).collect()}
+    assert not out[1].pruned and out[1].max_prior_sim is None
+    assert out[2].pruned and out[2].max_prior_sim == pytest.approx(
+        0.99 / (0.99**2 + 0.01**2) ** 0.5, rel=1e-9
+    )
+    assert not out[3].pruned
+    assert not out[4].pruned  # same direction but different cluster
+
+
+# ---------------------------------------------------------- source overlap
+
+def test_source_overlap_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="a b c"),
+            Row(doc_id=2, source="s2", text="b c d e"),
+        ]
+    )
+    r = corpus.source_overlap(df).collect()[0]
+    assert (r.src_a, r.src_b) == ("s1", "s2")
+    assert r.n_inter == 2 and r.na == 3 and r.nb == 4
+    assert r.jaccard == pytest.approx(2 / 5)
+
+
+# ------------------------------------------------------------ rolling beta
+
+def test_rolling_beta_exact_linear_relation(spark):
+    # r_sym = 2 * r_mkt exactly -> beta 2, alpha 0, r2 1
+    mkt_r = [0.01, -0.02, 0.015, 0.005, -0.01]
+    px, p = [], 100.0
+    for r in [None] + mkt_r:
+        p = p if r is None else p * (1 + 2 * r)
+        px.append(p)
+    bars_df = spark.createDataFrame(
+        [Row(symbol="X", ts=_t(i), close=v) for i, v in enumerate(px)]
+    )
+    mkt = spark.createDataFrame(
+        [Row(ts=_t(i + 1), r_mkt=r) for i, r in enumerate(mkt_r)]
+    )
+    out = factors.rolling_beta(
+        bars_df, window=3, market=mkt
+    ).orderBy("ts").collect()
+    warm = [r for r in out if r.beta is not None]
+    assert len(warm) == 3  # 5 obs, window 3
+    for r in warm:
+        assert r.beta == pytest.approx(2.0, rel=1e-9)
+        assert r.alpha == pytest.approx(0.0, abs=1e-12)
+        assert r.r2 == pytest.approx(1.0, rel=1e-9)
+
+
+def test_rolling_beta_warmup_gated(spark):
+    bars_df = spark.createDataFrame(
+        [Row(symbol="X", ts=_t(i), close=100.0 + i) for i in range(4)]
+    )
+    out = factors.rolling_beta(bars_df, window=10).collect()
+    assert all(r.beta is None for r in out)
+
+
+# ------------------------------------------------------------ pairs screen
+
+def test_pairs_screen_perfect_pair(spark):
+    rows = []
+    import math
+    for i in range(30):
+        # A and B move in lockstep (B = half the return of A)
+        ra = 0.01 * math.sin(i)
+        rows.append(Row(symbol="A", ts=_t(i), close=100 * (1 + ra)))
+        rows.append(Row(symbol="B", ts=_t(i), close=50 * (1 + ra / 2)))
+    # build closes as a price path instead of one-shot levels
+    pa, pb, rows = 100.0, 50.0, []
+    for i in range(30):
+        ra = 0.01 * math.sin(i + 1)
+        pa *= 1 + ra
+        pb *= 1 + ra / 2
+        rows.append(Row(symbol="A", ts=_t(i), close=pa))
+        rows.append(Row(symbol="B", ts=_t(i), close=pb))
+    df = spark.createDataFrame(rows)
+    out = factors.pairs_screen(df, min_obs=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sym_a, r.sym_b) == ("A", "B") and r.n_obs == 29
+    assert r.corr == pytest.approx(1.0, rel=1e-9)
+    assert r.hedge_ratio == pytest.approx(2.0, rel=1e-6)
+    assert r.resid_vol == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pairs_screen_min_obs_filter(spark):
+    rows = [
+        Row(symbol=s, ts=_t(i), close=100.0 + i)
+        for s in ("A", "B") for i in range(5)
+    ]
+    assert factors.pairs_screen(
+        spark.createDataFrame(rows), min_obs=20
+    ).count() == 0
+
+
+# ---------------------------------------------------------- trade markouts
+
+def test_trade_markouts_hand_tape(spark):
+    # uptick at t1 (sign +1), downtick at t2 (-1), uptick t3 (+1)
+    px = [100.0, 101.0, 100.0, 102.0]
+    ticks = spark.createDataFrame(
+        [Row(symbol="X", ts=_t(i), price=p, volume=1.0, seq=i)
+         for i, p in enumerate(px)]
+    )
+    signed = micro.tick_rule_signs(ticks)
+    out = micro.trade_markouts(signed, horizons=(1,)).collect()[0]
+    # markout_1 per trade: t0 sign0 -> 0*(101-100)=0; t1 +1*(100-101)=-1;
+    # t2 -1*(102-100)=-2; t3 no lead
+    assert out.n_trades == 4 and out.n_1 == 3
+    assert out.markout_1 == pytest.approx((0 - 1 - 2) / 3)
+
+
+# ---------------------------------------------------------- sessionization
+
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_t(0), value=1.0),
+            Row(user_id=1, ts=_t(29), value=2.0),   # 29min -> same session
+            Row(user_id=1, ts=_t(60), value=3.0),   # 31min -> new session
+            Row(user_id=2, ts=_t(0), value=4.0),
+        ]
+    )
+    out = sessions.sessionize(ev, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    ).collect()
+    assert [(r.user_id, r.n_events, r.value_sum) for r in out] == [
+        (1, 2, 3.0), (1, 1, 3.0), (2, 1, 4.0),
+    ]
+    assert out[0].session_end == _t(29)
+
+
+def test_session_stats(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_t(0), value=1.0),
+            Row(user_id=1, ts=_t(10), value=1.0),
+            Row(user_id=1, ts=_t(120), value=1.0),
+        ]
+    )
+    s = sessions.session_stats(sessions.sessionize(ev)).collect()[0]
+    assert s.n_sessions == 2
+    assert s.avg_events == pytest.approx(1.5)
+    assert s.avg_duration_s == pytest.approx(300.0)  # (600 + 0) / 2
+
+
+# ----------------------------------------------------------------- funnel
+
+def test_funnel_order_dependence(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            Row(user_id=1, ts=_t(0), event_type="view"),
+            Row(user_id=1, ts=_t(1), event_type="click"),
+            Row(user_id=1, ts=_t(2), event_type="purchase"),
+            # user 2: click BEFORE view -> click step not completed
+            Row(user_id=2, ts=_t(0), event_type="click"),
+            Row(user_id=2, ts=_t(1), event_type="view"),
+            Row(user_id=2, ts=_t(2), event_type="purchase"),
+        ]
+    )
+    out = {r.user_id: r for r in sessions.funnel(
+        ev, steps=("view", "click", "purchase")).collect()}
+    assert out[1].t_click == _t(1) and out[1].t_purchase == _t(2)
+    assert out[2].t_view == _t(1)
+    assert out[2].t_click is None and out[2].t_purchase is None
+    summ = sessions.funnel_summary(
+        sessions.funnel(ev), ("view", "click", "purchase")
+    ).collect()[0]
+    assert (summ.n_view, summ.n_click, summ.n_purchase) == (2, 1, 1)
+
+
+def test_funnel_purchase_needs_prior_click_time(spark):
+    # purchase exists but before the click completion -> excluded
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_t(0), event_type="view"),
+            Row(user_id=1, ts=_t(5), event_type="purchase"),
+            Row(user_id=1, ts=_t(10), event_type="click"),
+        ]
+    )
+    r = sessions.funnel(ev).collect()[0]
+    assert r.t_click == _t(10) and r.t_purchase is None

@@ -207,3 +207,58 @@ def test_microstructure_shuffle_shapes(spark):
     plans.assert_max_shuffles(signed, 1)
     plans.assert_max_shuffles(micro.ofi_bars(signed), 2)
     plans.assert_max_shuffles(micro.kyle_lambda(signed), 3)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is split->sequence->explode->slice: pure map-side, zero
+    exchanges — the only shape that chunks 100 TB without a shuffle."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    out = text_ops.chunk_documents(docs)
+    assert plans.count_shuffles(out) == 0
+    assert plans.wholestage_codegen_count(out) >= 1
+
+
+def test_boilerplate_and_vocab_bounded_shuffles(spark):
+    """Boilerplate coverage = gram doc-freq agg + gram join + per-doc agg;
+    vocab table = term agg + distinct-docs agg + vocab-sized joins and one
+    vocab-sized global window. Upper bounds pinned."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    plans.assert_max_shuffles(text_ops.boilerplate_coverage(docs), 5)
+    plans.assert_max_shuffles(text_ops.vocab_coverage(docs), 7)
+
+
+def test_semantic_dedup_is_cluster_equi_join(spark):
+    """SemDeDup prior-sim must be a hash equi-join on the cluster key —
+    never a cartesian. Also pins the shuffle budget."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import dedup
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    out = dedup.semantic_dedup(emb)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt
+    plans.assert_max_shuffles(out, 6)
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """The 3-step funnel keys every agg/join on user_id; pinned upper
+    bound keeps a refactor from introducing per-step re-partitioning."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sessions
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    plans.assert_max_shuffles(sessions.funnel(ev), 8)
+
+
+def test_markouts_single_window_sort(spark):
+    """All markout horizons share one (symbol, ts, seq) window sort plus
+    one map-combinable symbol agg."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    signed = micro.tick_rule_signs(ticks)
+    plans.assert_max_shuffles(micro.trade_markouts(signed), 3)
