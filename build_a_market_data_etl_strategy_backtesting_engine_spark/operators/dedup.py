@@ -519,3 +519,66 @@ def semantic_dedup(
             F.coalesce(F.col("max_prior_sim") >= threshold, F.lit(False)),
         )
     )
+
+
+# ------------------------------------------- fingerprint-overlap dedup
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Substring-level near-dup candidates from winnowing fingerprints
+    (``text.rolling_hash_fingerprints``): document pairs sharing >=
+    ``min_shared`` fingerprints, with the containment-style overlap
+    fraction ``shared / min(|fp_a|, |fp_b|)`` — catches copied *passages*
+    that whole-document MinHash dilutes away.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    (stop-fingerprints): a fingerprint in d docs fans out into O(d^2)
+    pairs, so the cap both bounds the join and removes boilerplate noise —
+    same role as CCNet's common-line filter. Shape at 100 TB: fp doc-freq
+    agg + self equi-join on the fingerprint key + pair agg; all
+    hash-partitioned, no cartesian.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.text import (
+        rolling_hash_fingerprints,
+    )
+
+    fps = rolling_hash_fingerprints(
+        docs, text_col=text_col, k=k, window=window,
+        doc_id_col=doc_id_col, portable=portable,
+    ).select(F.col(doc_id_col).alias("doc"), "fp")
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = (
+            fps.join(dfreq.where(F.col("_df") <= max_df), "fp")
+            .select("doc", "fp")
+        )
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("doc").alias("doc_a"),
+                                 F.col("n_fp").alias("n_fp_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"),
+                           F.col("n_fp").alias("n_fp_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+            (F.col("n_shared")
+             / F.least(F.col("n_fp_a"), F.col("n_fp_b"))
+             ).alias("containment"),
+        )
+    )

@@ -147,3 +147,52 @@ def pairs_screen(
             F.when(F.col("_varb") > 0, resid).alias("resid_vol"),
         )
     )
+
+
+def cross_sectional_momentum(
+    bars: DataFrame,
+    lookback: int = 5,
+    n_tiles: int = 2,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Cross-sectional momentum long-short portfolio on (typically daily)
+    bars: rank symbols each period by trailing ``lookback``-period return,
+    long the top tile, short the bottom tile (equal weight), realize the
+    NEXT period's return — the standard leak-free factor-portfolio
+    backtest.
+
+    Returns one row per period with long/short leg returns, the long-short
+    spread, and membership counts. Ties rank deterministically by symbol.
+    Shape at 100 TB: one (symbol) window sort for trailing/forward
+    returns, one (ts) window for the cross-sectional ntile, one (ts) agg —
+    bar-level data throughout.
+    """
+    wsym = Window.partitionBy(symbol_col).orderBy(ts_col)
+    past = F.lag(close_col, lookback).over(wsym)
+    nxt = F.lead(close_col).over(wsym)
+    r = bars.select(
+        symbol_col, ts_col,
+        F.when(past > 0, F.col(close_col) / past - 1.0).alias("mom"),
+        F.when(
+            F.col(close_col) > 0, nxt / F.col(close_col) - 1.0
+        ).alias("fwd_r"),
+    ).where(F.col("mom").isNotNull() & F.col("fwd_r").isNotNull())
+    wcs = Window.partitionBy(ts_col).orderBy(
+        F.desc("mom"), F.asc(symbol_col)
+    )
+    tiled = r.withColumn("tile", F.ntile(n_tiles).over(wcs))
+    return (
+        tiled.groupBy(ts_col)
+        .agg(
+            F.avg(F.when(F.col("tile") == 1, F.col("fwd_r")))
+            .alias("long_r"),
+            F.avg(F.when(F.col("tile") == n_tiles, F.col("fwd_r")))
+            .alias("short_r"),
+            F.count(F.when(F.col("tile") == 1, 1)).alias("n_long"),
+            F.count(F.when(F.col("tile") == n_tiles, 1)).alias("n_short"),
+            F.count(F.lit(1)).alias("n_universe"),
+        )
+        .withColumn("ls_r", F.col("long_r") - F.col("short_r"))
+    )

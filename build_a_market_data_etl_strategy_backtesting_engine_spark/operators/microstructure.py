@@ -381,3 +381,80 @@ def trade_markouts(
             F.count(f"_mk_{k}").alias(f"n_{k}")
         )
     return cur.groupBy(symbol_col).agg(*aggs)
+
+
+def vwap_execution(
+    ticks: DataFrame,
+    freq: str = "15min",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Execution-quality benchmark per (symbol, day): the arrival price
+    (first trade), the realized day VWAP, a volume-curve-scheduled
+    execution price (slot weights = the symbol's historical intraday
+    profile applied to that day's slot VWAPs), and slippage of the
+    schedule vs both benchmarks in bps.
+
+    Shape at 100 TB: one (symbol, slot) bar agg for day-slot VWAPs; the
+    historical profile (``intraday_profile``-shaped, slot dimension —
+    tiny) joins broadcast; one (symbol, day) agg closes. Arrival rides the
+    same day agg via min_by.
+    """
+    interval = to_interval(freq)
+    # zero-volume ticks add nothing to either vwap term; dropping them
+    # up front removes the all-zero-slot division edge (ANSI mode throws)
+    ticks = ticks.where(F.col(volume_col) > 0)
+    # per (symbol, day, slot): slot vwap + volume; arrival via min_by
+    slots = (
+        ticks.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.window(ts_col, interval).alias("w"),
+        )
+        .agg(
+            (F.sum(F.col(price_col) * F.col(volume_col))
+             / F.sum(volume_col)).alias("slot_vwap"),
+            F.sum(volume_col).alias("slot_volume"),
+            F.min_by(price_col, F.struct(F.col(ts_col), F.col(seq_col)))
+            .alias("first_px"),
+            F.min(ts_col).alias("first_ts"),
+        )
+        .select(
+            "symbol", F.col("w.start").alias("bts"),
+            (F.hour("w.start") * 60 + F.minute("w.start")).alias(
+                "slot_min"
+            ),
+            F.date_trunc("day", F.col("w.start")).alias("day"),
+            "slot_vwap", "slot_volume", "first_px", "first_ts",
+        )
+    )
+    # historical slot weights per symbol (full-sample volume curve)
+    profile = slots.groupBy("symbol", "slot_min").agg(
+        F.sum("slot_volume").alias("hist_volume")
+    )
+    j = slots.join(F.broadcast(profile), ["symbol", "slot_min"])
+    return (
+        j.groupBy("symbol", "day")
+        .agg(
+            F.min_by(
+                "first_px", F.struct(F.col("first_ts"))
+            ).alias("arrival_px"),
+            (F.sum(F.col("slot_vwap") * F.col("slot_volume"))
+             / F.sum("slot_volume")).alias("day_vwap"),
+            (F.sum(F.col("slot_vwap") * F.col("hist_volume"))
+             / F.sum("hist_volume")).alias("sched_px"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+        .withColumn(
+            "sched_vs_vwap_bps",
+            (F.col("sched_px") - F.col("day_vwap"))
+            / F.col("day_vwap") * 1.0e4,
+        )
+        .withColumn(
+            "sched_vs_arrival_bps",
+            (F.col("sched_px") - F.col("arrival_px"))
+            / F.col("arrival_px") * 1.0e4,
+        )
+    )

@@ -205,15 +205,23 @@ def rolling_hash_fingerprints(
     k: int = 8,
     window: int = 4,
     doc_id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing-style fingerprints: k-gram hashes, minimum per sliding
     window of ``window`` hashes — the classic local fingerprinting scheme for
     near-dup/plagiarism detection. Emits (doc_id, pos, fp) rows.
 
     Implementation: shingle explode (map-side), xxhash64 per shingle, then a
-    per-doc sliding min via a window frame — one shuffle by doc_id."""
+    per-doc sliding min via a window frame — one shuffle by doc_id.
+    ``portable=True`` swaps xxhash64 for md5 (string) so an external SQL
+    engine reproduces identical fingerprints (oracle twin; prod keeps the
+    8-byte xxhash64)."""
     from pyspark.sql import Window as W
 
+    hash_sql = (
+        f"md5(substring({text_col}, pos, {k}))" if portable
+        else f"xxhash64(substring({text_col}, pos, {k}))"
+    )
     sh = docs.select(
         doc_id_col,
         F.explode(
@@ -222,7 +230,7 @@ def rolling_hash_fingerprints(
         F.col(text_col),
     ).select(
         doc_id_col, "pos",
-        F.xxhash64(F.expr(f"substring({text_col}, pos, {k})")).alias("h"),
+        F.expr(hash_sql).alias("h"),
     )
     w = W.partitionBy(doc_id_col).orderBy("pos").rowsBetween(0, window - 1)
     fps = sh.withColumn("fp", F.min("h").over(w))
@@ -478,4 +486,47 @@ def vocab_coverage(
             ) / F.col("_total"),
         )
         .drop("_total")
+    )
+
+
+# ------------------------------------------------------- BPE pair counts
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE training iteration, distributed: adjacent character-pair
+    frequencies across the corpus, weighted by word frequency — argmax is
+    the next merge. Iterating this operator (re-tokenizing with the merged
+    symbol) trains a full BPE vocabulary; one iteration is the
+    shuffle-shape-defining step.
+
+    Shape at 100 TB: word explode is map-side; the (word) agg collapses
+    the corpus to its vocabulary BEFORE pair expansion, so the pair
+    explode runs on vocabulary-sized data — the two aggs are
+    map-combinable and integer-exact.
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+    )
+    pairs = words.select(
+        "word_count",
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("word_count").alias("pair_count")
     )

@@ -4340,3 +4340,186 @@ def q100(spark, sf_dir):
         F.unix_micros("t_click").alias("click_us"),
         F.unix_micros("t_purchase").alias("purchase_us"),
     )
+
+
+# ====================== substring dedup / BPE / factor portfolio / execution
+
+
+@_register(
+    "q101_fingerprint_overlap",
+    """
+    WITH sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                     AS i
+            FROM documents)),
+    w AS (SELECT doc_id, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM sh),
+    fps0 AS (SELECT doc_id AS doc, fp FROM w GROUP BY doc_id, fp),
+    dfreq AS (SELECT fp, count(*) AS df FROM fps0 GROUP BY fp),
+    fps AS (SELECT doc, fps0.fp FROM fps0
+            JOIN dfreq ON fps0.fp = dfreq.fp WHERE df <= 50),
+    sizes AS (SELECT doc, count(*) AS n_fp FROM fps GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+               FROM fps a JOIN fps b
+                 ON a.fp = b.fp AND a.doc < b.doc
+               GROUP BY a.doc, b.doc
+               HAVING count(*) >= 2)
+    SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+           round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 8)
+             AS containment
+    FROM shared
+    JOIN sizes sa ON shared.doc_a = sa.doc
+    JOIN sizes sb ON shared.doc_b = sb.doc
+    """,
+)
+def q101(spark, sf_dir):
+    """Substring-level near-dup pairs from winnowing fingerprints
+    (operators/dedup.py fingerprint_overlap_pairs): shared-fingerprint
+    counts with stop-fingerprint capping (df <= 50) and containment
+    fraction. md5 portable twin; prod path uses xxhash64."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = dedup_ops.fingerprint_overlap_pairs(
+        d, k=8, window=4, min_shared=2, max_df=50, portable=True
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+        F.round("containment", 8).alias("containment"),
+    )
+
+
+@_register(
+    "q102_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT word, count(*) AS word_count
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word),
+    pairs AS (
+      SELECT word_count, unnest(
+        CASE WHEN length(word) >= 2 THEN list_transform(
+          generate_series(1, length(word) - 1),
+          i -> substr(word, CAST(i AS INTEGER), 2))
+        ELSE [] END) AS pair
+      FROM words)
+    SELECT pair, CAST(sum(word_count) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    """,
+)
+def q102(spark, sf_dir):
+    """One distributed BPE training iteration (operators/text.py
+    bpe_pair_counts): adjacent character-pair counts weighted by word
+    frequency; the corpus collapses to its vocabulary before pair
+    expansion. Integer-exact."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return text_ops.bpe_pair_counts(d)
+
+
+@_register(
+    "q103_xs_momentum",
+    f"""
+    WITH {TICKS_CTE},
+    bars AS (SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bts,
+                    arg_max(price, ts) AS close
+             FROM ticks GROUP BY symbol, bts),
+    r AS (SELECT symbol, bts,
+                 CASE WHEN lag(close, 5) OVER w > 0
+                      THEN close / lag(close, 5) OVER w - 1 END AS mom,
+                 CASE WHEN close > 0
+                      THEN lead(close) OVER w / close - 1 END AS fwd_r
+          FROM bars
+          WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    t AS (SELECT bts, mom, fwd_r,
+                 ntile(2) OVER (PARTITION BY bts
+                                ORDER BY mom DESC, symbol) AS tile
+          FROM r WHERE mom IS NOT NULL AND fwd_r IS NOT NULL)
+    SELECT epoch_us(bts) AS day_us,
+           round(avg(CASE WHEN tile = 1 THEN fwd_r END), 8) AS long_r,
+           round(avg(CASE WHEN tile = 2 THEN fwd_r END), 8) AS short_r,
+           count(CASE WHEN tile = 1 THEN 1 END) AS n_long,
+           count(CASE WHEN tile = 2 THEN 1 END) AS n_short,
+           count(*) AS n_universe,
+           round(avg(CASE WHEN tile = 1 THEN fwd_r END)
+                 - avg(CASE WHEN tile = 2 THEN fwd_r END), 8) AS ls_r
+    FROM t GROUP BY bts
+    """,
+)
+def q103(spark, sf_dir):
+    """Cross-sectional momentum long-short portfolio
+    (operators/factors.py cross_sectional_momentum): rank by trailing
+    5-day return, ntile(2) split (symbol tiebreak), realize next-day
+    returns. Momentum values are IEEE-identical divisions of identical
+    closes, so the rank order is deterministic across engines."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    cm = factors_ops.cross_sectional_momentum(b, lookback=5, n_tiles=2)
+    return cm.select(
+        F.unix_micros("ts").alias("day_us"),
+        F.round("long_r", 8).alias("long_r"),
+        F.round("short_r", 8).alias("short_r"),
+        "n_long", "n_short", "n_universe",
+        F.round("ls_r", 8).alias("ls_r"),
+    )
+
+
+@_register(
+    "q104_vwap_execution",
+    f"""
+    WITH {TICKS_CTE},
+    tv AS (SELECT * FROM ticks WHERE volume > 0),
+    slots AS (SELECT symbol, time_bucket(INTERVAL '15 minutes', ts) AS bts,
+                     sum(price * volume) / sum(volume) AS slot_vwap,
+                     sum(volume) AS slot_volume,
+                     arg_min(price, ts) AS first_px,
+                     min(ts) AS first_ts
+              FROM tv GROUP BY symbol, bts),
+    s2 AS (SELECT symbol, bts,
+                  CAST(hour(bts) * 60 + minute(bts) AS INTEGER)
+                    AS slot_min,
+                  date_trunc('day', bts) AS day,
+                  slot_vwap, slot_volume, first_px, first_ts
+           FROM slots),
+    prof AS (SELECT symbol, slot_min, sum(slot_volume) AS hist_volume
+             FROM s2 GROUP BY symbol, slot_min),
+    j AS (SELECT s2.*, prof.hist_volume FROM s2
+          JOIN prof ON s2.symbol = prof.symbol
+                   AND s2.slot_min = prof.slot_min)
+    SELECT symbol, epoch_us(day) AS day_us,
+           round(arg_min(first_px, first_ts), 6) AS arrival_px,
+           round(sum(slot_vwap * slot_volume) / sum(slot_volume), 6)
+             AS day_vwap,
+           round(sum(slot_vwap * hist_volume) / sum(hist_volume), 6)
+             AS sched_px,
+           count(*) AS n_slots,
+           round((sum(slot_vwap * hist_volume) / sum(hist_volume)
+                  - sum(slot_vwap * slot_volume) / sum(slot_volume))
+                 / (sum(slot_vwap * slot_volume) / sum(slot_volume))
+                 * 1.0e4, 4) AS sched_vs_vwap_bps,
+           round((sum(slot_vwap * hist_volume) / sum(hist_volume)
+                  - arg_min(first_px, first_ts))
+                 / arg_min(first_px, first_ts) * 1.0e4, 4)
+             AS sched_vs_arrival_bps
+    FROM j GROUP BY symbol, day_us
+    """,
+)
+def q104(spark, sf_dir):
+    """VWAP-schedule execution benchmark (operators/microstructure.py
+    vwap_execution): per (symbol, day) arrival price, realized day VWAP,
+    historical-volume-curve scheduled price, and schedule slippage vs both
+    benchmarks in bps. Weighted sums are order-insensitive up to FP noise
+    — rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    ve = micro_ops.vwap_execution(ticks, "15min")
+    return ve.select(
+        "symbol", F.unix_micros("day").alias("day_us"),
+        F.round("arrival_px", 6).alias("arrival_px"),
+        F.round("day_vwap", 6).alias("day_vwap"),
+        F.round("sched_px", 6).alias("sched_px"),
+        "n_slots",
+        F.round("sched_vs_vwap_bps", 4).alias("sched_vs_vwap_bps"),
+        F.round("sched_vs_arrival_bps", 4).alias("sched_vs_arrival_bps"),
+    )

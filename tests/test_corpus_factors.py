@@ -312,3 +312,136 @@ def test_funnel_purchase_needs_prior_click_time(spark):
     )
     r = sessions.funnel(ev).collect()[0]
     assert r.t_click == _t(10) and r.t_purchase is None
+
+
+# --------------------------------------------------- fingerprint overlap
+
+def test_fingerprint_overlap_detects_copied_passage(spark):
+    passage = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="A unique prefix here. " + passage),
+            Row(doc_id=2, text=passage + " And a different suffix."),
+            Row(doc_id=3, text="entirely unrelated content with no reuse"),
+        ]
+    )
+    out = dedup.fingerprint_overlap_pairs(
+        df, k=8, window=4, min_shared=2, max_df=None
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment > 0.3
+    assert all(3 not in p for p in pairs)
+
+
+def test_fingerprint_overlap_max_df_drops_ubiquitous(spark):
+    common = "shared boilerplate line appearing everywhere ok"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=common) for i in range(5)]
+    )
+    # every fingerprint is in all 5 docs -> df cap 4 kills all pairs
+    assert dedup.fingerprint_overlap_pairs(
+        df, min_shared=1, max_df=4
+    ).count() == 0
+    assert dedup.fingerprint_overlap_pairs(
+        df, min_shared=1, max_df=None
+    ).count() == 10  # C(5,2)
+
+
+def test_fingerprint_portable_matches_xxhash_structure(spark):
+    # portable and prod fingerprints must produce identical OVERLAP
+    # structure (same shared positions), though hash values differ
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcdefghijklmnop"),
+            Row(doc_id=2, text="abcdefghijklmnop"),
+        ]
+    )
+    a = dedup.fingerprint_overlap_pairs(
+        df, min_shared=1, max_df=None, portable=False).collect()
+    b = dedup.fingerprint_overlap_pairs(
+        df, min_shared=1, max_df=None, portable=True).collect()
+    # winnowing SELECTS different grams per hash function, but identical
+    # docs must reach full containment under either hash
+    assert [(r.doc_a, r.doc_b, r.containment) for r in a] == [(1, 2, 1.0)]
+    assert [(r.doc_a, r.doc_b, r.containment) for r in b] == [(1, 2, 1.0)]
+
+
+# ------------------------------------------------------------- BPE pairs
+
+def test_bpe_pair_counts_hand_case(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abab ab x"), Row(doc_id=2, text="ab")]
+    )
+    got = {r.pair: r.pair_count for r in
+           __import__("build_a_market_data_etl_strategy_backtesting_engine_spark.operators.text",
+                      fromlist=["text"]).bpe_pair_counts(df).collect()}
+    # words: abab(1), ab(2), x(1); pairs: abab -> ab,ba,ab; ab -> ab
+    assert got["ab"] == 1 * 2 + 2 * 1
+    assert got["ba"] == 1
+    assert "x" not in got  # single-char word contributes nothing
+
+
+# ------------------------------------------------- cross-sectional momentum
+
+def test_xs_momentum_long_short_assignment(spark):
+    # 4 symbols: W strongest past return, Z weakest; next-day returns fixed
+    rows = []
+    paths = {
+        "W": [100, 100, 100, 110, 121],  # mom day3->4 high, fwd known
+        "X": [100, 100, 100, 105, 105],
+        "Y": [100, 100, 100, 102, 102],
+        "Z": [100, 100, 100, 95, 90.25],
+    }
+    for s, px in paths.items():
+        for i, p in enumerate(px):
+            rows.append(Row(symbol=s, ts=_t(i * 60), close=float(p)))
+    df = spark.createDataFrame(rows)
+    out = factors.cross_sectional_momentum(
+        df, lookback=3, n_tiles=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ranked by 3-bar momentum at t3: W(10%) X(5%) | Y(2%) Z(-5%)
+    assert r.n_long == 2 and r.n_short == 2
+    assert r.long_r == pytest.approx(((121 / 110 - 1) + 0.0) / 2, rel=1e-9)
+    assert r.short_r == pytest.approx((0.0 + (90.25 / 95 - 1)) / 2, rel=1e-9)
+    assert r.ls_r == pytest.approx(r.long_r - r.short_r, rel=1e-9)
+
+
+# ------------------------------------------------------------ vwap execution
+
+def test_vwap_execution_flat_profile_equals_vwap(spark):
+    # one symbol, one day, two slots with EQUAL total volume across days
+    # -> historical weights proportional to day volumes -> sched == vwap
+    rows = [
+        Row(symbol="X", ts=_t(0, 10), price=10.0, volume=2.0, seq=1),
+        Row(symbol="X", ts=_t(20), price=20.0, volume=2.0, seq=2),
+    ]
+    out = micro.vwap_execution(
+        spark.createDataFrame(rows), "15min"
+    ).collect()[0]
+    assert out.arrival_px == 10.0
+    assert out.day_vwap == pytest.approx(15.0)
+    assert out.sched_px == pytest.approx(15.0)
+    assert out.sched_vs_vwap_bps == pytest.approx(0.0, abs=1e-9)
+    assert out.sched_vs_arrival_bps == pytest.approx(5000.0)
+
+
+def test_vwap_execution_schedule_uses_history(spark):
+    # day1 volume concentrated in slot0, day2 in slot1; the historical
+    # curve is 50/50, so each day's sched price is the 50/50 slot blend
+    day2 = datetime.timedelta(days=1)
+    rows = [
+        Row(symbol="X", ts=_t(0), price=10.0, volume=3.0, seq=1),
+        Row(symbol="X", ts=_t(20), price=20.0, volume=1.0, seq=2),
+        Row(symbol="X", ts=_t(0) + day2, price=30.0, volume=1.0, seq=3),
+        Row(symbol="X", ts=_t(20) + day2, price=40.0, volume=3.0, seq=4),
+    ]
+    out = {r.day.day: r for r in micro.vwap_execution(
+        spark.createDataFrame(rows), "15min").collect()}
+    d1, d2 = out[1], out[2]
+    # hist volume per slot: slot0 = 3+1 = 4, slot1 = 1+3 = 4 -> 50/50
+    assert d1.sched_px == pytest.approx((10.0 + 20.0) / 2)
+    assert d2.sched_px == pytest.approx((30.0 + 40.0) / 2)
+    assert d1.day_vwap == pytest.approx((10 * 3 + 20 * 1) / 4)

@@ -262,3 +262,36 @@ def test_markouts_single_window_sort(spark):
     ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
     signed = micro.tick_rule_signs(ticks)
     plans.assert_max_shuffles(micro.trade_markouts(signed), 3)
+
+
+def test_bpe_pair_counts_two_aggs_no_more(spark):
+    """BPE pair counting must collapse corpus->vocabulary before the pair
+    explode: two map-combinable aggs, nothing else."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    plans.assert_max_shuffles(text_ops.bpe_pair_counts(docs), 2)
+
+
+def test_fingerprint_overlap_no_cartesian(spark):
+    """Fingerprint-overlap pairs join on the fp key with a df cap —
+    hash equi-join, never cartesian."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import dedup
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    out = dedup.fingerprint_overlap_pairs(docs)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt
+
+
+def test_vwap_execution_profile_is_broadcast(spark):
+    """The historical volume-curve join must broadcast (slot dimension is
+    tiny); day agg adds one exchange on (symbol, day)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as micro,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    out = micro.vwap_execution(ticks)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in txt

@@ -510,3 +510,50 @@ def test_streaming_order_book_matches_batch(spark, tmp_path):
     # the resting limit and the converted stop-limit filled across the
     # micro-batch boundary
     assert {"o1", "o2", "o3", "o4"} <= set(batch["order_id"])
+
+
+def test_stream_batch_sessionization_equivalence(spark, tmp_path):
+    """sessionize() is built on session_window, so the batch result must
+    equal the streaming result over the same (fully-replayed) events —
+    the session-window twin of the OHLCV batch==stream test."""
+    import datetime
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sessions
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(4):
+        for k in range(12):
+            # sessions split every 3 events (45-min gap after 2x5min steps)
+            minute = (k // 3) * 60 + (k % 3) * 5
+            rows.append({
+                "user_id": u,
+                "ts": (t0 + datetime.timedelta(minutes=minute)
+                       ).strftime("%Y-%m-%dT%H:%M:%S"),
+                "value": float(u + k),
+            })
+    d = tmp_path / "ev"
+    d.mkdir()
+    import json as _json
+    (d / "a.json").write_text("\n".join(_json.dumps(r) for r in rows[:24]))
+    (d / "b.json").write_text("\n".join(_json.dumps(r) for r in rows[24:]))
+
+    schema = "user_id long, ts timestamp, value double"
+    batch = spark.read.schema(schema).json(str(d))
+    expected = sorted(
+        (r.user_id, r.session_start, r.n_events, float(r.value_sum))
+        for r in sessions.sessionize(batch, gap="30 minutes").collect()
+    )
+    assert len(expected) == 16  # 4 users x 4 sessions
+
+    src = (spark.readStream.schema(schema).json(str(d))
+           .withWatermark("ts", "2 hours"))
+    sess = sessions.sessionize(src, gap="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sess_eq")
+         .outputMode("complete").trigger(availableNow=True).start())
+    _await(q, 90)
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events, float(r.value_sum))
+        for r in spark.sql("select * from sess_eq").collect()
+    )
+    assert got == expected
