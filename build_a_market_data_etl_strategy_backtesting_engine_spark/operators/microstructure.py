@@ -458,3 +458,45 @@ def vwap_execution(
             / F.col("arrival_px") * 1.0e4,
         )
     )
+
+
+def almgren_chriss_schedule(
+    spark,
+    total_qty: float = 10000.0,
+    n_slices: int = 26,
+    kappa: float = 0.5,
+) -> DataFrame:
+    """Almgren-Chriss optimal liquidation schedule (closed form, 2001):
+    remaining inventory decays as sinh(kappa*(T - t))/sinh(kappa*T) over
+    ``n_slices`` unit time steps; each row is one child-order slice.
+    ``kappa = sqrt(lambda * sigma^2 / eta)`` encodes urgency — kappa->0
+    degenerates to TWAP, large kappa front-loads.
+
+    Generated from ``spark.range`` (no input table); sinh is spelled
+    ``(exp(x) - exp(-x)) / 2`` so any ANSI SQL engine reproduces the
+    arithmetic IEEE-identically. Slices sum to total_qty by construction.
+    Pairs with ``intraday_profile`` to compare against the VWAP curve.
+    """
+    if kappa <= 0:
+        raise ValueError("kappa must be positive (use TWAP for kappa=0)")
+
+    def _sinh(x):
+        return (F.exp(x) - F.exp(-x)) / 2.0
+
+    T = float(n_slices)
+    j = F.col("id").cast("double")
+    denom = _sinh(F.lit(kappa) * F.lit(T))
+    x_rem = F.lit(total_qty) * _sinh(F.lit(kappa) * (F.lit(T) - j)) / denom
+    x_prev = (
+        F.lit(total_qty)
+        * _sinh(F.lit(kappa) * (F.lit(T) - (j - 1.0))) / denom
+    )
+    return (
+        spark.range(1, n_slices + 1)
+        .select(
+            F.col("id").cast("int").alias("slice_id"),
+            x_rem.alias("x_remaining"),
+            (x_prev - x_rem).alias("slice_qty"),
+            ((x_prev - x_rem) / F.lit(total_qty)).alias("slice_frac"),
+        )
+    )

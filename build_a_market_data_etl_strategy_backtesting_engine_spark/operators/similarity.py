@@ -204,3 +204,119 @@ def quantize_embeddings(
         .withColumn("max_abs_err", err)
         .select(id_col, "q_scale", "q_vec", "max_abs_err")
     )
+
+
+# ------------------------------------------------- product quantization
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split each vector into ``m``
+    contiguous subvectors and run deterministic k-means (``k`` codes) in
+    each subspace. Returns ``codebook[sub][code] -> subvector centroid``
+    (driver-side: m*k*(d/m) floats — a few KB).
+
+    PQ compresses an embedding to ``m`` small codes (m bytes at k<=256) —
+    the memory side of billion-scale ANN (Jegou et al. 2011); IVF
+    (``ivf_index``) is the pruning side. Training cost: m small k-means
+    runs over subvector projections, each a slice() map + the shared
+    kmeans shuffle shape.
+    """
+    dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebook = []
+    for s in range(m):
+        proj = embeddings.select(
+            F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub)
+            .alias("embedding")
+        )
+        codebook.append(
+            kmeans_centroids(
+                proj, n_cells=k, iterations=iterations, seed=seed + s
+            )
+        )
+    return codebook
+
+
+def _sub_code(v: Column, sub_cents, offset: int, sub: int) -> Column:
+    """Argmin code for one subspace against literal centroids.
+
+    Built as ``array_position(dists, array_min(dists))`` so the expression
+    stays LINEAR in k — a chained when(d < best_dist) would nest the
+    running-best subtree inside every branch and blow up exponentially.
+    Ties resolve to the lowest code (first position)."""
+    piece = F.slice(v, offset + 1, sub)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                piece,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for cent in sub_cents
+    ])
+    return (
+        F.array_position(dists, F.array_min(dists)) - 1
+    ).cast("int")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes (``array<int>`` of length m): per
+    subspace, the argmin-distance code against the literal codebook.
+    Map-side only — zero shuffles; at 256 codes the array packs to m
+    bytes in parquet."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(*[
+        _sub_code(v, codebook[s], s * sub, sub) for s in range(m)
+    ])
+    return embeddings.withColumn("pq_code", codes)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    query_vec,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact; each
+    subspace contributes a table lookup ``dist(query_sub, codebook[s][c])``
+    and distances sum across subspaces. The per-subspace lookup tables are
+    literal CASE maps (m*k floats), so scoring is pure codegen over the
+    m-byte codes — no float vectors are read at query time.
+    """
+    import math as _m
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    total = None
+    for s in range(m):
+        qs = query_vec[s * sub:(s + 1) * sub]
+        table = [
+            sum((qs[i] - cent[i]) ** 2 for i in range(sub))
+            for cent in codebook[s]
+        ]
+        code = F.element_at("pq_code", s + 1)
+        lut = F.array(*[F.lit(float(dv)) for dv in table])
+        expr = F.element_at(lut, code + 1)
+        total = expr if total is None else total + expr
+    return (
+        encoded.select(id_col, total.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

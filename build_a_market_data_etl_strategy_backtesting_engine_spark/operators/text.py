@@ -530,3 +530,91 @@ def bpe_pair_counts(
     return pairs.groupBy("pair").agg(
         F.sum("word_count").alias("pair_count")
     )
+
+
+def _merge_pair_expr(arr, a: str, b: str):
+    """Fold a symbol array left-to-right, replacing each adjacent (a, b)
+    with the merged symbol — the greedy-left BPE merge as a pure
+    higher-order aggregate (no UDF). Overlaps resolve leftmost-first:
+    merging ('a','a') over [a,a,a] gives [aa, a]."""
+    merged = a + b
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train a byte-pair-encoding merge list over the corpus: repeatedly
+    count adjacent symbol pairs (weighted by word frequency), merge the
+    most frequent pair everywhere, ``n_merges`` times. Returns the merge
+    list [(left, right, count), ...] in merge order plus the final
+    symbol-segmented vocabulary DataFrame (word, symbols, word_count).
+
+    Distributed shape: the corpus collapses to its vocabulary up front
+    (one map-combinable agg); every iteration then runs on vocabulary-
+    sized data — a pair-count agg (map-combinable), a 1-row argmax
+    collect (the only driver traffic: one (pair, count) row per merge),
+    and a pure higher-order-function re-segmentation. Ties on count break
+    lexicographically for cross-run determinism.
+    """
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+        .withColumn("symbols", F.split(F.col("word"), ""))
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = vocab.cache()
+    for _ in range(n_merges):
+        pairs = (
+            cur.select(
+                "word_count",
+                F.explode(
+                    F.when(
+                        F.size("symbols") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(symbols) - 1),"
+                            " i -> struct(symbols[i - 1] AS l,"
+                            " symbols[i] AS r))"
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<l:string,r:string>>"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("word_count").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        a, b, cnt = top["p"]["l"], top["p"]["r"], top["cnt"]
+        merges.append((a, b, int(cnt)))
+        nxt = cur.withColumn(
+            "symbols", _merge_pair_expr(F.col("symbols"), a, b)
+        ).cache()
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    return merges, cur

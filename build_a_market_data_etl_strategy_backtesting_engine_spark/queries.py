@@ -4523,3 +4523,130 @@ def q104(spark, sf_dir):
         F.round("sched_vs_vwap_bps", 4).alias("sched_vs_vwap_bps"),
         F.round("sched_vs_arrival_bps", 4).alias("sched_vs_arrival_bps"),
     )
+
+
+# ================= BPE trainer / product quantization / optimal execution
+
+_GOLDENS['q105'] = (
+    ['rank', 'left_sym', 'right_sym', 'pair_count'],
+    {
+        1000: [
+            (1, 'e', 'r', 4650), (2, 'o', 'r', 2880), (3, 'i', 'n', 2858),
+            (4, 'o', 'w', 2763), (5, 's', 't', 2721), (6, 'l', 'u', 1928),
+            (7, 'a', 'r', 1873), (8, 'p', 'ar', 1873), (9, 'm', 'er', 1824),
+            (10, 'a', 't', 1806),
+        ],
+        10000: [
+            (1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747),
+            (4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852),
+            (7, 'a', 't', 1845), (8, 'l', 'u', 1831), (9, 'a', 'r', 1758),
+            (10, 'p', 'ar', 1758),
+        ],
+        100000: [
+            (1, 'e', 'r', 45089), (2, 'i', 'n', 27190),
+            (3, 'o', 'r', 27095), (4, 's', 't', 27060),
+            (5, 'o', 'w', 27044), (6, 't', 'a', 18248),
+            (7, 'l', 'u', 18239), (8, 'm', 'er', 18174),
+            (9, 'a', 'r', 18111), (10, 'p', 'ar', 18111),
+        ],
+    },
+)
+
+
+@_register("q105_bpe_train", _golden_sql("q105"))
+def q105(spark, sf_dir):
+    """Iterative BPE training (operators/text.py train_bpe): 10 merge
+    rounds, each a vocabulary-sized pair-count agg + pure
+    higher-order-function re-segmentation; only the winning (pair, count)
+    row crosses to the driver per round. Integer counts + lexicographic
+    tie-break make the merge list fully deterministic -> golden-pinned
+    (the iteration makes it non-expressible as one SQL statement)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges, vocab = text_ops.train_bpe(d, n_merges=10)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+_GOLDENS['q106'] = (
+    ['vec_id', 'adc_dist'],
+    {
+        1000: [
+            (232, 0.806), (248, 0.885), (71, 0.913), (59, 0.93),
+            (260, 0.947), (275, 0.957), (214, 0.978), (189, 1.026),
+            (431, 1.037), (22, 1.045),
+        ],
+        10000: [
+            (351, 0.979), (433, 0.984), (58, 1.026), (24, 1.044),
+            (334, 1.053), (407, 1.059), (17, 1.072), (99, 1.076),
+            (103, 1.077), (261, 1.077),
+        ],
+        100000: [
+            (1738, 0.883), (1020, 0.923), (651, 0.934), (144, 0.938),
+            (210, 0.939), (660, 0.959), (640, 0.966), (1764, 0.966),
+            (833, 0.973), (925, 0.977),
+        ],
+    },
+)
+
+
+@_register("q106_pq_topk", _golden_sql("q106"))
+def q106(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_train/encode/
+    topk): 8 subspaces x 16 codes trained by the deterministic k-means,
+    asymmetric-distance top-10 for query vec 0. Golden-pinned (codebook
+    training is iterative); distances rounded to 3 decimals — adjacent
+    gaps are >= 1e-4 vs ~1e-15 summation noise, so membership and values
+    are stable."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cb = sim_ops.pq_train(emb, m=8, k=16, iterations=3)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    qv = [float(x) for x in q]
+    enc = sim_ops.pq_encode(emb, cb).where(F.col("vec_id") != 0)
+    top = sim_ops.pq_topk(enc, qv, cb, k=10)
+    return top.select(
+        "vec_id", F.round("adc_dist", 3).alias("adc_dist")
+    )
+
+
+@_register(
+    "q107_almgren_chriss",
+    f"""
+    WITH s AS (SELECT CAST(j AS INTEGER) AS slice_id,
+                      CAST(j AS DOUBLE) AS jd
+               FROM generate_series(1, 26) AS t(j)),
+    f AS (SELECT slice_id,
+                 1.0e4 * ((exp(0.5e0 * (26.0e0 - jd))
+                           - exp(-(0.5e0 * (26.0e0 - jd)))) / 2)
+                       / ((exp(0.5e0 * 26.0e0)
+                           - exp(-(0.5e0 * 26.0e0))) / 2) AS x_rem,
+                 1.0e4 * ((exp(0.5e0 * (26.0e0 - (jd - 1)))
+                           - exp(-(0.5e0 * (26.0e0 - (jd - 1))))) / 2)
+                       / ((exp(0.5e0 * 26.0e0)
+                           - exp(-(0.5e0 * 26.0e0))) / 2) AS x_prev
+          FROM s)
+    SELECT slice_id, round(x_rem, 6) AS x_remaining,
+           round(x_prev - x_rem, 6) AS slice_qty,
+           round((x_prev - x_rem) / 1.0e4, 8) AS slice_frac
+    FROM f
+    """,
+)
+def q107(spark, sf_dir):
+    """Almgren-Chriss optimal liquidation schedule
+    (operators/microstructure.py almgren_chriss_schedule): closed-form
+    sinh decay, 26 slices, kappa=0.5, 10k shares. sinh spelled as
+    (exp(x)-exp(-x))/2 on both engines -> IEEE-identical; rounded at the
+    edge only."""
+    ac = micro_ops.almgren_chriss_schedule(
+        spark, total_qty=10000.0, n_slices=26, kappa=0.5
+    )
+    return ac.select(
+        "slice_id",
+        F.round("x_remaining", 6).alias("x_remaining"),
+        F.round("slice_qty", 6).alias("slice_qty"),
+        F.round("slice_frac", 8).alias("slice_frac"),
+    )

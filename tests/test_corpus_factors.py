@@ -445,3 +445,98 @@ def test_vwap_execution_schedule_uses_history(spark):
     assert d1.sched_px == pytest.approx((10.0 + 20.0) / 2)
     assert d2.sched_px == pytest.approx((30.0 + 40.0) / 2)
     assert d1.day_vwap == pytest.approx((10 * 3 + 20 * 1) / 4)
+
+
+# --------------------------------------------------------------- BPE train
+
+def test_train_bpe_classic_example(spark):
+    # the canonical low/lower/newest/widest corpus: greedy merges must
+    # produce (e,s)(es,t)(l,o)(lo,w)(e,w)(ew,est) with lexicographic ties
+    df = spark.createDataFrame(
+        [Row(doc_id=1,
+             text=" ".join(["low"] * 5 + ["lower"] * 2
+                           + ["newest"] * 6 + ["widest"] * 3))]
+    )
+    merges, vocab = text.train_bpe(df, n_merges=6)
+    assert [(a, b) for a, b, _ in merges] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+        ("e", "w"), ("ew", "est"),
+    ]
+    segs = {r.word: list(r.symbols) for r in vocab.collect()}
+    assert segs["newest"] == ["n", "ewest"]
+    assert segs["low"] == ["low"]
+    assert segs["lower"] == ["low", "e", "r"]
+    assert segs["widest"] == ["w", "i", "d", "est"]
+    vocab.unpersist()
+
+
+def test_merge_pair_overlap_leftmost_first(spark):
+    df = spark.createDataFrame([Row(s=["a", "a", "a"])])
+    out = df.select(
+        text._merge_pair_expr(F.col("s"), "a", "a").alias("m")
+    ).collect()[0].m
+    assert list(out) == ["aa", "a"]
+
+
+# ------------------------------------------------------ product quantization
+
+def test_pq_recovers_clustered_neighbors(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import similarity as sim
+
+    # 3 tight clusters in 8-dim space; PQ must place same-cluster vectors
+    # nearest to a same-cluster query
+    import random
+    rng = random.Random(7)
+    base = {0: [5.0] * 8, 1: [-5.0] * 8,
+            2: [5.0] * 4 + [-5.0] * 4}
+    rows = []
+    for vid in range(30):
+        c = vid % 3
+        rows.append(Row(
+            vec_id=vid,
+            embedding=[x + rng.uniform(-0.3, 0.3) for x in base[c]],
+        ))
+    df = spark.createDataFrame(rows)
+    cb = sim.pq_train(df, m=4, k=4, iterations=4)
+    assert len(cb) == 4 and len(cb[0]) == 4 and len(cb[0][0]) == 2
+    enc = sim.pq_encode(df, cb)
+    qv = base[0]
+    top = sim.pq_topk(enc, qv, cb, k=10).collect()
+    got = {r.vec_id for r in top}
+    expect = {v for v in range(30) if v % 3 == 0}
+    assert got == expect
+
+
+def test_pq_encode_is_deterministic_and_compact(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), float(-i), 1.0, 0.0])
+         for i in range(8)]
+    )
+    cb = sim.pq_train(df, m=2, k=2, iterations=2)
+    a = sim.pq_encode(df, cb).orderBy("vec_id").collect()
+    b = sim.pq_encode(df, cb).orderBy("vec_id").collect()
+    assert [list(r.pq_code) for r in a] == [list(r.pq_code) for r in b]
+    assert all(len(r.pq_code) == 2 for r in a)
+    assert all(0 <= c <= 1 for r in a for c in r.pq_code)
+
+
+# --------------------------------------------------------- almgren-chriss
+
+def test_almgren_chriss_conserves_and_frontloads(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure as m,
+    )
+
+    out = m.almgren_chriss_schedule(
+        spark, total_qty=5000.0, n_slices=13, kappa=0.8
+    ).orderBy("slice_id").collect()
+    assert len(out) == 13
+    assert sum(r.slice_qty for r in out) == pytest.approx(5000.0, rel=1e-9)
+    # urgency > 0 -> strictly decreasing slices, remaining hits ~0
+    assert all(out[i].slice_qty > out[i + 1].slice_qty
+               for i in range(12))
+    assert out[-1].x_remaining == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        m.almgren_chriss_schedule(spark, kappa=0.0)

@@ -295,3 +295,17 @@ def test_vwap_execution_profile_is_broadcast(spark):
     out = micro.vwap_execution(ticks)
     txt = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in txt
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must be pure map-side codegen (argmin over literal
+    codebooks) — zero exchanges; scoring reads only the m-byte codes."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import similarity as sim
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    cb = [[[0.0] * 8 for _ in range(4)] for _ in range(8)]
+    enc = sim.pq_encode(emb, cb)
+    assert plans.count_shuffles(enc) == 0
+    top = sim.pq_topk(enc, [0.0] * 64, cb, k=5)
+    txt = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in txt
