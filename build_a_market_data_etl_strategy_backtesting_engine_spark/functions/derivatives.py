@@ -239,3 +239,65 @@ def mark_to_market(
     return joined.withColumn("unit_value", unit).withColumn(
         "value", F.col("quantity") * F.col("unit_value")
     )
+
+
+# --------------------------------------------------------- implied vol
+
+def implied_vol_bisect_sql(
+    opts_sql: str,
+    iters: int = 48,
+    lo: float = 1e-4,
+    hi: float = 4.0,
+    call: bool = True,
+) -> str:
+    """Implied-volatility solve as a recursive-CTE bisection — pure ANSI
+    SQL that BOTH Spark (4.x recursive CTEs, fully JVM-side) and the
+    DuckDB oracle execute verbatim.
+
+    ``opts_sql`` must yield (id, s, k, t_y, r, price). BS price is
+    monotone increasing in sigma, so ``iters`` halvings of [lo, hi]
+    pin sigma to (hi-lo)/2^iters (~1.4e-14 at the defaults) — far below
+    the 6-decimal output rounding, and robust to cross-engine libm ulp
+    differences (bisection re-brackets each engine's own root).
+    The BS formula is the same A&S-erf portable text as the pricing
+    oracles (functions/mathx.py).
+    """
+    px = bs_call_sql if call else bs_put_sql
+    f_mid = px("s", "k", "t_y", "((lo + hi) / 2e0)", "r")
+    return f"""
+    WITH RECURSIVE opts AS ({opts_sql}),
+    b(id, s, k, t_y, r, price, lo, hi, it) AS (
+      SELECT id, s, k, t_y, r, price,
+             CAST({lo:.1e} AS DOUBLE), CAST({hi:.1e} AS DOUBLE), 0
+      FROM opts
+      UNION ALL
+      SELECT id, s, k, t_y, r, price,
+             CASE WHEN {f_mid} < price
+                  THEN (lo + hi) / 2e0 ELSE lo END,
+             CASE WHEN {f_mid} < price
+                  THEN hi ELSE (lo + hi) / 2e0 END,
+             it + 1
+      FROM b WHERE it < {iters}
+    )
+    SELECT id, round((lo + hi) / 2e0, 6) AS iv
+    FROM b WHERE it = {iters}
+    """
+
+
+def implied_vol(
+    spark,
+    opts: "DataFrame",
+    iters: int = 48,
+    call: bool = True,
+    view_name: str = "opts_iv_input",
+) -> "DataFrame":
+    """Run the recursive-CTE bisection on a Spark DataFrame of
+    (id, s, k, t_y, r, price). Entirely JVM-side — the recursion executes
+    as iterative union steps in the engine, no Python in the loop."""
+    opts.createOrReplaceTempView(view_name)
+    return spark.sql(
+        implied_vol_bisect_sql(
+            f"SELECT id, s, k, t_y, r, price FROM {view_name}",
+            iters=iters, call=call,
+        )
+    )

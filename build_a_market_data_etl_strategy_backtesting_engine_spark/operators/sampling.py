@@ -217,3 +217,57 @@ def mixture_rates(
         k: min(1.0, (weights[k] / wsum) * total / counts[k])
         for k in weights
     }
+
+
+def _portable_uniform(key: Column) -> Column:
+    """Deterministic uniform in (0, 1): first 8 md5 hex digits scaled by
+    2^-32, shifted half a ulp so 0 is excluded (log-safe). Engine-portable
+    arithmetic (same expression text runs in DuckDB)."""
+    h = F.md5(key.cast("string"))
+    v = _hex_digit(h, 1).cast("long")  # 8 digits exceed int32 — stay long
+    for j in range(2, 9):
+        v = v * 16 + _hex_digit(h, j)
+    return (v.cast("double") + 0.5) / float(1 << 32)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme — per row draw u = uniform(key) and
+    keep the k smallest ``-ln(u) / w`` (equivalently the k largest
+    u^(1/w)); inclusion probability is proportional to weight, with no
+    sequential pass and no replacement bookkeeping.
+
+    The uniform comes from the row key's md5 (portable + reproducible
+    across runs/retries — a retried task redraws identical keys). Rows
+    with non-positive weight are excluded. Top-k is a
+    TakeOrderedAndProject: map-side partial top-k per partition, k rows
+    to the final reduce — no global sort at 100 TB.
+    """
+    u = _portable_uniform(F.col(key_col))
+    es_key = -F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.asc("es_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_es_key_sql(weight_sql: str, key_sql: str) -> str:
+    """DuckDB twin of the A-ES key: -ln(uniform(key)) / weight with the
+    same md5-hex uniform arithmetic."""
+    digit = (
+        "(CASE WHEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) >= 97 "
+        "THEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 87 "
+        "ELSE ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 48 END)"
+    )
+    v = f"CAST({digit.format(k=key_sql, j=1)} AS BIGINT)"
+    for j in range(2, 9):
+        v = f"({v} * 16 + {digit.format(k=key_sql, j=j)})"
+    u = f"((CAST({v} AS DOUBLE) + 0.5e0) / {float(1 << 32):.1f})"
+    return f"(-ln({u}) / ({weight_sql}))"

@@ -106,3 +106,38 @@ def salted_agg(
         salted.groupBy(*keys, "_salt").agg(*p1)
         .groupBy(*keys).agg(*p2)
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key counts for the ``top`` hottest
+    keys, each annotated with the global key count, mean rows/key, and the
+    key's skew factor (count / mean). Run this BEFORE a big join to decide
+    between plain hash join, broadcast, AQE skew-split, or
+    ``salted_join`` — the factor says how unbalanced the build side is.
+
+    One map-combinable count agg; the global moments ride a broadcast
+    1-row crossJoin; top-k is TakeOrderedAndProject. Nothing here scales
+    with raw rows except the first agg.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.avg("key_count").alias("mean_count"),
+        F.max("key_count").alias("max_count"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key", "key_count", "n_keys",
+            (F.col("key_count") / F.col("mean_count")).alias("skew_factor"),
+            (F.col("max_count") / F.col("mean_count")).alias("max_skew"),
+        )
+        .orderBy(F.desc("key_count"), F.asc("key"))
+        .limit(top)
+    )

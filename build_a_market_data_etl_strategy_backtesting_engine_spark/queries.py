@@ -4650,3 +4650,105 @@ def q107(spark, sf_dir):
         F.round("slice_qty", 6).alias("slice_qty"),
         F.round("slice_frac", 8).alias("slice_frac"),
     )
+
+
+# ================== implied vol / weighted sampling / skew diagnostics
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    skew as skew_ops,
+)
+
+_IV_SIGMA = "(0.15e0 + CAST(p_partkey % 30 AS DOUBLE) / 100e0)"
+_IV_OPTS_SQL = (
+    "SELECT p_partkey AS id, p_retailprice AS s, "
+    "p_retailprice * 1.05e0 AS k, 0.5e0 AS t_y, 0.02e0 AS r, "
+    + deriv.bs_call_sql(
+        "p_retailprice", "(p_retailprice * 1.05e0)", "0.5e0",
+        _IV_SIGMA, "0.02e0",
+    )
+    + " AS price FROM part"
+)
+
+
+@_register(
+    "q108_implied_vol",
+    deriv.implied_vol_bisect_sql(_IV_OPTS_SQL, iters=48),
+)
+def q108(spark, sf_dir):
+    """Implied-vol surface recovery (functions/derivatives.py
+    implied_vol): options priced at a known per-row sigma
+    (0.15..0.44), then inverted by a recursive-CTE bisection that runs
+    fully JVM-side in Spark 4 and verbatim in DuckDB. 48 halvings pin
+    sigma to ~1.4e-14 — bisection re-brackets each engine's own root, so
+    libm ulp differences cannot move the 6-decimal output."""
+    t = load_tables(spark, sf_dir, ["part"])["part"]
+    sigma = 0.15 + (F.col("p_partkey") % 30).cast("double") / 100.0
+    opts = t.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("s"),
+        (F.col("p_retailprice") * 1.05).alias("k"),
+        F.lit(0.5).alias("t_y"),
+        F.lit(0.02).alias("r"),
+        deriv.bs_call(
+            F.col("p_retailprice"), F.col("p_retailprice") * 1.05,
+            F.lit(0.5), sigma, F.lit(0.02),
+        ).alias("price"),
+    )
+    return deriv.implied_vol(spark, opts, iters=48)
+
+
+@_register(
+    "q109_weighted_sample",
+    f"""
+    SELECT doc_id,
+           round({sampling_ops.weighted_sample_es_key_sql(
+               "CAST(n_chars AS DOUBLE)", "doc_id")}, 8) AS es_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY {sampling_ops.weighted_sample_es_key_sql(
+        "CAST(n_chars AS DOUBLE)", "doc_id")}, doc_id
+    LIMIT 50
+    """,
+)
+def q109(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample): Efraimidis-Spirakis keys
+    -ln(u)/w with a portable md5 uniform, top-50 by weight = doc length.
+    TakeOrderedAndProject — map-side partial top-k, reproducible across
+    runs and retries."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = sampling_ops.weighted_sample(
+        d.withColumn("w", F.col("n_chars").cast("double")),
+        weight_col="w", key_col="doc_id", k=50,
+    )
+    return out.select(
+        "doc_id", F.round("es_key", 8).alias("es_key")
+    )
+
+
+@_register(
+    "q110_key_skew_profile",
+    """
+    WITH c AS (SELECT l_suppkey AS key, count(*) AS key_count
+               FROM lineitem GROUP BY l_suppkey),
+    s AS (SELECT count(*) AS n_keys, avg(key_count) AS mean_count,
+                 max(key_count) AS max_count
+          FROM c)
+    SELECT key, key_count, n_keys,
+           round(key_count / mean_count, 6) AS skew_factor,
+           round(max_count / mean_count, 6) AS max_skew
+    FROM c, s
+    ORDER BY key_count DESC, key LIMIT 10
+    """,
+)
+def q110(spark, sf_dir):
+    """Join-key skew diagnostic (operators/skew.py key_skew_profile):
+    top-10 hottest lineitem supplier keys with per-key and max skew
+    factors — the pre-join decision input for broadcast / AQE skew-split
+    / salted_join."""
+    t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    p = skew_ops.key_skew_profile(t, "l_suppkey", top=10)
+    return p.select(
+        "key", "key_count", "n_keys",
+        F.round("skew_factor", 6).alias("skew_factor"),
+        F.round("max_skew", 6).alias("max_skew"),
+    )

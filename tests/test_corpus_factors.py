@@ -540,3 +540,87 @@ def test_almgren_chriss_conserves_and_frontloads(spark):
     assert out[-1].x_remaining == pytest.approx(0.0, abs=1e-9)
     with pytest.raises(ValueError):
         m.almgren_chriss_schedule(spark, kappa=0.0)
+
+
+# ------------------------------------------------------------ implied vol
+
+def test_implied_vol_round_trip(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    rows = [Row(id=i, s=100.0, k=90.0 + 5 * i, t_y=0.25 + 0.25 * i,
+                r=0.03, sigma=0.12 + 0.07 * i) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    priced = df.withColumn(
+        "price",
+        deriv.bs_call(F.col("s"), F.col("k"), F.col("t_y"),
+                      F.col("sigma"), F.col("r")),
+    )
+    out = {r.id: r.iv for r in deriv.implied_vol(
+        spark, priced.select("id", "s", "k", "t_y", "r", "price")
+    ).collect()}
+    for i in range(5):
+        assert out[i] == pytest.approx(0.12 + 0.07 * i, abs=2e-6)
+
+
+def test_implied_vol_put_parity(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, s=50.0, k=55.0, t_y=1.0, r=0.01, sigma=0.4)]
+    )
+    priced = df.withColumn(
+        "price",
+        deriv.bs_put(F.col("s"), F.col("k"), F.col("t_y"),
+                     F.col("sigma"), F.col("r")),
+    )
+    out = deriv.implied_vol(
+        spark, priced.select("id", "s", "k", "t_y", "r", "price"),
+        call=False,
+    ).collect()[0]
+    assert out.iv == pytest.approx(0.4, abs=2e-6)
+
+
+# -------------------------------------------------------- weighted sample
+
+def test_weighted_sample_respects_weights(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sampling
+
+    # 1000 rows: ids 0..99 weight 100, ids 100..999 weight 1 ->
+    # heavy rows dominate a k=50 sample overwhelmingly
+    rows = [Row(key=i, w=100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    got = sampling.weighted_sample(df, "w", "key", k=50).collect()
+    heavy = sum(1 for r in got if r.key < 100)
+    assert heavy >= 40
+    # deterministic across invocations
+    again = sampling.weighted_sample(df, "w", "key", k=50).collect()
+    assert [r.key for r in got] == [r.key for r in again]
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [Row(key=1, w=0.0), Row(key=2, w=-1.0), Row(key=3, w=2.0)]
+    )
+    got = sampling.weighted_sample(df, "w", "key", k=10).collect()
+    assert [r.key for r in got] == [3]
+
+
+# ------------------------------------------------------- key skew profile
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import skew
+
+    rows = ([Row(k="hot")] * 90) + [Row(k=f"c{i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = skew.key_skew_profile(df, "k", top=3).collect()
+    assert out[0].key == "hot" and out[0].key_count == 90
+    assert out[0].n_keys == 11
+    # mean = 100/11; skew factor = 90/(100/11) = 9.9
+    assert out[0].skew_factor == pytest.approx(9.9)
+    assert all(r.max_skew == pytest.approx(9.9) for r in out)
