@@ -89,3 +89,56 @@ def macd(
         return pdf
 
     return df.groupBy(symbol_col).applyInPandas(_run, schema=schema)
+
+
+# ------------------------------------------- RiskMetrics EWMA volatility
+
+
+def ewma_variance_expr(
+    value_col: str,
+    lam: float,
+    w: Window,
+) -> Column:
+    """RiskMetrics EWMA variance of ``value_col`` (a returns column) as a
+    closed-form window expression — the recursion
+    ``v_t = lam * v_{t-1} + (1 - lam) * r_t^2`` seeded with
+    ``v_1 = r_1^2``, unrolled to
+    ``v_t = lam^i * (r_1^2 + (1-lam) * sum_{k>=2} lam^(-i_k) r_k^2)``
+    (``i`` = 0-based row index), so it stays a pure JVM window expression
+    like :func:`ewm_mean_expr`.
+
+    Numerically valid while ``lam^(-n)`` stays in double range
+    (n < ~709/ln(1/lam) ≈ 11,400 rows per partition at lam=0.94) — ample
+    for bar-level series; chunk or use applyInPandas beyond that.
+    ``w`` must be partitioned + ordered.
+    """
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w) - 1
+    u = F.pow(F.lit(1.0 / lam), i)
+    r2 = F.col(value_col) * F.col(value_col)
+    coeff = F.when(i == 0, 1.0).otherwise(1.0 - lam)
+    s = F.sum(u * r2 * coeff).over(w_cum)
+    return F.pow(F.lit(lam), i) * s
+
+
+def ewma_volatility(
+    bars: DataFrame,
+    lam: float = 0.94,
+    close_col: str = "close",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-symbol RiskMetrics EWMA volatility from bar closes: simple
+    returns, EWMA variance (lam = 0.94, the RiskMetrics daily decay),
+    vol = sqrt(variance). Rows before the second bar carry NULLs (no
+    return yet). One (symbol, ts) window sort is the only shuffle."""
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    prev = F.lag(close_col).over(w)
+    r = F.when(prev > 0, F.col(close_col) / prev - 1.0)
+    with_r = bars.withColumn("r", r).where(F.col("r").isNotNull())
+    v = ewma_variance_expr("r", lam, w)
+    return with_r.select(
+        symbol_col, ts_col, "r",
+        v.alias("ewma_var"),
+        F.sqrt(v).alias("ewma_vol"),
+    )

@@ -196,3 +196,64 @@ def cross_sectional_momentum(
         )
         .withColumn("ls_r", F.col("long_r") - F.col("short_r"))
     )
+
+
+def lead_lag_corr(
+    bars: DataFrame,
+    max_lag: int = 2,
+    bucket_seconds: int = 86400,
+    min_obs: int = 10,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Lead-lag cross-correlation screen: for every unordered symbol pair
+    (a < b) and lag in [-max_lag, max_lag], the Pearson correlation of
+    a's bar return at t with b's at t + lag*bucket. A significant peak at
+    nonzero lag is the classic price-discovery signal (one venue/asset
+    leading another); corr(a,b,lag) = corr(b,a,-lag), so the a < b half
+    is the full surface.
+
+    ``bucket_seconds`` is the bar spacing (86400 for daily bars).
+    Returns ``(sym_a, sym_b, lag, n_obs, xcorr)``; pairs/lags with fewer
+    than ``min_obs`` aligned observations are dropped.
+
+    Shape at 100 TB: returns are one (symbol, ts) window sort; the
+    alignment is an equi-join on the shifted epoch key (each left row
+    fans out 2*max_lag+1 ways — bars, not ticks, so tiny); the pair agg
+    is map-combinable corr moments. No cross join, no window over an
+    unpartitioned frame.
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col).where(
+        F.col("r").isNotNull()
+    ).select(
+        F.col(symbol_col).alias("_sym"),
+        F.unix_timestamp(ts_col).alias("_epoch"),
+        F.col("r"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    left = r.select(
+        F.col("_sym").alias("sym_a"),
+        F.col("r").alias("r_a"),
+        F.col("_epoch"),
+        lags,
+    ).withColumn(
+        "_join_epoch", F.col("_epoch") + F.col("lag") * bucket_seconds
+    )
+    right = r.select(
+        F.col("_sym").alias("sym_b"),
+        F.col("r").alias("r_b"),
+        F.col("_epoch").alias("_join_epoch"),
+    )
+    return (
+        left.join(right, "_join_epoch")
+        .where(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.corr("r_a", "r_b").alias("xcorr"),
+        )
+        .where(F.col("n_obs") >= min_obs)
+    )

@@ -618,3 +618,143 @@ def train_bpe(
         cur.unpersist()
         cur = nxt
     return merges, cur
+
+
+# ------------------------------------------------- line-level dedup (CCNet)
+
+
+def segment_lines(
+    docs: DataFrame,
+    line_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into non-overlapping ``line_words``-word
+    segments ("pseudo-lines" — the corpus has no newlines, so fixed word
+    windows stand in for CCNet's physical lines).
+
+    Returns one row per (doc, position): ``(id, line_pos, line)``.
+    Map-side only — the split/slice/explode never shuffles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_words + 1, line_words), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("line_pos", "line"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    line_words: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level deduplication: a pseudo-line that appears in
+    >= ``min_docs`` distinct documents is corpus-duplicated; every
+    occurrence is dropped and the document is reassembled from the
+    surviving lines in position order.
+
+    Returns per document: ``n_lines``, ``n_dup_lines`` (positions whose
+    line is duplicated), ``dup_frac``, and ``kept_md5`` — the md5 of the
+    deduplicated text ('' when every line was dropped), so the transform
+    is verified, not just the counts.
+
+    Shape at 100 TB: one map-combinable count agg over per-doc-distinct
+    lines builds the dup dictionary (same no-count-distinct trick as
+    ``boilerplate_grams``); positions join the dictionary on the line
+    hash-key; one final per-doc agg. No count-distinct expand, no n².
+    """
+    pos = segment_lines(docs, line_words, text_col, id_col)
+    dup = (
+        pos.select(id_col, "line").distinct()
+        .groupBy("line").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+        .select("line", F.lit(True).alias("_dup"))
+    )
+    j = pos.join(dup, "line", "left").select(
+        id_col, "line_pos", "line",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_dup"),
+                        F.struct(F.col("line_pos"), F.col("line")),
+                    )
+                )
+            ),
+            lambda s: s["line"],
+        ),
+        " ",
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_lines"),
+        (
+            F.sum(F.col("is_dup").cast("double")) / F.count(F.lit(1))
+        ).alias("dup_frac"),
+        F.md5(kept).alias("kept_md5"),
+    )
+
+
+# ------------------------------------- hashed-n-gram linear quality model
+
+
+def _hashed_weight(bucket: Column) -> Column:
+    """Frozen pseudo-random weight in [-1, 1) derived from the feature
+    bucket by pure integer arithmetic (Knuth multiplicative hash), so the
+    identical expression runs in DuckDB: no model file to ship, and the
+    'trained model' is reproducible everywhere."""
+    mixed = (bucket.cast("long") * F.lit(2654435761) + F.lit(12345)) % 2048
+    return mixed.cast("double") / 1024.0 - 1.0
+
+
+def hashed_ngram_score(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text classifier scoring via the hashing
+    trick: word unigram + bigram features -> md5 bucket in
+    [0, n_buckets) -> frozen per-bucket weight; document score is the
+    mean feature weight and the quality probability its sigmoid.
+
+    This is the scoring half of a bag-of-n-grams linear model (the
+    industry-standard corpus quality filter shape); weights here are a
+    deterministic function of the bucket so the oracle can verify the
+    whole pipeline without shipping a trained artifact. Swap
+    ``_hashed_weight`` for a broadcast-joined real weight table to serve
+    a trained model unchanged.
+
+    Shape at 100 TB: gram explode is map-side, bucket+weight are
+    expressions, one map-combinable per-doc agg. No Python anywhere.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    grams = F.concat(
+        _word_grams(text_col, 1), _word_grams(text_col, 2)
+    )
+    per_gram = docs.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    w = _hashed_weight(portable_bucket(F.col("gram"), n_buckets))
+    scored = per_gram.select(F.col(id_col), w.alias("w"))
+    score = F.avg("w")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        score.alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("quality_prob"),
+    )

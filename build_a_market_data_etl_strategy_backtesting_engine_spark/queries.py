@@ -4752,3 +4752,166 @@ def q110(spark, sf_dir):
         F.round("skew_factor", 6).alias("skew_factor"),
         F.round("max_skew", 6).alias("max_skew"),
     )
+
+
+# ============= line dedup / hashed classifier / EWMA vol / lead-lag corr
+
+@_register(
+    "q111_line_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    seg AS (SELECT doc_id,
+                   CAST(ceil(len(toks) / 3.0) AS INT) AS n_lines, toks
+            FROM t),
+    pos AS (SELECT doc_id, i - 1 AS line_pos,
+                   array_to_string(toks[(i - 1) * 3 + 1 : (i - 1) * 3 + 2 + 1], ' ')
+                     AS line
+            FROM seg, unnest(generate_series(1, n_lines)) AS u(i)),
+    dup AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM pos)
+            GROUP BY line HAVING count(*) >= 2),
+    j AS (SELECT pos.doc_id, pos.line_pos, pos.line,
+                 dup.line IS NOT NULL AS is_dup
+          FROM pos LEFT JOIN dup ON pos.line = dup.line)
+    SELECT doc_id, count(*) AS n_lines,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_lines,
+           round(sum(CASE WHEN is_dup THEN 1.0e0 ELSE 0.0e0 END)
+                 / count(*), 8) AS dup_frac,
+           md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                   ' ' ORDER BY line_pos), '')) AS kept_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def q111(spark, sf_dir):
+    """CCNet-style line-level dedup (operators/text.py line_dedup):
+    3-word pseudo-lines shared by >= 2 docs are dropped everywhere; emits
+    per-doc dup counts AND the md5 of the reassembled deduplicated text,
+    so the transform itself is hash-verified. Counts are exact; only the
+    ratio is rounded."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_ops.line_dedup(d, line_words=3, min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_dup_lines",
+        F.round("dup_frac", 8).alias("dup_frac"), "kept_md5",
+    )
+
+
+_Q112_BUCKET = sampling_ops.portable_bucket_sql("gram", 1024)
+
+
+@_register(
+    "q112_hashed_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+    bi AS (SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i : i + 1], ' '))
+                  ELSE [] END) AS gram
+           FROM t),
+    g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    wtd AS (SELECT doc_id,
+                   ((CAST({_Q112_BUCKET} AS BIGINT) * 2654435761 + 12345)
+                    % 2048) / 1024.0e0 - 1.0e0 AS w
+            FROM g)
+    SELECT doc_id, count(*) AS n_features,
+           round(avg(w), 8) AS score,
+           round(1.0e0 / (1.0e0 + exp(-avg(w))), 8) AS quality_prob
+    FROM wtd GROUP BY doc_id
+    """,
+)
+def q112(spark, sf_dir):
+    """fastText-style hashed-n-gram linear quality score (operators/
+    text.py hashed_ngram_score): unigram+bigram features, portable md5
+    bucket, frozen integer-arithmetic weights, sigmoid of the mean.
+    The mean is an order-insensitive pairwise sum over identical doubles
+    — rounded at the edge."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_ops.hashed_ngram_score(d, n_buckets=1024)
+    return out.select(
+        "doc_id", "n_features",
+        F.round("score", 8).alias("score"),
+        F.round("quality_prob", 8).alias("quality_prob"),
+    )
+
+
+@_register(
+    "q113_ewma_volatility",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close) OVER w - 1 AS r,
+                 row_number() OVER w - 1 AS i
+          FROM bars
+          WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    rr AS (SELECT symbol, bts, r,
+                  row_number() OVER (PARTITION BY symbol ORDER BY bts) - 1
+                    AS i
+           FROM r WHERE r IS NOT NULL),
+    s AS (SELECT symbol, bts, r, i,
+                 sum(power({_dlit(1.0 / 0.94)}, i) * r * r *
+                     CASE WHEN i = 0 THEN 1.0e0 ELSE {_dlit(1.0 - 0.94)} END)
+                   OVER (PARTITION BY symbol ORDER BY bts
+                         ROWS UNBOUNDED PRECEDING) AS acc
+          FROM rr)
+    SELECT symbol, epoch_us(bts) AS bar_us, round(r, 8) AS r,
+           round(power({_dlit(0.94)}, i) * acc, 10) AS ewma_var,
+           round(sqrt(power({_dlit(0.94)}, i) * acc), 8) AS ewma_vol
+    FROM s
+    """,
+)
+def q113(spark, sf_dir):
+    """RiskMetrics EWMA volatility (functions/ewm.py ewma_volatility):
+    daily bars, lam=0.94 recursion unrolled to a closed-form window
+    expression (same (1-a)^-i trick as q20's EWM mean) — fully JVM-side.
+    The running sum is order-defined per partition; power() libm skew is
+    absorbed by edge rounding."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = ewm_fns.ewma_volatility(b, lam=0.94)
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("r", 8).alias("r"),
+        F.round("ewma_var", 10).alias("ewma_var"),
+        F.round("ewma_vol", 8).alias("ewma_vol"),
+    )
+
+
+@_register(
+    "q114_lead_lag_corr",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, epoch(bts) AS ep,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+    lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag)
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b, lags.lag,
+           count(*) AS n_obs,
+           round(corr(a.r, b.r), 6) AS xcorr
+    FROM rr a CROSS JOIN lags
+    JOIN rr b ON b.ep = a.ep + lags.lag * 86400
+    WHERE a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol, lags.lag
+    HAVING count(*) >= 10
+    """,
+)
+def q114(spark, sf_dir):
+    """Lead-lag cross-correlation screen (operators/factors.py
+    lead_lag_corr): Pearson corr of symbol a's daily return vs b's at
+    t + lag days, lags -2..2, a < b half of the symmetric surface.
+    corr is a map-combinable moment agg — rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = factors_ops.lead_lag_corr(
+        b, max_lag=2, bucket_seconds=86400, min_obs=10
+    )
+    return out.select(
+        "sym_a", "sym_b", "lag", "n_obs",
+        F.round("xcorr", 6).alias("xcorr"),
+    )

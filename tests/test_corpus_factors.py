@@ -624,3 +624,102 @@ def test_key_skew_profile_flags_hot_key(spark):
     # mean = 100/11; skew factor = 90/(100/11) = 9.9
     assert out[0].skew_factor == pytest.approx(9.9)
     assert all(r.max_skew == pytest.approx(9.9) for r in out)
+
+
+# ------------------------------------------------------------- line dedup
+
+def test_line_dedup_drops_shared_lines(spark):
+    # 2-word lines; "x y" appears in docs 1 and 2 -> dropped everywhere
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="x y a b"),
+        Row(doc_id=2, text="x y c d"),
+        Row(doc_id=3, text="e f g h"),
+    ])
+    out = {r.doc_id: r for r in text.line_dedup(
+        df, line_words=2, min_docs=2
+    ).collect()}
+    assert out[1].n_lines == 2 and out[1].n_dup_lines == 1
+    assert out[1].dup_frac == pytest.approx(0.5)
+    assert out[3].n_dup_lines == 0
+    # kept text is the surviving lines in position order
+    import hashlib
+    assert out[2].kept_md5 == hashlib.md5(b"c d").hexdigest()
+    assert out[3].kept_md5 == hashlib.md5(b"e f g h").hexdigest()
+
+
+def test_line_dedup_all_dropped_gives_empty_md5(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="x y"),
+        Row(doc_id=2, text="x y"),
+    ])
+    import hashlib
+    out = text.line_dedup(df, line_words=2, min_docs=2).collect()
+    assert all(r.kept_md5 == hashlib.md5(b"").hexdigest() for r in out)
+
+
+# ------------------------------------------------- hashed n-gram scoring
+
+def test_hashed_ngram_score_shape_and_bounds(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="a b c d"),
+        Row(doc_id=3, text="zz"),
+    ])
+    out = {r.doc_id: r for r in text.hashed_ngram_score(df).collect()}
+    # 4 unigrams + 3 bigrams
+    assert out[1].n_features == 7
+    assert out[3].n_features == 1
+    # identical text -> identical score (deterministic, no RNG)
+    assert out[1].score == out[2].score
+    for r in out.values():
+        assert -1.0 <= r.score <= 1.0
+        assert 0.0 < r.quality_prob < 1.0
+
+
+# ------------------------------------------------------ EWMA volatility
+
+def test_ewma_variance_matches_pandas_recursion(spark):
+    import pandas as pd
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import ewm as ewm_fns
+
+    closes = [100.0, 101.0, 99.5, 102.0, 101.2, 103.1, 102.8, 104.0]
+    rows = [Row(symbol="A", ts=_t(i), close=c) for i, c in enumerate(closes)]
+    out = ewm_fns.ewma_volatility(
+        spark.createDataFrame(rows), lam=0.94
+    ).orderBy("ts").collect()
+    s = pd.Series(closes)
+    r = s.pct_change().dropna().reset_index(drop=True)
+    # RiskMetrics recursion == pandas ewm(alpha=1-lam, adjust=False) on r^2
+    expected = (r * r).ewm(alpha=0.06, adjust=False).mean()
+    assert len(out) == len(expected)
+    for row, ev in zip(out, expected):
+        assert row.ewma_var == pytest.approx(ev, rel=1e-9)
+        assert row.ewma_vol == pytest.approx(ev ** 0.5, rel=1e-9)
+
+
+# ----------------------------------------------------- lead-lag corr
+
+def test_lead_lag_corr_detects_follower(spark):
+    # symbol B replays A's daily move one day later -> corr peak at lag +1
+    import math
+    prices_a = [100.0]
+    moves = [0.01, -0.02, 0.015, 0.03, -0.01, 0.02, -0.015, 0.01,
+             0.025, -0.02, 0.01, 0.005, -0.03, 0.02, 0.01]
+    for m in moves:
+        prices_a.append(prices_a[-1] * (1 + m))
+    prices_b = [50.0]
+    for m in [0.0] + moves:  # same returns, shifted one day
+        prices_b.append(prices_b[-1] * (1 + m))
+    base = datetime.datetime(2024, 1, 1)
+    rows = [Row(symbol="A", ts=base + datetime.timedelta(days=i), close=p)
+            for i, p in enumerate(prices_a)]
+    rows += [Row(symbol="B", ts=base + datetime.timedelta(days=i), close=p)
+             for i, p in enumerate(prices_b)]
+    out = factors.lead_lag_corr(
+        spark.createDataFrame(rows), max_lag=2, min_obs=5
+    ).collect()
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[1].xcorr == pytest.approx(1.0, abs=1e-9)
+    assert abs(by_lag[0].xcorr) < 0.9
+    # a<b ordering: only (A, B) rows
+    assert all(r.sym_a == "A" and r.sym_b == "B" for r in out)
