@@ -257,3 +257,113 @@ def lead_lag_corr(
         )
         .where(F.col("n_obs") >= min_obs)
     )
+
+
+def acf(
+    bars: DataFrame,
+    max_lag: int = 5,
+    bucket_seconds: int = 86400,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol return autocorrelation function at lags 1..``max_lag``
+    plus the cumulative Ljung-Box portmanteau statistic.
+
+    rho_l is the Pearson correlation of the aligned pairs
+    (r_t, r_{t-l}) — the pairwise-aligned sample ACF; the Ljung-Box
+    column is ``Q_l = n(n+2) * sum_{j<=l} rho_j^2 / (n-j)`` (cumulative
+    in lag, chi^2_l under the white-noise null), with n the symbol's
+    full return count.
+
+    Shape: same shifted-epoch equi-join as :func:`lead_lag_corr`
+    restricted to the symbol itself, one corr agg per (symbol, lag), a
+    broadcast join of per-symbol n, and a tiny cumulative window over
+    ``max_lag`` rows per symbol.
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col).where(
+        F.col("r").isNotNull()
+    ).select(
+        F.col(symbol_col).alias("_sym"),
+        F.unix_timestamp(ts_col).alias("_epoch"),
+        F.col("r"),
+    )
+    n_per = r.groupBy("_sym").agg(F.count(F.lit(1)).alias("n"))
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(1, max_lag + 1)])
+    ).alias("lag")
+    cur = r.select("_sym", F.col("r").alias("r_t"), "_epoch", lags)
+    prior = r.select(
+        "_sym", F.col("r").alias("r_lag"),
+        F.col("_epoch").alias("_prior_epoch"),
+    )
+    pairs = cur.withColumn(
+        "_prior_epoch", F.col("_epoch") - F.col("lag") * bucket_seconds
+    ).join(prior, ["_sym", "_prior_epoch"])
+    per_lag = pairs.groupBy("_sym", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.corr("r_t", "r_lag").alias("acf"),
+    )
+    w = Window.partitionBy("_sym").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = per_lag.join(F.broadcast(n_per), "_sym")
+    lb_term = (
+        F.col("acf") * F.col("acf")
+        / (F.col("n") - F.col("lag")).cast("double")
+    )
+    return joined.select(
+        F.col("_sym").alias(symbol_col), "lag", "n_pairs", "n", "acf",
+        (
+            F.col("n") * (F.col("n") + 2) * F.sum(lb_term).over(w)
+        ).alias("ljung_box_q"),
+    )
+
+
+def variance_ratio(
+    bars: DataFrame,
+    horizons: list[int] = (2, 5, 10),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test statistic (overlapping-sample
+    form, no bias correction — documented simplification): for each
+    horizon k, ``VR(k) = var_samp(k-period overlapping return sum) /
+    (k * var_samp(1-period return))``. VR near 1 = random walk; > 1 =
+    momentum / positive serial correlation; < 1 = mean reversion.
+
+    One (symbol, ts) window sort builds all horizons' overlapping sums
+    (each a rows-between window over the same sorted run), then one
+    map-combinable variance agg per symbol — the per-horizon frames are
+    unioned, so horizons stay a column, not a schema explosion.
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col).where(
+        F.col("r").isNotNull()
+    )
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    outs = []
+    for k in horizons:
+        wk = w.rowsBetween(-(int(k) - 1), Window.currentRow)
+        rk = F.when(
+            F.count(F.lit(1)).over(wk) == int(k),
+            F.sum("r").over(wk),
+        )
+        outs.append(
+            r.select(
+                F.col(symbol_col), F.col("r"),
+                F.lit(int(k)).alias("k"), rk.alias("rk"),
+            )
+        )
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.unionByName(o)
+    return (
+        unioned.groupBy(symbol_col, "k")
+        .agg(
+            F.count("rk").alias("n_k"),
+            (
+                F.var_samp("rk") / (F.col("k") * F.var_samp("r"))
+            ).alias("vr"),
+        )
+    )

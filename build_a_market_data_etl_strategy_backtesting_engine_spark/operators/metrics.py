@@ -213,3 +213,61 @@ def summary(metrics_row: dict) -> dict:
         "num_trades", "exposure", "avg_win", "avg_loss",
     ]
     return {k: metrics_row.get(k) for k in keys}
+
+
+def drawdown_episodes(
+    df: DataFrame,
+    top: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    equity_col: str = "close",
+) -> DataFrame:
+    """Top-``top`` deepest drawdown episodes per symbol, as a table of
+    (start, end, duration, depth) — the drawdown *table* a tear-sheet
+    shows, vs the per-row drawdown series of ``with_drawdown``.
+
+    Gaps-and-islands: a row is underwater when equity < running max
+    (strict — the peak row itself is not underwater); an episode is a
+    maximal run of underwater rows, identified by the running count of
+    non-underwater rows (island id). Depth is the episode's worst
+    equity/runmax - 1. Exact-equality FP note: runmax is a max over
+    copies of the input values, so the strict < compares identical
+    doubles — no tolerance needed.
+
+    Shape: one (symbol, ts) window sort shared by runmax + island id,
+    one map-combinable episode agg, one top-k window over episodes (rows
+    per symbol = episode count, already tiny).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runmax = F.max(equity_col).over(w_all)
+    base = df.select(
+        symbol_col, ts_col, F.col(equity_col).alias("_eq"),
+        runmax.alias("_runmax"),
+    ).withColumn(
+        "_under", F.col("_eq") < F.col("_runmax")
+    ).withColumn(
+        "_island",
+        F.sum((~F.col("_under")).cast("long")).over(w_all),
+    )
+    eps = (
+        base.where(F.col("_under"))
+        .groupBy(symbol_col, "_island")
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.count(F.lit(1)).alias("duration"),
+            F.min(F.col("_eq") / F.col("_runmax") - 1.0).alias("depth"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(symbol_col).orderBy(
+            F.asc("depth"), F.asc("start_ts")
+        )
+    )
+    return (
+        eps.withColumn("rank", rank)
+        .where(F.col("rank") <= top)
+        .select(symbol_col, "rank", "start_ts", "end_ts", "duration",
+                "depth")
+    )

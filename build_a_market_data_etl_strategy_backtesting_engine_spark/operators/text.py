@@ -10,7 +10,7 @@ no Python in the hot path. Each is exercised by an oracle query pair in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small multilingual stopword sets for the n-gram-free language heuristic
@@ -758,3 +758,110 @@ def hashed_ngram_score(
         score.alias("score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("quality_prob"),
     )
+
+
+# ------------------------------------------- corpus length distribution
+
+
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log2-bucketed token-count histogram with corpus-share and
+    cumulative-share columns — the length-distribution diagnostic behind
+    sequence-length / packing-budget choices.
+
+    The bucket is ``floor(log2(n_tokens))`` computed as
+    ``length(bin(n)) - 1`` — pure integer/string arithmetic, so the
+    bucket edges are exact on both engines (float log2 at powers of two
+    is off-by-ulp territory). One map-combinable agg; the share columns
+    are a window over the handful of bucket rows.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    b = (F.length(F.bin(n_tok.cast("long"))) - 1).alias("bucket")
+    per = docs.select(b, n_tok.alias("n_tokens"))
+    hist = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.sum("total_tokens").over(w_all)
+    return hist.select(
+        "bucket", "n_docs", "total_tokens",
+        (F.col("total_tokens") / tot).alias("token_share"),
+        (F.sum("total_tokens").over(w_cum) / tot).alias("cum_share"),
+    )
+
+
+# ------------------------------------------------------- BPE encoding
+
+
+#: Canonical merge table for the synthetic corpus (the 10 merges
+#: ``train_bpe`` learns at sf0.01) — a frozen tokenizer artifact so
+#: encode results are input-independent of the training scale.
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to every document — the encode
+    half of the tokenizer whose training half is :func:`train_bpe`.
+
+    Standard greedy BPE: each word starts as characters; repeatedly
+    merge the adjacent pair with the LOWEST merge rank until no pair is
+    mergeable. Returns one row per (doc, token position):
+    ``(id, tok_pos, token)`` — downstream aggs (vocabulary frequency,
+    tokens-per-doc) are one groupBy away.
+
+    The merge loop is inherently per-word iterative -> Arrow-batched
+    ``mapInPandas`` (the repo's documented Python-boundary policy); the
+    merge table rides the closure (small — a tokenizer is O(10k) pairs).
+    Scale shape: embarrassingly parallel over partitions, no shuffle.
+    """
+    table = list(merges) if merges is not None else list(DEFAULT_MERGES)
+    ranks = {pair: i for i, pair in enumerate(table)}
+
+    import pandas as pd  # local: keep module import-light
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best, best_rank = i, rk
+            if best is None:
+                break
+            syms[best:best + 2] = [syms[best] + syms[best + 1]]
+        return syms
+
+    def _run(pdfs):
+        for pdf in pdfs:
+            ids, poss, toks = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                pos = 0
+                for word in str(txt).split(" "):
+                    for t in _encode_word(word):
+                        ids.append(did)
+                        poss.append(pos)
+                        toks.append(t)
+                        pos += 1
+            yield pd.DataFrame(
+                {id_col: ids, "tok_pos": poss, "token": toks}
+            )
+
+    out_schema = f"{id_col} long, tok_pos int, token string"
+    return docs.select(id_col, text_col).mapInPandas(_run, out_schema)

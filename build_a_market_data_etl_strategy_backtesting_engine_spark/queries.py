@@ -4915,3 +4915,224 @@ def q114(spark, sf_dir):
         "sym_a", "sym_b", "lag", "n_obs",
         F.round("xcorr", 6).alias("xcorr"),
     )
+
+
+# ===== ACF / variance ratio / drawdown table / length histogram / BPE
+
+@_register(
+    "q115_acf_ljung_box",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, epoch(bts) AS ep,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+    n AS (SELECT symbol, count(*) AS n FROM rr GROUP BY symbol),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+    p AS (SELECT a.symbol, lags.lag, count(*) AS n_pairs,
+                 corr(a.r, b.r) AS acf
+          FROM rr a CROSS JOIN lags
+          JOIN rr b ON b.symbol = a.symbol
+                   AND b.ep = a.ep - lags.lag * 86400
+          GROUP BY a.symbol, lags.lag)
+    SELECT p.symbol, lag, n_pairs, n.n AS n, round(acf, 6) AS acf,
+           round(n.n * (n.n + 2) * sum(acf * acf / CAST(n.n - lag AS DOUBLE))
+                   OVER (PARTITION BY p.symbol ORDER BY lag
+                         ROWS UNBOUNDED PRECEDING), 6) AS ljung_box_q
+    FROM p JOIN n ON p.symbol = n.symbol
+    """,
+)
+def q115(spark, sf_dir):
+    """Return autocorrelation function + cumulative Ljung-Box Q
+    (operators/factors.py acf): pairwise-aligned Pearson ACF at lags
+    1..5 of daily returns, Q_l = n(n+2) sum rho^2/(n-j). corr moments
+    are order-insensitive; rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = factors_ops.acf(b, max_lag=5)
+    return out.select(
+        "symbol", "lag", "n_pairs", "n",
+        F.round("acf", 6).alias("acf"),
+        F.round("ljung_box_q", 6).alias("ljung_box_q"),
+    )
+
+
+@_register(
+    "q116_variance_ratio",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+    sk AS (
+      SELECT symbol, 2 AS k, r,
+             CASE WHEN count(*) OVER w2 = 2 THEN sum(r) OVER w2 END AS rk
+      FROM rr WINDOW w2 AS (PARTITION BY symbol ORDER BY bts
+                           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+      UNION ALL
+      SELECT symbol, 5 AS k, r,
+             CASE WHEN count(*) OVER w5 = 5 THEN sum(r) OVER w5 END AS rk
+      FROM rr WINDOW w5 AS (PARTITION BY symbol ORDER BY bts
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      UNION ALL
+      SELECT symbol, 10 AS k, r,
+             CASE WHEN count(*) OVER w10 = 10 THEN sum(r) OVER w10 END AS rk
+      FROM rr WINDOW w10 AS (PARTITION BY symbol ORDER BY bts
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT symbol, k, count(rk) AS n_k,
+           round(var_samp(rk) / (k * var_samp(r)), 6) AS vr
+    FROM sk GROUP BY symbol, k
+    """,
+)
+def q116(spark, sf_dir):
+    """Lo-MacKinlay variance ratio (operators/factors.py
+    variance_ratio): VR(k) = var(overlapping k-sum)/(k var(r)) for
+    k = 2/5/10 on daily returns — the random-walk test. Variance aggs
+    rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = factors_ops.variance_ratio(b, horizons=[2, 5, 10])
+    return out.select(
+        "symbol", "k", "n_k", F.round("vr", 6).alias("vr")
+    )
+
+
+@_register(
+    "q117_drawdown_episodes",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    u0 AS (SELECT symbol, bts, close,
+                  max(close) OVER (PARTITION BY symbol ORDER BY bts
+                                   ROWS UNBOUNDED PRECEDING) AS runmax
+           FROM bars),
+    u AS (SELECT symbol, bts, close, runmax,
+                 close < runmax AS under,
+                 sum(CASE WHEN close < runmax THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY symbol ORDER BY bts
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM u0),
+    eps AS (SELECT symbol, island,
+                   min(bts) AS start_ts, max(bts) AS end_ts,
+                   count(*) AS duration,
+                   min(close / runmax - 1) AS depth
+            FROM u WHERE under GROUP BY symbol, island),
+    ranked AS (SELECT symbol, start_ts, end_ts, duration, depth,
+                      row_number() OVER (PARTITION BY symbol
+                                         ORDER BY depth, start_ts) AS rank
+               FROM eps)
+    SELECT symbol, rank, epoch_us(start_ts) AS start_us,
+           epoch_us(end_ts) AS end_us, duration,
+           round(depth, 8) AS depth
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q117(spark, sf_dir):
+    """Top-3 drawdown episodes per symbol (operators/metrics.py
+    drawdown_episodes): gaps-and-islands underwater runs on the daily
+    close path — start/end/duration/depth tear-sheet table. The strict
+    under-water compare is on identical doubles (exact); only depth is
+    rounded."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = metrics_ops.drawdown_episodes(b, top=3)
+    return out.select(
+        "symbol", F.col("rank").cast("long").alias("rank"),
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "duration", F.round("depth", 8).alias("depth"),
+    )
+
+
+@_register(
+    "q118_length_histogram",
+    """
+    WITH per AS (SELECT len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+    b AS (SELECT length(bin(CAST(n_tokens AS BIGINT))) - 1 AS bucket,
+                 n_tokens
+          FROM per),
+    h AS (SELECT bucket, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM b GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (sum(CAST(total_tokens AS DOUBLE)) OVER ()), 8)
+             AS token_share,
+           round(sum(CAST(total_tokens AS DOUBLE))
+                   OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 / (sum(CAST(total_tokens AS DOUBLE)) OVER ()), 8)
+             AS cum_share
+    FROM h
+    """,
+)
+def q118(spark, sf_dir):
+    """Corpus token-length histogram (operators/text.py
+    length_histogram): log2 buckets via integer bin-string length (exact
+    edges — no float log2), corpus token share + cumulative share.
+    Shares are sums of identical longs cast to double — rounded at the
+    edge."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_ops.length_histogram(d)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs", "total_tokens",
+        F.round("token_share", 8).alias("token_share"),
+        F.round("cum_share", 8).alias("cum_share"),
+    )
+
+
+_GOLDENS['q119'] = (
+    ['rank', 'token', 'count'],
+    {
+        1000: [
+            (1, 'a', 9270), (2, 'e', 7439), (3, 's', 5610), (4, 't', 5598),
+            (5, 'l', 5483), (6, 'c', 4692), (7, 'g', 4665), (8, 'o', 3737),
+            (9, 'h', 3666), (10, 'or', 2880), (11, 'd', 2876),
+            (12, 'in', 2858), (13, 'er', 2826), (14, 'm', 2795),
+            (15, 'u', 2786),
+        ],
+        10000: [
+            (1, 'a', 9047), (2, 'e', 7169), (3, 'l', 5525), (4, 's', 5481),
+            (5, 't', 5343), (6, 'c', 4653), (7, 'g', 4474), (8, 'o', 3710),
+            (9, 'h', 3671), (10, 'in', 2760), (11, 'm', 2750),
+            (12, 'ow', 2747), (13, 'd', 2732), (14, 'b', 2721),
+            (15, 'er', 2716),
+        ],
+        100000: [
+            (1, 'a', 90179), (2, 'e', 72418), (3, 'l', 54318),
+            (4, 't', 54185), (5, 's', 54134), (6, 'g', 45078),
+            (7, 'c', 44955), (8, 'o', 36264), (9, 'h', 35802),
+            (10, 'd', 27489), (11, 'm', 27344), (12, 'u', 27193),
+            (13, 'in', 27190), (14, 'or', 27095), (15, 'r', 27082),
+        ],
+    },
+)
+
+
+@_register("q119_bpe_encode", _golden_sql("q119"))
+def q119(spark, sf_dir):
+    """BPE tokenizer application (operators/text.py bpe_encode): greedy
+    lowest-rank merge encode of every document under the frozen
+    DEFAULT_MERGES table (train_bpe's sf0.01 output), reduced to the
+    top-15 token-frequency table. The per-word merge loop is the
+    documented Arrow-batched Python boundary (mapInPandas, no shuffle);
+    integer counts + lexicographic tie-break -> golden-pinned (the
+    greedy loop is not single-statement SQL)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    enc = text_ops.bpe_encode(d)
+    top = (
+        enc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(15)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", "count"
+    )
