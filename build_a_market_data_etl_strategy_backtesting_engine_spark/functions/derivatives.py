@@ -301,3 +301,92 @@ def implied_vol(
             iters=iters, call=call,
         )
     )
+
+
+# ---------------------------------------------- binomial American pricer
+
+def binomial_american_sql(
+    opts_sql: str,
+    n_steps: int = 64,
+    call: bool = False,
+    dialect: str = "spark",
+) -> str:
+    """Cox-Ross-Rubinstein binomial American option pricing as a
+    recursive CTE carrying the value array — backward induction runs as
+    engine-side iterative union steps (same WITH RECURSIVE machinery as
+    :func:`implied_vol_bisect_sql`), with early exercise applied at every
+    node: ``v = max(payoff, disc * (p*v_up + (1-p)*v_down))``.
+
+    ``opts_sql`` must yield (id, s, k, t_y, r, sigma). Unlike the scalar
+    bisection the state is an ARRAY, and array syntax is the one place
+    Spark SQL and DuckDB genuinely differ (transform/sequence + 0-based
+    vs list_transform/generate_series + 1-based), so this emits per
+    ``dialect`` — the two texts implement the identical recursion and the
+    oracle compares results, not SQL bytes.
+
+    Node spot at (step, i) is ``s * exp(sigma*sqrt(dt)*(2i - step))`` —
+    u = 1/d means the exponent is just (2i - step), no pow chains.
+    """
+    n = int(n_steps)
+    if dialect == "spark":
+        arr = "transform(sequence(0, {hi}), i -> {body})"
+        def at(k):  # 0-based
+            return f"vals[{k}]"
+        dbl = "CAST(i AS DOUBLE)"
+    elif dialect == "duckdb":
+        arr = "list_transform(generate_series(0, {hi}), i -> {body})"
+        def at(k):  # 1-based
+            return f"vals[{k} + 1]"
+        dbl = "CAST(i AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    # per-row constants (recomputed in each select; pure expressions)
+    dt = f"(t_y / {n}.0e0)"
+    sig = f"(sigma * sqrt({dt}))"
+    disc = f"exp(-r * {dt})"
+    # p = (exp(r*dt) - d) / (u - d), u = exp(sig), d = exp(-sig)
+    p = f"((exp(r * {dt}) - exp(-{sig})) / (exp({sig}) - exp(-{sig})))"
+    def payoff(spot):
+        return (f"greatest({spot} - k, 0.0e0)" if call
+                else f"greatest(k - {spot}, 0.0e0)")
+    spot_term = f"(s * exp({sig} * (2.0e0 * {dbl} - {n}.0e0)))"
+    spot_step = f"(s * exp({sig} * (2.0e0 * {dbl} - CAST(step - 1 AS DOUBLE))))"
+    cont = f"({disc} * ({p} * {at('i + 1')} + (1.0e0 - {p}) * {at('i')}))"
+
+    base_vals = arr.format(hi=str(n), body=payoff(spot_term))
+    step_vals = arr.format(
+        hi="step - 1",
+        body=f"greatest({payoff(spot_step)}, {cont})",
+    )
+    return f"""
+    WITH RECURSIVE opts AS ({opts_sql}),
+    b(id, s, k, t_y, r, sigma, step, vals) AS (
+      SELECT id, s, k, t_y, r, sigma, {n}, {base_vals} FROM opts
+      UNION ALL
+      SELECT id, s, k, t_y, r, sigma, step - 1, {step_vals}
+      FROM b WHERE step > 0
+    )
+    SELECT id, round({at('0')}, 4) AS price
+    FROM b WHERE step = 0
+    """
+
+
+def binomial_american(
+    spark,
+    opts: "DataFrame",
+    n_steps: int = 64,
+    call: bool = False,
+    view_name: str = "opts_binom_input",
+) -> DataFrame:
+    """Run the CRR American backward induction on a Spark DataFrame of
+    (id, s, k, t_y, r, sigma). Entirely JVM-side — the value array walks
+    back through ``n_steps`` recursive union steps, no Python in the
+    loop."""
+    opts.createOrReplaceTempView(view_name)
+    return spark.sql(
+        binomial_american_sql(
+            f"SELECT id, s, k, t_y, r, sigma FROM {view_name}",
+            n_steps=n_steps, call=call, dialect="spark",
+        )
+    )

@@ -865,3 +865,72 @@ def bpe_encode(
 
     out_schema = f"{id_col} long, tok_pos int, token string"
     return docs.select(id_col, text_col).mapInPandas(_run, out_schema)
+
+
+# ------------------------------------------- Kneser-Ney bigram LM score
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model quality score — the
+    classic perplexity filter (CCNet uses a KenLM 5-gram; this is the
+    bigram instance of the same scheme, trained on the corpus itself and
+    scored per document):
+
+    ``P_kn(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                    + D * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(*,*)``
+
+    Emits per doc: bigram count, mean log-probability, perplexity
+    ``exp(-mean_logp)``. Every term is a count table derived from ONE
+    bigram-count agg (the forward/backward continuation counts are
+    second-level aggs over the pair table, not re-scans), joined back to
+    the bigram positions — all JVM expressions.
+
+    Shape at 100 TB: one gram explode + one (w1,w2) agg builds the LM;
+    position scoring is two hash equi-joins on w1 / (w1,w2) keys and a
+    broadcast 1-row types total. Vocabulary skew (stopword w1 keys) is
+    the AQE-skew-join case documented in SCALING.md.
+    """
+    d = float(discount)
+    pairs = docs.select(
+        F.col(id_col), F.posexplode(_word_grams(text_col, 2))
+        .alias("pos", "gram")
+    ).select(
+        id_col, "pos",
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("fw_types"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("bw_types"))
+    types = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("fw_types") / F.col("c1"))
+        * (F.col("bw_types") / F.col("n_types"))
+    )
+    logp = F.log(p_kn)
+    return (
+        scored.select(F.col(id_col), logp.alias("logp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("logp").alias("mean_logp"),
+            F.exp(-F.avg("logp")).alias("perplexity"),
+        )
+    )

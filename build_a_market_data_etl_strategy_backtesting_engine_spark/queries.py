@@ -5136,3 +5136,149 @@ def q119(spark, sf_dir):
     return top.select(
         F.row_number().over(w).alias("rank"), "token", "count"
     )
+
+
+# ========== binomial American / component VaR / Kneser-Ney LM
+
+_BINOM_SIGMA = "(0.15e0 + CAST(p_partkey % 30 AS DOUBLE) / 100e0)"
+_BINOM_OPTS_SQL = (
+    "SELECT p_partkey AS id, p_retailprice AS s, "
+    "p_retailprice * 1.05e0 AS k, 0.5e0 AS t_y, 0.02e0 AS r, "
+    + _BINOM_SIGMA + " AS sigma FROM part"
+)
+
+
+@_register(
+    "q120_binomial_american",
+    deriv.binomial_american_sql(_BINOM_OPTS_SQL, n_steps=64,
+                                call=False, dialect="duckdb"),
+)
+def q120(spark, sf_dir):
+    """CRR binomial American put pricing (functions/derivatives.py
+    binomial_american): 64-step backward induction with early exercise,
+    run as a recursive CTE carrying the node-value ARRAY — fully
+    JVM-side iteration (the array-syntax twin of q108's scalar
+    bisection; Spark and DuckDB texts differ only in array dialect).
+    Prices rounded to 4 decimals (tree values are ~1e-13 relative libm
+    noise)."""
+    t = load_tables(spark, sf_dir, ["part"])["part"]
+    sigma = 0.15 + (F.col("p_partkey") % 30).cast("double") / 100.0
+    opts = t.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("s"),
+        (F.col("p_retailprice") * 1.05).alias("k"),
+        F.lit(0.5).alias("t_y"),
+        F.lit(0.02).alias("r"),
+        sigma.alias("sigma"),
+    )
+    return deriv.binomial_american(spark, opts, n_steps=64, call=False)
+
+
+@_register(
+    "q121_component_var",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol AS sym, bts,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+    w AS (SELECT sym, 1.0e0 / (SELECT count(DISTINCT sym) FROM rr)
+                   AS weight
+          FROM (SELECT DISTINCT sym FROM rr)),
+    cov AS (SELECT a.sym AS sa, b.sym AS sb,
+                   covar_samp(a.r, b.r) AS cov
+            FROM rr a JOIN rr b ON a.bts = b.bts
+            GROUP BY a.sym, b.sym),
+    sw AS (SELECT cov.sa, sum(cov.cov * w.weight) AS sigma_w
+           FROM cov JOIN w ON cov.sb = w.sym GROUP BY cov.sa),
+    j AS (SELECT sw.sa, w.weight, sw.sigma_w
+          FROM sw JOIN w ON sw.sa = w.sym),
+    pv AS (SELECT sum(weight * sigma_w) AS port_var FROM j)
+    SELECT j.sa AS symbol, round(j.weight, 8) AS weight,
+           round(sqrt(pv.port_var), 8) AS port_vol,
+           round(j.sigma_w / sqrt(pv.port_var), 8) AS mcr,
+           round(j.weight * j.sigma_w / sqrt(pv.port_var), 8)
+             AS risk_contrib,
+           round(j.weight * j.sigma_w / pv.port_var, 8) AS pct_contrib,
+           round({_dlit(1.6448536269514722)} * j.weight * j.sigma_w
+                 / sqrt(pv.port_var), 8) AS component_var
+    FROM j, pv
+    """,
+)
+def q121(spark, sf_dir):
+    """Euler risk decomposition + parametric component VaR
+    (operators/risk.py component_risk): relational ts-self-join
+    covariance, marginal/total risk contributions (contributions sum to
+    portfolio vol exactly), 95% normal component VaR. Fully lazy — no
+    driver matrix. Moment aggs rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    r = (
+        b.withColumn(
+            "ret",
+            F.col("close")
+            / F.lag("close").over(
+                Window.partitionBy("symbol").orderBy("ts")
+            )
+            - 1,
+        )
+        .where(F.col("ret").isNotNull())
+        .select("symbol", "ts", "ret")
+    )
+    out = risk_ops.component_risk(r)
+    return out.select(
+        "symbol", F.round("weight", 8).alias("weight"),
+        F.round("port_vol", 8).alias("port_vol"),
+        F.round("mcr", 8).alias("mcr"),
+        F.round("risk_contrib", 8).alias("risk_contrib"),
+        F.round("pct_contrib", 8).alias("pct_contrib"),
+        F.round("component_var", 8).alias("component_var"),
+    )
+
+
+@_register(
+    "q122_kneser_ney_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS fw_types
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS bw_types FROM c12 GROUP BY w2),
+    ty AS (SELECT count(*) AS n_types FROM c12),
+    s AS (SELECT pos.doc_id,
+                 ln(greatest(c12.c12 - 0.75e0, 0.0e0)
+                      / CAST(c1.c1 AS DOUBLE)
+                    + (0.75e0 * c1.fw_types / CAST(c1.c1 AS DOUBLE))
+                      * (cont.bw_types / CAST(ty.n_types AS DOUBLE)))
+                   AS logp
+          FROM pos
+          JOIN c12 ON pos.w1 = c12.w1 AND pos.w2 = c12.w2
+          JOIN c1 ON pos.w1 = c1.w1
+          JOIN cont ON pos.w2 = cont.w2
+          CROSS JOIN ty)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 6) AS mean_logp,
+           round(exp(-avg(logp)), 4) AS perplexity
+    FROM s GROUP BY doc_id
+    """,
+)
+def q122(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM perplexity filter
+    (operators/text.py kneser_ney_score): absolute discounting D=0.75
+    with continuation-probability backoff, trained on the corpus and
+    scored per doc — the CCNet-style perplexity gate one rung up from
+    q79's unigram LM. Log-mean rounded like q79; perplexity at 4
+    decimals."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_ops.kneser_ney_score(d, discount=0.75)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("mean_logp", 6).alias("mean_logp"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )

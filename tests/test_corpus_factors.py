@@ -831,3 +831,108 @@ def test_bpe_encode_no_merge_applies(spark):
     docs = spark.createDataFrame([Row(doc_id=7, text="xyz")])
     out = text.bpe_encode(docs, merges=[("q", "q")]).collect()
     assert [r.token for r in out] == ["x", "y", "z"]
+
+
+# -------------------------------------------------- binomial American
+
+def test_binomial_american_put_bounds(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    opts = spark.createDataFrame([
+        Row(id=1, s=100.0, k=100.0, t_y=1.0, r=0.05, sigma=0.2),
+        Row(id=2, s=60.0, k=100.0, t_y=0.5, r=0.05, sigma=0.2),  # deep ITM
+    ])
+    put = {r.id: r.price for r in deriv.binomial_american(
+        spark, opts, n_steps=64
+    ).collect()}
+    bs = {r.id: r.p for r in opts.select(
+        "id",
+        deriv.bs_put(F.col("s"), F.col("k"), F.col("t_y"),
+                     F.col("sigma"), F.col("r")).alias("p"),
+    ).collect()}
+    # American >= European, and >= intrinsic for the deep ITM case
+    assert put[1] > bs[1]
+    assert put[2] >= 100.0 - 60.0
+    # American call on a non-dividend stock == European (within tree err)
+    call = deriv.binomial_american(
+        spark, opts.where(F.col("id") == 1), n_steps=64, call=True
+    ).collect()[0].price
+    bs_c = opts.where(F.col("id") == 1).select(
+        deriv.bs_call(F.col("s"), F.col("k"), F.col("t_y"),
+                      F.col("sigma"), F.col("r")).alias("c")
+    ).collect()[0].c
+    assert call == pytest.approx(bs_c, rel=0.01)
+
+
+# ------------------------------------------------- component risk / VaR
+
+def test_component_risk_euler_sums(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import risk as risk_ops
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    vals = {"A": [0.01, -0.02, 0.015, 0.005, -0.01, 0.02],
+            "B": [0.02, -0.01, 0.005, 0.01, -0.02, 0.01],
+            "C": [-0.01, 0.01, -0.005, 0.02, 0.01, -0.015]}
+    for sym, rs in vals.items():
+        for i, r in enumerate(rs):
+            rows.append(Row(symbol=sym, ts=base + datetime.timedelta(days=i),
+                            ret=r))
+    out = risk_ops.component_risk(spark.createDataFrame(rows)).collect()
+    assert len(out) == 3
+    port_vol = out[0].port_vol
+    # Euler: risk contributions sum exactly to portfolio vol
+    assert sum(r.risk_contrib for r in out) == pytest.approx(
+        port_vol, rel=1e-12
+    )
+    assert sum(r.pct_contrib for r in out) == pytest.approx(1.0, rel=1e-12)
+    # numpy cross-check of portfolio vol under equal weights
+    import numpy as np
+    m = np.array([vals["A"], vals["B"], vals["C"]])
+    cov = np.cov(m)
+    w = np.full(3, 1 / 3)
+    assert port_vol == pytest.approx(float(np.sqrt(w @ cov @ w)), rel=1e-9)
+    for r in out:
+        assert r.component_var == pytest.approx(
+            1.6448536269514722 * r.risk_contrib, rel=1e-12
+        )
+
+
+# ------------------------------------------------------ Kneser-Ney LM
+
+def test_kneser_ney_matches_reference_impl(spark):
+    docs = [(1, "a b a b c"), (2, "a b c a")]
+    out = {r.doc_id: r for r in text.kneser_ney_score(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()}
+
+    # hand-rolled reference
+    import math
+    from collections import Counter
+    D = 0.75
+    bigrams = []
+    per_doc = {}
+    for did, t in docs:
+        toks = t.split(" ")
+        bs = list(zip(toks, toks[1:]))
+        per_doc[did] = bs
+        bigrams += bs
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    fw = Counter(w1 for (w1, _), _ in c12.items())
+    bw = Counter(w2 for (_, w2), _ in c12.items())
+    T = len(c12)
+
+    def pkn(w1, w2):
+        return (max(c12[(w1, w2)] - D, 0) / c1[w1]
+                + D * fw[w1] / c1[w1] * bw[w2] / T)
+
+    for did, bs in per_doc.items():
+        mean = sum(math.log(pkn(*b)) for b in bs) / len(bs)
+        assert out[did].n_bigrams == len(bs)
+        assert out[did].mean_logp == pytest.approx(mean, rel=1e-12)
+        assert out[did].perplexity == pytest.approx(
+            math.exp(-mean), rel=1e-12
+        )
