@@ -367,3 +367,167 @@ def variance_ratio(
             ).alias("vr"),
         )
     )
+
+
+def momentum_weights(
+    bars: DataFrame,
+    lookback: int = 5,
+    n_tiles: int = 2,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-period target weights of the cross-sectional momentum
+    long-short portfolio (the holdings view behind
+    ``cross_sectional_momentum``'s returns view): top tile +1/n_long,
+    bottom tile -1/n_short, middle 0. Same ranking/tiebreak rules."""
+    wsym = Window.partitionBy(symbol_col).orderBy(ts_col)
+    past = F.lag(close_col, lookback).over(wsym)
+    r = bars.select(
+        symbol_col, ts_col,
+        F.when(past > 0, F.col(close_col) / past - 1.0).alias("mom"),
+    ).where(F.col("mom").isNotNull())
+    wcs = Window.partitionBy(ts_col).orderBy(
+        F.desc("mom"), F.asc(symbol_col)
+    )
+    tiled = r.withColumn("tile", F.ntile(n_tiles).over(wcs))
+    wagg = Window.partitionBy(ts_col)
+    n_long = F.sum((F.col("tile") == 1).cast("long")).over(wagg)
+    n_short = F.sum((F.col("tile") == n_tiles).cast("long")).over(wagg)
+    w = (
+        F.when(F.col("tile") == 1, 1.0 / n_long)
+        .when(F.col("tile") == n_tiles, -1.0 / n_short)
+        .otherwise(0.0)
+    )
+    return tiled.select(symbol_col, ts_col, w.alias("w"))
+
+
+def portfolio_turnover(
+    weights: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    weight_col: str = "w",
+) -> DataFrame:
+    """One-way turnover per rebalance: ``sum |w_t - w_{t-1}| / 2`` over
+    the union of current and previous holdings (symbols entering or
+    leaving count their full weight change — the full-outer alignment is
+    the part naive lag-per-symbol misses).
+
+    Periods are indexed by a dense rank over the distinct rebalance
+    timestamps (tiny frame — one window over dates, not rows), then
+    current and previous holdings full-outer join on (period, symbol).
+    Returns (ts, n_positions, turnover).
+    """
+    periods = weights.select(ts_col).distinct().select(
+        F.col(ts_col),
+        (F.dense_rank().over(Window.orderBy(ts_col)) - 1).alias("pidx"),
+    )
+    w = weights.join(periods, ts_col)
+    cur = w.select(
+        "pidx", F.col(symbol_col).alias("sym"),
+        F.col(weight_col).alias("w_cur"),
+    )
+    prev = w.select(
+        (F.col("pidx") + 1).alias("pidx"),
+        F.col(symbol_col).alias("sym"),
+        F.col(weight_col).alias("w_prev"),
+    )
+    aligned = cur.join(prev, ["pidx", "sym"], "full_outer").where(
+        F.col("pidx") > 0
+    )
+    per = aligned.groupBy("pidx").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        (
+            F.sum(
+                F.abs(
+                    F.coalesce("w_cur", F.lit(0.0))
+                    - F.coalesce("w_prev", F.lit(0.0))
+                )
+            )
+            / 2.0
+        ).alias("turnover"),
+    )
+    return per.join(periods, "pidx").select(
+        ts_col, "n_positions", "turnover"
+    )
+
+
+def information_coefficient(
+    bars: DataFrame,
+    lookback: int = 5,
+    min_universe: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-period Spearman information coefficient of the momentum
+    signal: rank symbols by trailing return and by NEXT-period realized
+    return (leak-free forward alignment as in
+    ``cross_sectional_momentum``), IC = Pearson corr of the two rank
+    columns. Ranks use row_number with the symbol tiebreak, so rank
+    values are deterministic integers on both engines.
+
+    One (symbol, ts) window for trailing/forward returns, two (ts) rank
+    windows over the same cross-sectional sort exchange, one corr agg
+    per ts.
+    """
+    wsym = Window.partitionBy(symbol_col).orderBy(ts_col)
+    past = F.lag(close_col, lookback).over(wsym)
+    nxt = F.lead(close_col).over(wsym)
+    r = bars.select(
+        symbol_col, ts_col,
+        F.when(past > 0, F.col(close_col) / past - 1.0).alias("mom"),
+        F.when(
+            F.col(close_col) > 0, nxt / F.col(close_col) - 1.0
+        ).alias("fwd_r"),
+    ).where(F.col("mom").isNotNull() & F.col("fwd_r").isNotNull())
+    rank_mom = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(F.desc("mom"), F.asc(symbol_col))
+    )
+    rank_fwd = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(
+            F.desc("fwd_r"), F.asc(symbol_col)
+        )
+    )
+    ranked = r.select(
+        ts_col,
+        rank_mom.cast("double").alias("rm"),
+        rank_fwd.cast("double").alias("rf"),
+    )
+    return (
+        ranked.groupBy(ts_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_universe"),
+            F.corr("rm", "rf").alias("ic"),
+        )
+        .where(F.col("n_universe") >= min_universe)
+    )
+
+
+def seasonality_profile(
+    bars: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Day-of-week return seasonality per symbol: mean/std/count of
+    daily returns bucketed by weekday. The weekday is computed as
+    ``(epoch_day + 3) % 7`` (0 = Monday — 1970-01-01 was a Thursday),
+    pure integer arithmetic so both engines bucket identically
+    (calendar dayofweek numbering differs across engines).
+    """
+    r = bar_returns(bars, symbol_col, ts_col, close_col).where(
+        F.col("r").isNotNull()
+    )
+    dow = (
+        (F.floor(F.unix_timestamp(ts_col) / 86400) + 3) % 7
+    ).cast("int")
+    return (
+        r.withColumn("dow", dow)
+        .groupBy(symbol_col, "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("r").alias("mean_r"),
+            F.stddev_samp("r").alias("std_r"),
+        )
+    )

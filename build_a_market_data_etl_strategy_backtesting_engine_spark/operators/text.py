@@ -934,3 +934,55 @@ def kneser_ney_score(
             F.exp(-F.avg("logp")).alias("perplexity"),
         )
     )
+
+
+# -------------------------------------------- per-source language drift
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus-wide distribution — the drift/contamination monitor for a
+    multi-source corpus (a source whose KL spikes has different content
+    than the blend; the per-source mirror of q95's pairwise overlap).
+
+    ``KL(source || corpus) = sum_t p_s(t) * ln(p_s(t) / p_c(t))`` over
+    the source's observed terms (p_c(t) > 0 wherever p_s(t) > 0, since
+    the corpus includes the source). Two map-combinable count aggs
+    (per-source-term and per-term) joined on the term key, plus window
+    totals over the small term/source dimensions.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    st = toks.groupBy("src", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    s_tot = Window.partitionBy("src")
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    c_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = st.withColumn(
+        "c_s", F.sum("c_st").over(s_tot)
+    ).join(
+        ct.withColumn("c_all", F.sum("c_t").over(c_tot)), "term"
+    )
+    p_s = F.col("c_st") / F.col("c_s")
+    p_c = F.col("c_t") / F.col("c_all")
+    return (
+        with_tot.select(
+            "src", (p_s * F.log(p_s / p_c)).alias("kl_term"),
+            F.lit(1).alias("one"),
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("kl_term").alias("kl_divergence"),
+        )
+        .withColumnRenamed("src", source_col)
+    )

@@ -5282,3 +5282,172 @@ def q122(spark, sf_dir):
         F.round("mean_logp", 6).alias("mean_logp"),
         F.round("perplexity", 4).alias("perplexity"),
     )
+
+
+# ========= turnover / information coefficient / seasonality / drift
+
+@_register(
+    "q123_portfolio_turnover",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close, 5) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS mom
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE mom IS NOT NULL),
+    tiled AS (SELECT symbol, bts,
+                     ntile(2) OVER (PARTITION BY bts
+                                    ORDER BY mom DESC, symbol) AS tile
+              FROM rr),
+    cnt AS (SELECT symbol, bts, tile,
+                   sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY bts) AS n_long,
+                   sum(CASE WHEN tile = 2 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY bts) AS n_short
+            FROM tiled),
+    w AS (SELECT symbol, bts,
+                 CASE WHEN tile = 1 THEN 1.0e0 / n_long
+                      WHEN tile = 2 THEN -1.0e0 / n_short
+                      ELSE 0.0e0 END AS w
+          FROM cnt),
+    periods AS (SELECT bts, dense_rank() OVER (ORDER BY bts) - 1 AS pidx
+                FROM (SELECT DISTINCT bts FROM w)),
+    wp AS (SELECT w.symbol, w.w, p.pidx
+           FROM w JOIN periods p ON w.bts = p.bts),
+    al AS (SELECT coalesce(c.pidx, pr.pidx) AS pidx,
+                  coalesce(c.w, 0.0e0) AS wc,
+                  coalesce(pr.w, 0.0e0) AS wpv
+           FROM wp c
+           FULL OUTER JOIN
+             (SELECT pidx + 1 AS pidx, symbol, w FROM wp) pr
+           ON c.pidx = pr.pidx AND c.symbol = pr.symbol),
+    t AS (SELECT pidx, count(*) AS n_positions,
+                 sum(abs(wc - wpv)) / 2.0e0 AS turnover
+          FROM al WHERE pidx > 0 GROUP BY pidx)
+    SELECT epoch_us(periods.bts) AS bar_us, n_positions,
+           round(turnover, 8) AS turnover
+    FROM t JOIN periods ON t.pidx = periods.pidx
+    """,
+)
+def q123(spark, sf_dir):
+    """Momentum-portfolio one-way turnover (operators/factors.py
+    momentum_weights + portfolio_turnover): full-outer alignment of
+    consecutive holdings so entering/leaving names count their whole
+    weight change. Weights are exact rational fractions of identical
+    ntile counts; only the summed turnover is rounded."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    w = factors_ops.momentum_weights(b, lookback=5, n_tiles=2)
+    out = factors_ops.portfolio_turnover(w)
+    return out.select(
+        F.unix_micros("ts").alias("bar_us"), "n_positions",
+        F.round("turnover", 8).alias("turnover"),
+    )
+
+
+@_register(
+    "q124_information_coefficient",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close, 5) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS mom,
+                 lead(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) / close - 1
+                   AS fwd_r
+          FROM bars WHERE close > 0),
+    rr AS (SELECT * FROM r WHERE mom IS NOT NULL AND fwd_r IS NOT NULL),
+    ranked AS (SELECT bts,
+                      CAST(row_number() OVER
+                        (PARTITION BY bts ORDER BY mom DESC, symbol)
+                        AS DOUBLE) AS rm,
+                      CAST(row_number() OVER
+                        (PARTITION BY bts ORDER BY fwd_r DESC, symbol)
+                        AS DOUBLE) AS rf
+               FROM rr)
+    SELECT epoch_us(bts) AS bar_us, count(*) AS n_universe,
+           round(corr(rm, rf), 6) AS ic
+    FROM ranked GROUP BY bts HAVING count(*) >= 3
+    """,
+)
+def q124(spark, sf_dir):
+    """Per-period Spearman information coefficient of the 5-day
+    momentum signal (operators/factors.py information_coefficient):
+    deterministic integer ranks (symbol tiebreak) -> Pearson corr of
+    ranks. corr moments rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = factors_ops.information_coefficient(b, lookback=5)
+    return out.select(
+        F.unix_micros("ts").alias("bar_us"), "n_universe",
+        F.round("ic", 6).alias("ic"),
+    )
+
+
+@_register(
+    "q125_seasonality",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    rr AS (SELECT * FROM r WHERE r IS NOT NULL)
+    SELECT symbol,
+           CAST((epoch(bts) // 86400 + 3) % 7 AS INT) AS dow,
+           count(*) AS n,
+           round(avg(r), 8) AS mean_r,
+           round(stddev_samp(r), 8) AS std_r
+    FROM rr GROUP BY symbol, dow
+    """,
+)
+def q125(spark, sf_dir):
+    """Day-of-week return seasonality (operators/factors.py
+    seasonality_profile): weekday via pure integer epoch arithmetic
+    (0 = Monday) — engine calendar numbering never enters. Moment aggs
+    rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = factors_ops.seasonality_profile(b)
+    return out.select(
+        "symbol", "dow", "n",
+        F.round("mean_r", 8).alias("mean_r"),
+        F.round("std_r", 8).alias("std_r"),
+    )
+
+
+@_register(
+    "q126_source_divergence",
+    """
+    WITH toks AS (SELECT source AS src,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    st AS (SELECT src, term, count(*) AS c_st
+           FROM toks GROUP BY src, term),
+    stot AS (SELECT src, sum(c_st) AS c_s FROM st GROUP BY src),
+    ct AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+    tot AS (SELECT sum(c_t) AS c_all FROM ct),
+    j AS (SELECT st.src,
+                 (st.c_st / CAST(stot.c_s AS DOUBLE)) AS p_s,
+                 (ct.c_t / CAST(tot.c_all AS DOUBLE)) AS p_c
+          FROM st JOIN stot ON st.src = stot.src
+          JOIN ct ON st.term = ct.term CROSS JOIN tot)
+    SELECT src AS source, count(*) AS n_terms,
+           round(sum(p_s * ln(p_s / p_c)), 8) AS kl_divergence
+    FROM j GROUP BY src
+    """,
+)
+def q126(spark, sf_dir):
+    """Per-source unigram KL drift monitor (operators/text.py
+    source_divergence): KL(source || corpus) over each source's
+    observed vocabulary. Probabilities are exact integer ratios; the
+    log-sum is rounded at the edge."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_ops.source_divergence(d)
+    return out.select(
+        "source", "n_terms",
+        F.round("kl_divergence", 8).alias("kl_divergence"),
+    )

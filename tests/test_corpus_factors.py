@@ -936,3 +936,72 @@ def test_kneser_ney_matches_reference_impl(spark):
         assert out[did].perplexity == pytest.approx(
             math.exp(-mean), rel=1e-12
         )
+
+
+# ------------------------------------------------- turnover / IC / dow
+
+def test_portfolio_turnover_counts_entries_and_exits(spark):
+    base = datetime.datetime(2024, 1, 1)
+    t0, t1 = base, base + datetime.timedelta(days=1)
+    w = spark.createDataFrame([
+        Row(symbol="A", ts=t0, w=0.5), Row(symbol="B", ts=t0, w=0.5),
+        Row(symbol="B", ts=t1, w=0.5), Row(symbol="C", ts=t1, w=0.5),
+    ])
+    out = factors.portfolio_turnover(w).collect()
+    assert len(out) == 1
+    # A exits (0.5), C enters (0.5), B unchanged -> one-way turnover 0.5
+    assert out[0].turnover == pytest.approx(0.5)
+    assert out[0].n_positions == 3  # union of holdings
+
+
+def test_information_coefficient_perfect_signal(spark):
+    # forward return == momentum ordering -> IC = 1 each period
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # closes engineered: symbol S_i grows at rate proportional to i
+    for i, sym in enumerate(["A", "B", "C", "D"]):
+        g = 1.0 + 0.01 * (i + 1)
+        c = 100.0
+        for d in range(10):
+            rows.append(Row(symbol=sym, ts=base + datetime.timedelta(days=d),
+                            close=c))
+            c *= g
+    out = factors.information_coefficient(
+        spark.createDataFrame(rows), lookback=3
+    ).collect()
+    assert len(out) > 0
+    assert all(r.ic == pytest.approx(1.0, abs=1e-12) for r in out)
+    assert all(r.n_universe == 4 for r in out)
+
+
+def test_seasonality_profile_dow_arithmetic(spark):
+    # 2024-01-01 was a Monday -> dow 0
+    base = datetime.datetime(2024, 1, 1)
+    rows = [Row(symbol="A", ts=base + datetime.timedelta(days=i),
+                close=100.0 + i) for i in range(8)]
+    out = factors.seasonality_profile(spark.createDataFrame(rows)).collect()
+    dows = {r.dow for r in out}
+    assert dows == set(range(7))
+    mon = [r for r in out if r.dow == 0][0]
+    # day 7 (second Monday) has the only Monday return
+    assert mon.n == 1
+    assert mon.mean_r == pytest.approx(107.0 / 106.0 - 1.0, abs=1e-12)
+
+
+def test_source_divergence_zero_for_identical_sources(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c", source="s1"),
+        Row(doc_id=2, text="a b c", source="s2"),
+    ])
+    out = text.source_divergence(docs).collect()
+    # both sources have the corpus distribution -> KL = 0
+    for r in out:
+        assert r.kl_divergence == pytest.approx(0.0, abs=1e-12)
+
+    skewed = spark.createDataFrame([
+        Row(doc_id=1, text="a a a b", source="s1"),
+        Row(doc_id=2, text="b b b a", source="s2"),
+    ])
+    out2 = {r.source: r for r in text.source_divergence(skewed).collect()}
+    assert out2["s1"].kl_divergence > 0
+    assert out2["s2"].kl_divergence > 0
