@@ -309,3 +309,81 @@ def test_pq_encode_is_shuffle_free(spark):
     top = sim.pq_topk(enc, [0.0] * 64, cb, k=5)
     txt = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in txt
+
+
+def test_lead_lag_and_acf_no_cartesian(spark):
+    """Lag fan-out + shifted-epoch alignment must stay a hash equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import factors
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    for df in (factors.lead_lag_corr(b, max_lag=2),
+               factors.acf(b, max_lag=3)):
+        p = plans.explain_str(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_component_risk_broadcasts_weights_and_portvar(spark):
+    """The k x k covariance stage is the only real shuffle group; the
+    weight frames and 1-row portfolio variance ride broadcasts."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import risk as risk_ops
+
+    from pyspark.sql import Window
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    r = b.withColumn(
+        "ret",
+        F.col("close")
+        / F.lag("close").over(Window.partitionBy("symbol").orderBy("ts"))
+        - 1,
+    ).where(F.col("ret").isNotNull()).select("symbol", "ts", "ret")
+    df = risk_ops.component_risk(r)
+    plans.assert_broadcast_join(df)
+    p = plans.explain_str(df, "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_line_dedup_and_hashed_score_bounded_shuffles(spark):
+    """line_dedup: dup-dictionary agg + dictionary join + per-doc agg
+    (distinct adds one) — bounded; hashed_ngram_score: explode is
+    map-side, ONE per-doc agg shuffle."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as t
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    plans.assert_max_shuffles(t.line_dedup(docs, line_words=3), 6)
+    plans.assert_max_shuffles(t.hashed_ngram_score(docs), 2)
+
+
+def test_kneser_ney_no_cartesian_and_bounded(spark):
+    """KN scoring: one pair agg builds the LM, two equi-joins score the
+    positions, the types total rides a broadcast 1-row crossJoin —
+    no nested-loop join over data-sized inputs."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as t
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    df = t.kneser_ney_score(docs)
+    p = plans.explain_str(df, "simple")
+    assert "CartesianProduct" not in p
+    # the only BroadcastNestedLoopJoin allowed is the 1-row types total
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import sampling
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    df = sampling.weighted_sample(
+        docs.withColumn("w", F.col("n_chars").cast("double")),
+        weight_col="w", key_col="doc_id", k=50,
+    )
+    assert "TakeOrderedAndProject" in plans.explain_str(df, "simple")
+
+
+def test_bpe_encode_is_shuffle_free(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import text as t
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    plans.assert_max_shuffles(t.bpe_encode(docs), 0)
