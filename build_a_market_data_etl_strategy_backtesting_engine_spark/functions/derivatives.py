@@ -390,3 +390,91 @@ def binomial_american(
             n_steps=n_steps, call=call, dialect="spark",
         )
     )
+
+
+# ------------------------------------------------ Monte Carlo pricing
+
+def mc_european(
+    opts: "DataFrame",
+    n_paths: int = 256,
+    call: bool = True,
+) -> "DataFrame":
+    """Distributed Monte Carlo European option pricing under GBM with a
+    DETERMINISTIC, partition-invariant RNG: each path's standard normal
+    is Box-Muller over two md5 uniforms keyed by (option id, path id),
+    so every executor, retry, and engine draws the identical number
+    (the same discipline as the mock tick generator's xxhash64
+    Box-Muller — here the md5 portable twin so the oracle can replay
+    it verbatim).
+
+    ``opts`` yields (id, s, k, t_y, r, sigma). Terminal price
+    ``S_T = s * exp((r - sigma^2/2) t + sigma sqrt(t) z)``; the price is
+    the discounted mean payoff over ``n_paths``. Convergence to
+    Black-Scholes is a pytest property; cross-engine equality is exact
+    (same draws) modulo libm ulp absorbed by edge rounding.
+
+    Shape at 100 TB: the path fan-out is a map-side explode (rows x
+    n_paths stays bounded by choosing n_paths per use), the estimate is
+    ONE map-combinable avg — no shuffle beyond the final per-id agg.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_uniform,
+    )
+    import math as _m
+
+    path = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_paths)))
+    ).alias("path")
+    fanned = opts.select("id", "s", "k", "t_y", "r", "sigma", path)
+    key = F.concat_ws("-", F.col("id"), F.col("path"))
+    u1 = portable_uniform(F.concat(key, F.lit("a")))
+    u2 = portable_uniform(F.concat(key, F.lit("b")))
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * _m.pi * u2)
+    st = F.col("s") * F.exp(
+        (F.col("r") - F.col("sigma") * F.col("sigma") / 2) * F.col("t_y")
+        + F.col("sigma") * F.sqrt(F.col("t_y")) * z
+    )
+    pay = F.greatest(st - F.col("k"), F.lit(0.0)) if call else \
+        F.greatest(F.col("k") - st, F.lit(0.0))
+    disc = F.exp(-F.col("r") * F.col("t_y"))
+    return (
+        fanned.select("id", (disc * pay).alias("dpay"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.avg("dpay").alias("mc_price"),
+        )
+    )
+
+
+def mc_european_sql(
+    opts_sql: str,
+    n_paths: int = 256,
+    call: bool = True,
+) -> str:
+    """DuckDB twin of :func:`mc_european` — identical draw keys and
+    arithmetic, so the comparison is exact replay, not convergence."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_uniform_sql,
+    )
+    import math as _m
+
+    key = "(CAST(id AS VARCHAR) || '-' || CAST(path AS VARCHAR))"
+    u1 = portable_uniform_sql(f"({key} || 'a')")
+    u2 = portable_uniform_sql(f"({key} || 'b')")
+    z = f"(sqrt(-2.0e0 * ln({u1})) * cos(2e0 * {_m.pi!r}e0 * {u2}))"
+    # NOTE: pi spelled as a full-precision e-notation literal (plain
+    # decimals parse as DECIMAL in DuckDB), same double on both engines
+    st = (f"(s * exp((r - sigma * sigma / 2e0) * t_y"
+          f" + sigma * sqrt(t_y) * {z}))")
+    pay = (f"greatest({st} - k, 0.0e0)" if call
+           else f"greatest(k - {st}, 0.0e0)")
+    return f"""
+    WITH opts AS ({opts_sql}),
+    fanned AS (SELECT opts.*, path
+               FROM opts, unnest(generate_series(1, {int(n_paths)}))
+                 AS u(path))
+    SELECT id, count(*) AS n_paths,
+           round(avg(exp(-r * t_y) * {pay}), 6) AS mc_price
+    FROM fanned GROUP BY id
+    """

@@ -271,3 +271,78 @@ def drawdown_episodes(
         .select(symbol_col, "rank", "start_ts", "end_ts", "duration",
                 "depth")
     )
+
+
+def bootstrap_sharpe_ci(
+    returns: DataFrame,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    periods_per_year: int = 252,
+    ts_col: str = "ts",
+    returns_col: str = "r",
+) -> DataFrame:
+    """Bootstrap confidence interval for the annualized Sharpe ratio —
+    the statistical-significance gate a backtest report should carry
+    (a Sharpe whose CI straddles 0 is noise).
+
+    I.i.d. bootstrap (documented simplification vs block bootstrap for
+    autocorrelated series): resample b draws row index
+    ``j = floor(u * n)`` with the deterministic md5 uniform keyed by
+    (b, i) — every engine, executor and retry replays the identical
+    resamples, so the CI is reproducible and oracle-verifiable. The CI
+    is the exact interpolated percentile of the B resampled Sharpes
+    (the VaR percentile discipline).
+
+    Shape at 100 TB: the fan-out is rows x B via a map-side explode,
+    the index join is a hash equi-join on the row index, each resample
+    reduces map-combinably. For long series, bootstrap a bar-level
+    aggregate, not the tape.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_uniform,
+    )
+
+    r = returns.select(
+        F.col(returns_col).alias("r"),
+        (
+            F.row_number().over(Window.orderBy(ts_col)) - 1
+        ).alias("idx"),
+    )
+    n_frame = r.agg(F.count(F.lit(1)).alias("n"))
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_boot)))
+    ).alias("b")
+    i = F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i")
+    draws = (
+        n_frame.select(b, "n").select("b", "n", i)
+        .withColumn(
+            "idx",
+            F.floor(
+                portable_uniform(
+                    F.concat_ws("-", F.col("b"), F.col("i"))
+                )
+                * F.col("n")
+            ).cast("long"),
+        )
+    )
+    resampled = draws.join(r, "idx")
+    ann = math.sqrt(float(periods_per_year))
+    sharpes = resampled.groupBy("b").agg(
+        (F.avg("r") / F.stddev_samp("r") * ann).alias("sharpe")
+    )
+    # exact interpolated percentiles over the B resamples
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    base = returns.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.avg(returns_col) / F.stddev_samp(returns_col) * ann)
+        .alias("sharpe_hat"),
+    )
+    ci = sharpes.agg(
+        F.percentile("sharpe", F.lit(lo)).alias("ci_lo"),
+        F.percentile("sharpe", F.lit(hi)).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_boot"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_obs", "sharpe_hat", "n_boot", "ci_lo", "ci_hi",
+        (F.col("ci_lo") > 0).alias("significant"),
+    )

@@ -271,3 +271,24 @@ def weighted_sample_es_key_sql(weight_sql: str, key_sql: str) -> str:
         v = f"({v} * 16 + {digit.format(k=key_sql, j=j)})"
     u = f"((CAST({v} AS DOUBLE) + 0.5e0) / {float(1 << 32):.1f})"
     return f"(-ln({u}) / ({weight_sql}))"
+
+
+def portable_uniform(key: Column) -> Column:
+    """Public alias of the deterministic md5 uniform in (0, 1) — the
+    building block for engine-portable Monte Carlo (same arithmetic as
+    :func:`portable_uniform_sql`)."""
+    return _portable_uniform(key)
+
+
+def portable_uniform_sql(key_sql: str) -> str:
+    """DuckDB-SQL twin of :func:`portable_uniform`: first 8 md5 hex
+    digits (BIGINT accumulation) scaled by 2^-32, half-ulp shifted."""
+    digit = (
+        "(CASE WHEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) >= 97 "
+        "THEN ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 87 "
+        "ELSE ascii(substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 48 END)"
+    )
+    v = f"CAST({digit.format(k=key_sql, j=1)} AS BIGINT)"
+    for j in range(2, 9):
+        v = f"({v} * 16 + {digit.format(k=key_sql, j=j)})"
+    return f"((CAST({v} AS DOUBLE) + 0.5e0) / {float(1 << 32):.1f})"

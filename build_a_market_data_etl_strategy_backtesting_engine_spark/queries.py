@@ -5451,3 +5451,104 @@ def q126(spark, sf_dir):
         "source", "n_terms",
         F.round("kl_divergence", 8).alias("kl_divergence"),
     )
+
+
+# ================== Monte Carlo pricing / bootstrap significance
+
+_MC_OPTS_SQL = (
+    "SELECT p_partkey AS id, p_retailprice AS s, "
+    "p_retailprice * 1.05e0 AS k, 0.5e0 AS t_y, 0.02e0 AS r, "
+    + _BINOM_SIGMA + " AS sigma FROM part"
+)
+
+
+@_register(
+    "q127_mc_european",
+    deriv.mc_european_sql(_MC_OPTS_SQL, n_paths=256, call=True),
+)
+def q127(spark, sf_dir):
+    """Distributed Monte Carlo European call pricing
+    (functions/derivatives.py mc_european): 256 GBM paths per option
+    with the deterministic md5 Box-Muller RNG keyed by (id, path) —
+    the oracle replays the IDENTICAL draws, so the check is exact
+    replay, not convergence (convergence to BS is the pytest). Path
+    fan-out is a map-side explode; ONE map-combinable avg."""
+    t = load_tables(spark, sf_dir, ["part"])["part"]
+    sigma = 0.15 + (F.col("p_partkey") % 30).cast("double") / 100.0
+    opts = t.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("s"),
+        (F.col("p_retailprice") * 1.05).alias("k"),
+        F.lit(0.5).alias("t_y"),
+        F.lit(0.02).alias("r"),
+        sigma.alias("sigma"),
+    )
+    out = deriv.mc_european(opts, n_paths=256, call=True)
+    return out.select(
+        "id", "n_paths", F.round("mc_price", 6).alias("mc_price")
+    )
+
+
+@_register(
+    "q128_bootstrap_sharpe",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r AS (SELECT symbol, bts,
+                 close / lag(close) OVER
+                   (PARTITION BY symbol ORDER BY bts) - 1 AS r
+          FROM bars),
+    pr AS (SELECT bts, avg(r) AS r FROM r WHERE r IS NOT NULL
+           GROUP BY bts),
+    idx AS (SELECT r, row_number() OVER (ORDER BY bts) - 1 AS idx
+            FROM pr),
+    nn AS (SELECT count(*) AS n FROM idx),
+    draws AS (SELECT b.b, i.i,
+                     CAST(floor({sampling_ops.portable_uniform_sql(
+                         "(CAST(b.b AS VARCHAR) || '-' || CAST(i.i AS VARCHAR))")}
+                       * nn.n) AS BIGINT) AS idx
+              FROM nn,
+                   unnest(generate_series(1, 200)) AS b(b),
+                   unnest(generate_series(0, (SELECT n - 1 FROM nn)))
+                     AS i(i)),
+    sharpes AS (SELECT d.b,
+                       avg(idx.r) / stddev_samp(idx.r) * sqrt(252e0)
+                         AS sharpe
+                FROM draws d JOIN idx ON d.idx = idx.idx GROUP BY d.b),
+    base AS (SELECT count(*) AS n_obs,
+                    avg(r) / stddev_samp(r) * sqrt(252e0) AS sharpe_hat
+             FROM pr),
+    ci AS (SELECT quantile_cont(sharpe, 0.025e0) AS ci_lo,
+                  quantile_cont(sharpe, 0.975e0) AS ci_hi,
+                  count(*) AS n_boot
+           FROM sharpes)
+    SELECT base.n_obs, round(base.sharpe_hat, 6) AS sharpe_hat,
+           ci.n_boot, round(ci.ci_lo, 6) AS ci_lo,
+           round(ci.ci_hi, 6) AS ci_hi,
+           ci.ci_lo > 0 AS significant
+    FROM base, ci
+    """,
+)
+def q128(spark, sf_dir):
+    """Bootstrap Sharpe confidence interval (operators/metrics.py
+    bootstrap_sharpe_ci): 200 deterministic md5-keyed i.i.d. resamples
+    of the equal-weight daily portfolio return, exact interpolated
+    2.5/97.5 percentiles — the significance gate for backtest Sharpe.
+    Identical draws on both engines; moments rounded at the edge."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    r = (
+        b.withColumn(
+            "r", F.col("close") / F.lag("close").over(w) - 1
+        )
+        .where(F.col("r").isNotNull())
+        .groupBy("ts")
+        .agg(F.avg("r").alias("r"))
+    )
+    out = metrics_ops.bootstrap_sharpe_ci(r, n_boot=200)
+    return out.select(
+        "n_obs", F.round("sharpe_hat", 6).alias("sharpe_hat"),
+        "n_boot", F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"), "significant",
+    )

@@ -1005,3 +1005,49 @@ def test_source_divergence_zero_for_identical_sources(spark):
     out2 = {r.source: r for r in text.source_divergence(skewed).collect()}
     assert out2["s1"].kl_divergence > 0
     assert out2["s2"].kl_divergence > 0
+
+
+# ------------------------------------------------ MC pricing / bootstrap
+
+def test_mc_european_converges_to_black_scholes(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    opts = spark.createDataFrame([
+        Row(id=1, s=100.0, k=100.0, t_y=1.0, r=0.05, sigma=0.2),
+    ])
+    mc = deriv.mc_european(opts, n_paths=20000).collect()[0]
+    bs = opts.select(
+        deriv.bs_call(F.col("s"), F.col("k"), F.col("t_y"),
+                      F.col("sigma"), F.col("r")).alias("c")
+    ).collect()[0].c
+    # MC std error at 20k paths is ~0.1 for these params
+    assert mc.mc_price == pytest.approx(bs, abs=0.35)
+    assert mc.n_paths == 20000
+    # deterministic: identical on re-run
+    mc2 = deriv.mc_european(opts, n_paths=20000).collect()[0]
+    assert mc2.mc_price == mc.mc_price
+
+
+def test_bootstrap_sharpe_ci_brackets_estimate(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        metrics as m,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    import math
+    rows = [Row(ts=base + datetime.timedelta(days=i),
+                r=0.001 + 0.01 * math.sin(1e4 * (i * 0.37 % 1.0)))
+            for i in range(120)]
+    out = m.bootstrap_sharpe_ci(
+        spark.createDataFrame(rows), n_boot=100
+    ).collect()[0]
+    assert out.n_obs == 120 and out.n_boot == 100
+    assert out.ci_lo < out.sharpe_hat < out.ci_hi
+    assert out.significant == (out.ci_lo > 0)
+    # reproducible
+    out2 = m.bootstrap_sharpe_ci(
+        spark.createDataFrame(rows), n_boot=100
+    ).collect()[0]
+    assert (out2.ci_lo, out2.ci_hi) == (out.ci_lo, out.ci_hi)
