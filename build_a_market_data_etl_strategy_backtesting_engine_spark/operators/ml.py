@@ -126,6 +126,110 @@ def predict_with_model(
     return df.mapInPandas(_run, schema)
 
 
+class NumpyLogit:
+    """Deterministic numpy logistic-regression — the in-env stand-in for the
+    ``model_class(**kwargs).fit(X, y)`` the reference trains with sklearn
+    (ml_strategy.py:73-104; no sklearn in this container). Binary logit on
+    ``y > 0`` with L2 regularization, full-batch gradient descent, fixed
+    iteration count and zero init — bit-reproducible across runs, picklable,
+    so it broadcasts cleanly into ``predict_with_model``.
+
+    ``predict`` emits +1/-1 (the reference's signal convention);
+    ``predict_proba`` the raw sigmoid. ``feature_importance`` is |coef|
+    (ml_strategy.py:391-402's importance surface for linear models).
+    """
+
+    def __init__(self, lr: float = 0.1, n_iter: int = 500, l2: float = 1e-3):
+        self.lr, self.n_iter, self.l2 = float(lr), int(n_iter), float(l2)
+        self.coef_ = None
+        self.intercept_ = 0.0
+        self.feature_names_ = None
+
+    @staticmethod
+    def _sigmoid(z):
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+
+    def fit(self, X, y):
+        import numpy as np
+
+        Xv = np.asarray(X, dtype="float64")
+        Xv = np.nan_to_num(Xv, nan=0.0, posinf=0.0, neginf=0.0)
+        yb = (np.asarray(y, dtype="float64") > 0).astype("float64")
+        n, d = Xv.shape
+        # standardize for conditioning; fold back at the end so predict
+        # works on raw features.
+        mu, sd = Xv.mean(axis=0), Xv.std(axis=0)
+        sd = np.where(sd > 0, sd, 1.0)
+        Xs = (Xv - mu) / sd
+        w = np.zeros(d)
+        b = 0.0
+        for _ in range(self.n_iter):
+            p = self._sigmoid(Xs @ w + b)
+            g = Xs.T @ (p - yb) / n + self.l2 * w
+            w -= self.lr * g
+            b -= self.lr * float((p - yb).mean())
+        self.coef_ = w / sd
+        self.intercept_ = b - float((w * mu / sd).sum())
+        if hasattr(X, "columns"):
+            self.feature_names_ = list(X.columns)
+        return self
+
+    def predict_proba(self, X):
+        import numpy as np
+
+        Xv = np.nan_to_num(
+            np.asarray(X, dtype="float64"), nan=0.0, posinf=0.0, neginf=0.0)
+        return self._sigmoid(Xv @ self.coef_ + self.intercept_)
+
+    def predict(self, X):
+        import numpy as np
+
+        return np.where(self.predict_proba(X) > 0.5, 1.0, -1.0)
+
+    def feature_importance(self) -> pd.DataFrame:
+        import numpy as np
+
+        names = self.feature_names_ or [
+            f"f{i}" for i in range(len(self.coef_))]
+        imp = np.abs(self.coef_)
+        tot = imp.sum() or 1.0
+        return (
+            pd.DataFrame({"feature": names, "importance": imp / tot})
+            .sort_values("importance", ascending=False)
+            .reset_index(drop=True)
+        )
+
+
+def train_model(
+    train: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    model: "NumpyLogit | None" = None,
+    max_rows: int = 1_000_000,
+) -> NumpyLogit:
+    """Spark-side of ``MLStrategy.train_model`` (ml_strategy.py:73-104):
+    features/labels are computed distributed, then the training set crosses
+    to the driver for the single-node ``fit`` — exactly the reference's
+    topology (sklearn fit is single-node too). ``max_rows`` caps the driver
+    transfer with a deterministic hash-sample; at 100 TB you train on a
+    sample or hand the same columns to a distributed trainer, the feature
+    plan is identical either way."""
+    cols = list(feature_cols)
+    df = train.select(*cols, label_col).na.drop(subset=[label_col])
+    n = df.count()
+    if n > max_rows:
+        frac = max_rows / n
+        df = df.filter(
+            (F.abs(F.xxhash64(*cols, F.lit(42))) % 1_000_000)
+            < int(frac * 1_000_000)
+        )
+    pdf = df.toPandas()
+    model = model or NumpyLogit()
+    return model.fit(pdf[cols].fillna(0.0), pdf[label_col])
+
+
 def ensemble_signal(
     df: DataFrame,
     signal_cols: Sequence[str],

@@ -14,9 +14,11 @@ Cross-engine FP discipline
   count chosen so rounding granularity >> error;
 - float constants are injected into SQL via ``_dlit`` (e-notation forces
   DOUBLE literals in DuckDB; plain decimals would parse as DECIMAL);
-- ``events.ts`` is TIMESTAMP(NANOS) parquet; Spark reads int64 ns ->
-  truncated to µs at load. Oracle SQL mirrors with
-  ``make_timestamp(epoch_us(ts))``; emitted timestamps are epoch-µs BIGINT;
+- ``events.ts`` parquet vintage varies (currently ``timestamp[us]``; was
+  TIMESTAMP(NANOS) read as int64 ns). ``session._normalize_events_ts``
+  branches on the loaded dtype and always yields µs ``TIMESTAMP_NTZ``.
+  Oracle SQL mirrors with ``make_timestamp(epoch_us(ts))``; emitted
+  timestamps are epoch-µs BIGINT;
 - comparisons/filters on FP-noise operands (z-score vs threshold, IQR
   bounds) are safe: a flip needs a data point within ~1e-12 of the cut,
   impossible with 2-decimal synthetic data.

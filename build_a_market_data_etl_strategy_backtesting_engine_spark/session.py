@@ -118,10 +118,6 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    # events.parquet carries TIMESTAMP(NANOS); Spark reads it only as int64.
-    # Truncate ns -> us at the boundary (floor division, matching DuckDB's
-    # ns->us truncation) and expose a real TimestampType.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ensure_package_on_executors(spark)
     out = {}
     for n in names:
@@ -129,14 +125,42 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if n == "events":
-                # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
-                # precision past 2^53 and lands ±128ns off.
-                df = df.withColumn(
-                    "ts", F.expr("timestamp_micros(ts div 1000)")
-                )
+                df = _normalize_events_ts(df)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
+
+
+def _normalize_events_ts(df):
+    """Normalize ``events.ts`` to microsecond ``TIMESTAMP`` (session-tz UTC)
+    regardless of the parquet vintage it was written with.
+
+    The driver's testdata has shipped two vintages so far: TIMESTAMP(NANOS)
+    (readable only as int64 ns under ``nanosAsLong``) and plain
+    ``timestamp[us]`` (read as NTZ under ``inferTimestampNTZ``). A fixed cast
+    breaks whenever the vintage flips (it cost round 2 its entire events
+    surface), so branch on the *loaded* dtype:
+
+    - ``bigint``        -> int64 epoch-nanos: ``timestamp_micros(ts div
+      1000)``. Integer ``div``, NOT ``/``: float division of ~1.7e18 ns loses
+      precision past 2^53 and lands ±128ns off. Floor division matches
+      DuckDB's ns->us truncation.
+    - ``timestamp_ntz`` -> cast to LTZ ``timestamp``. Session tz is pinned
+      UTC, so wall clock == epoch and the cast is a no-op numerically; LTZ
+      is the engine-wide ts type (``unix_micros`` etc. require it).
+    - ``timestamp``     -> already LTZ; pass through.
+
+    All three land on the exact same epoch-µs values the tz-naive DuckDB
+    oracle sees (tests/test_schema_evolution.py pins every vintage).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def events_as_ticks(events):

@@ -58,6 +58,29 @@ def rate_tick_source(
     return rate.select(payload.alias("value"))
 
 
+def socket_tick_source(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """Live line-delimited JSON feed over TCP — the integration path a user
+    points at a real feed endpoint (the closest in-engine analogue of the
+    reference's WebSocket client, ``etl/websocket_client.py:92-125``:
+    connect, read frames, hand each to the normalizer). Reconnection is the
+    stream restart policy (checkpoint + supervisor re-``start()``), not an
+    in-source loop; subscription handshakes belong in the feed bridge that
+    terminates the WebSocket and re-emits newline-delimited JSON.
+
+    Compose with ``normalize_trades``/``normalize_trades_with_rejects`` and
+    any sink in this module; tests/test_socket_source.py drives it end-to-end
+    against a real TCP server emitting the reference's aliased frame shapes.
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def ingest_stream(
     raw: DataFrame,
     sink_path: str,

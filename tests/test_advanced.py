@@ -472,6 +472,47 @@ def test_predict_bridge_and_ensemble(spark):
         <= {-1, 0, 1}
 
 
+def test_numpy_fit_end_to_end(spark):
+    """Full train_model parity loop (ml_strategy.py:73-104): Spark features
+    -> labels -> time split -> numpy fit -> predict_with_model -> signal.
+    The synthetic fixture is linearly separable on ret_1, so accuracy on
+    the held-out tail is pinned high."""
+    rng = np.random.default_rng(7)
+    n = 400
+    # price path whose next-step direction follows the last return ~85% of
+    # the time -> ret_1 is genuinely predictive of the label.
+    steps = []
+    last = 1.0
+    for _ in range(n):
+        keep = rng.random() < 0.85
+        last = last if keep else -last
+        steps.append(last * 0.005)
+    close = 100 * np.cumprod(1 + np.array(steps))
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1h"),
+        "close": close,
+        "volume": 1000.0,
+    })
+    feats = ml.engineer_features(spark.createDataFrame(pdf))
+    labeled = ml.make_labels(feats).na.drop(
+        subset=["ret_1", "label"]).filter(F.col("label") != 0)
+    train, test = ml.time_split(labeled, 0.8)
+    model = ml.train_model(train, ["ret_1", "ret_5"], "label")
+    assert model.coef_ is not None and model.coef_[0] > 0  # momentum learned
+    scored = ml.predict_with_model(test, model.predict, ["ret_1", "ret_5"])
+    agree = scored.select(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert agree > 0.7, agree
+    # deterministic: second fit is bit-identical
+    model2 = ml.train_model(train, ["ret_1", "ret_5"], "label")
+    assert np.array_equal(model.coef_, model2.coef_)
+    imp = model.feature_importance()
+    assert list(imp.columns) == ["feature", "importance"]
+    assert abs(imp["importance"].sum() - 1.0) < 1e-12
+
+
 # ------------------------------------------------------- multimodal / config
 
 def test_multimodal_plumbing(spark):
