@@ -142,6 +142,150 @@ def create_report(
     return path
 
 
+_PANEL_JS = """
+(function(){
+  const DATA = __DATA__;
+  const W = 900, H = 180, PAD = 40;
+  const root = document.getElementById('panels');
+  const x = i => PAD + i * (W - PAD - 10) / Math.max(1, DATA.ts.length - 1);
+  function scaleY(vals){
+    const lo = Math.min(...vals), hi = Math.max(...vals);
+    const span = (hi - lo) || 1;
+    return v => H - 24 - (v - lo) / span * (H - 44);
+  }
+  function panel(title, vals, color, fill, bar){
+    const y = scaleY(vals);
+    let marks;
+    if (bar) {
+      const y0 = y(0);
+      marks = vals.map((v,i) =>
+        `<rect x="${x(i)-1}" y="${Math.min(y(v),y0)}" width="2" ` +
+        `height="${Math.abs(y(v)-y0)||1}" fill="${color}"/>`).join('');
+    } else {
+      const pts = vals.map((v,i)=>`${x(i).toFixed(1)},${y(v).toFixed(1)}`).join(' ');
+      marks = fill
+        ? `<polygon points="${x(0)},${y(0)} ${pts} ${x(vals.length-1)},${y(0)}"
+             fill="${color}22" stroke="none"/>` +
+          `<polyline points="${pts}" fill="none" stroke="${color}" stroke-width="1.5"/>`
+        : `<polyline points="${pts}" fill="none" stroke="${color}" stroke-width="1.5"/>`;
+    }
+    const div = document.createElement('div');
+    div.innerHTML =
+      `<h3>${title}</h3>` +
+      `<svg width="${W}" height="${H}" data-panel>${marks}` +
+      `<line data-cross x1="0" x2="0" y1="0" y2="${H}" stroke="#888" ` +
+      `stroke-dasharray="3,3" visibility="hidden"/>` +
+      `<text data-tip x="0" y="14" font-size="12" fill="#111"></text></svg>`;
+    root.appendChild(div);
+    return {vals, y, svg: div.querySelector('svg'), title};
+  }
+  const panels = [];
+  panels.push(panel('Equity Curve', DATA.equity, '#2563eb', false, false));
+  panels.push(panel('Drawdown (%)', DATA.drawdown, '#dc2626', true, false));
+  if (DATA.position) panels.push(panel('Position', DATA.position, '#16a34a', false, true));
+  // shared-x hover: crosshair + value tooltip on every panel at once
+  // (the plotly shared_xaxes behavior, visualization.py:261-268)
+  root.addEventListener('mousemove', ev => {
+    const r = panels[0].svg.getBoundingClientRect();
+    const px = ev.clientX - r.left;
+    const n = DATA.ts.length;
+    const i = Math.max(0, Math.min(n - 1,
+      Math.round((px - PAD) / ((W - PAD - 10) / Math.max(1, n - 1)))));
+    for (const p of panels){
+      const cr = p.svg.querySelector('[data-cross]');
+      const tip = p.svg.querySelector('[data-tip]');
+      cr.setAttribute('x1', x(i)); cr.setAttribute('x2', x(i));
+      cr.setAttribute('visibility', 'visible');
+      tip.textContent = `${DATA.ts[i]}  ${p.title}: ${p.vals[i].toFixed(4)}`;
+    }
+  });
+  root.addEventListener('mouseleave', () => {
+    for (const p of panels)
+      p.svg.querySelector('[data-cross]').setAttribute('visibility','hidden');
+  });
+})();
+"""
+
+
+def interactive_html(
+    ts: Sequence[str],
+    equity: Sequence[float],
+    position: Sequence[float] | None = None,
+    title: str = "Backtest Results",
+) -> str:
+    """Interactive report twin of the reference's plotly figure
+    (``visualization.py:246-347``): the same three shared-x panels — equity
+    curve, filled drawdown %, position bars — with a linked hover crosshair
+    and per-panel value tooltip. Implemented as ~60 lines of inline vanilla
+    JS over SVG instead of plotly (not in this container, and a CDN
+    ``<script src>`` would break offline), so the artifact stays a single
+    self-contained file like everything else in this module."""
+    import json as _json
+
+    eq = [float(v) for v in equity]
+    runmax, dd = float("-inf"), []
+    for v in eq:
+        runmax = max(runmax, v)
+        dd.append((v - runmax) / runmax * 100.0 if runmax else 0.0)
+    data = {
+        "ts": [str(t) for t in ts],
+        "equity": eq,
+        "drawdown": dd,
+        "position": [float(p) for p in position] if position else None,
+    }
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{html.escape(title)}</title>"
+        "<style>body{font:14px system-ui;margin:2rem;color:#111}"
+        "h3{margin:1rem 0 .2rem}</style></head><body>"
+        f"<h1>{html.escape(title)}</h1><div id='panels'></div>"
+        "<script>"
+        + _PANEL_JS.replace("__DATA__", _json.dumps(data))
+        + "</script></body></html>"
+    )
+
+
+def create_interactive_report(
+    results_df,
+    path: str,
+    max_points: int = 2000,
+    symbol: str | None = None,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    equity_col: str = "equity",
+    position_col: str = "position",
+) -> str:
+    """Spark edge for ``interactive_html``: bounded driver-side collect of
+    one symbol's (ts, equity, position) curve — same downsampling discipline
+    as ``create_report``."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = results_df
+    if symbol is None:
+        symbol = df.select(symbol_col).orderBy(symbol_col).first()[0]
+    df = df.filter(F.col(symbol_col) == symbol).orderBy(ts_col)
+    n = df.count()
+    stride = max(1, n // max_points)
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    rows = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") % stride) == 0)
+        .select(ts_col, equity_col, position_col)
+        .collect()
+    )
+    doc = interactive_html(
+        [r[ts_col] for r in rows],
+        [r[equity_col] for r in rows],
+        [r[position_col] for r in rows] if position_col in results_df.columns
+        else None,
+        title=f"Backtest Results — {symbol}",
+    )
+    with open(path, "w") as f:
+        f.write(doc)
+    return path
+
+
 def plot_equity_matplotlib(results_pdf, path: str):
     """Optional matplotlib path (reference parity) — gated import."""
     try:
