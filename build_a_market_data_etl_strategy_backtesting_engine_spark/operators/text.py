@@ -760,6 +760,99 @@ def hashed_ngram_score(
     )
 
 
+def bucket_features(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document dense hashed bag-of-n-grams feature vector: word
+    unigrams + bigrams -> md5 bucket in [0, n_buckets) -> normalized
+    per-bucket count columns ``x0..x{n-1}`` (plus ``n_feat``).
+
+    The dense layout is ``n_buckets`` conditional sums in ONE
+    map-combinable hash aggregation — no pivot, no second shuffle, stays
+    in whole-stage codegen. This is the feature half of the standard
+    fastText-shaped corpus quality classifier (CCNet/DCLM-style model
+    filtering); the weights come from ``train_quality_classifier``.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    grams = F.concat(_word_grams(text_col, 1), _word_grams(text_col, 2))
+    per = docs.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).select(
+        id_col, portable_bucket(F.col("gram"), n_buckets).alias("bucket")
+    )
+    aggs = [
+        F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
+        .cast("double").alias(f"x{i}")
+        for i in range(n_buckets)
+    ]
+    feat = per.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_feat"), *aggs)
+    return feat.select(
+        id_col, "n_feat",
+        *[(F.col(f"x{i}") / F.col("n_feat")).alias(f"x{i}")
+          for i in range(n_buckets)],
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rows: int = 200_000,
+):
+    """Fit the linear quality model on hashed n-gram features: the training
+    half q112's frozen-weight scorer stands in for. Features are computed
+    distributed (``bucket_features``); the bounded training matrix crosses
+    to the driver SORTED BY ``id_col`` so the full-batch fit is
+    bit-deterministic regardless of partitioning (FP summation order is
+    fixed), which is what lets downstream outputs be golden-pinned.
+
+    Returns a fitted ``ml.NumpyLogit``.
+    """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.ml import (
+        NumpyLogit,
+    )
+
+    cols = [f"x{i}" for i in range(n_buckets)]
+    feats = bucket_features(docs, n_buckets, text_col, id_col)
+    train = feats.join(
+        docs.select(id_col, label_col), id_col
+    ).orderBy(id_col).limit(max_rows)
+    pdf = train.toPandas().sort_values(id_col).reset_index(drop=True)
+    return NumpyLogit().fit(pdf[cols], pdf[label_col])
+
+
+def score_quality_model(
+    docs: DataFrame,
+    model,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Serve the trained model at corpus scale: the learned coefficients are
+    injected as LITERALS into one sigmoid expression over the dense feature
+    columns — the scoring plan is pure JVM codegen (no UDF, no weight-table
+    join, no Python on the hot path), exactly the swap the
+    ``hashed_ngram_score`` docstring promises."""
+    z = F.lit(float(model.intercept_))
+    for i in range(n_buckets):
+        z = z + F.col(f"x{i}") * F.lit(float(model.coef_[i]))
+    feats = bucket_features(docs, n_buckets, text_col, id_col)
+    return feats.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+    )
+
+
 # ------------------------------------------- corpus length distribution
 
 

@@ -1571,6 +1571,45 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
         ('risk_parity', 'view', 0.184437, 0.455169, 1.158553),
       ],
      }),
+    'q129': (['decile', 'n_docs', 'avg_prob', 'n_agree'],
+     {
+      1000: [
+        (0, 112, 0.037878, 112),
+        (1, 45, 0.152906, 40),
+        (2, 30, 0.239188, 25),
+        (3, 36, 0.348554, 27),
+        (4, 20, 0.448377, 10),
+        (5, 37, 0.553332, 22),
+        (6, 31, 0.658178, 22),
+        (7, 34, 0.74687, 28),
+        (8, 56, 0.856715, 51),
+        (9, 99, 0.965508, 98),
+      ],
+      10000: [
+        (0, 103, 0.035907, 102),
+        (1, 48, 0.14733, 44),
+        (2, 36, 0.242934, 28),
+        (3, 34, 0.347485, 23),
+        (4, 23, 0.456541, 12),
+        (5, 33, 0.551773, 15),
+        (6, 37, 0.653329, 27),
+        (7, 43, 0.753078, 34),
+        (8, 45, 0.8509, 44),
+        (9, 98, 0.966897, 95),
+      ],
+      100000: [
+        (0, 1003, 0.039534, 998),
+        (1, 548, 0.146278, 507),
+        (2, 384, 0.246291, 316),
+        (3, 341, 0.350567, 210),
+        (4, 307, 0.448379, 161),
+        (5, 300, 0.550565, 173),
+        (6, 326, 0.649673, 252),
+        (7, 356, 0.74961, 294),
+        (8, 453, 0.852762, 402),
+        (9, 982, 0.966594, 944),
+      ],
+     }),
     'q39': (['symbol', 'n', 'sum_price', 'sum_volume', 'min_price', 'max_price'],
      [
         ('AAPL', 2000, 218624.04, 6653303.0, 55.899657, 233.695529),
@@ -5553,4 +5592,39 @@ def q128(spark, sf_dir):
         "n_obs", F.round("sharpe_hat", 6).alias("sharpe_hat"),
         "n_boot", F.round("ci_lo", 6).alias("ci_lo"),
         F.round("ci_hi", 6).alias("ci_hi"), "significant",
+    )
+
+
+@_register("q129_trained_quality_filter", _golden_sql("q129"))
+def q129(spark, sf_dir):
+    """Model-based corpus quality filtering, trained end-to-end: the
+    CCNet/DCLM-style pipeline q112's frozen-weight scorer stands in for.
+    Weak labels from the stopword-ratio heuristic (above/below corpus
+    median), hashed bag-of-n-grams features + full-batch numpy logistic
+    fit (operators/text.py train_quality_classifier — driver-sorted so
+    the fit is bit-deterministic), then corpus-scale scoring with the
+    learned coefficients as pure JVM literals (score_quality_model — no
+    UDF, no weight join). Output: score-decile histogram + weak-label
+    agreement. Training is driver-solved (like q38's solvers) -> golden
+    oracle."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    qf = text_ops.quality_features(d).select("doc_id", "text", "stop_ratio")
+    med = qf.select(F.expr("percentile(stop_ratio, 0.5)")).first()[0]
+    labeled = qf.select(
+        "doc_id", "text",
+        F.when(F.col("stop_ratio") > med, 1).otherwise(-1).alias("label"),
+    )
+    model = text_ops.train_quality_classifier(labeled, "label", n_buckets=64)
+    scored = text_ops.score_quality_model(d, model, n_buckets=64)
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    agree = (F.col("quality_prob") > 0.5) == (F.col("label") > 0)
+    return j.select(
+        F.least(F.floor(F.col("quality_prob") * 10), F.lit(9))
+        .cast("int").alias("decile"),
+        "quality_prob",
+        agree.cast("int").alias("ok"),
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_prob"), 6).alias("avg_prob"),
+        F.sum("ok").cast("bigint").alias("n_agree"),
     )

@@ -387,3 +387,26 @@ def test_bpe_encode_is_shuffle_free(spark):
 
     docs = load_tables(spark, SF, ["documents"])["documents"]
     plans.assert_max_shuffles(t.bpe_encode(docs), 0)
+
+
+def test_quality_classifier_feature_and_scoring_shapes(spark):
+    """Trained quality filter: dense hashed features are ONE map-combinable
+    hash agg (no pivot/second shuffle); serving with learned literal
+    coefficients keeps the whole scoring plan JVM-side (no Python stage)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        ml as ml_ops,
+        text as text_ops,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    feats = text_ops.bucket_features(docs, n_buckets=64)
+    plans.assert_max_shuffles(feats, 1)
+    assert plans.explain_str(feats, "simple").count("HashAggregate") >= 2
+
+    model = ml_ops.NumpyLogit()
+    model.coef_ = [0.01] * 64
+    model.intercept_ = 0.0
+    scored = text_ops.score_quality_model(docs, model, n_buckets=64)
+    txt = plans.explain_str(scored, "simple")
+    plans.assert_max_shuffles(scored, 1)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
