@@ -102,6 +102,39 @@ def main():
     print(f"{'recall@10':14s} {recall:7.2f}  "
           f"(n_probe={N_PROBE}/{N_CELLS} cells)")
     shutil.rmtree(work, ignore_errors=True)
+
+    # ---- recall on the REAL embedding distribution (driver testdata) ----
+    # The synthetic run above measures latency at scale; this one answers
+    # the honest question SCALING.md raises: does IVF recall hold on the
+    # actual embeddings table's geometry (not planted clusters)?
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias(
+                "embedding"))
+        n = emb.count()
+        cells = max(4, min(16, n // 100))
+        cents = similarity.kmeans_centroids(emb, n_cells=cells, iterations=5)
+        index = similarity.ivf_index(emb, cents)
+        queries = [list(r.embedding) for r in
+                   emb.orderBy("vec_id").limit(20).collect()]
+        exact_sets = [
+            {r.vec_id for r in
+             similarity.brute_force_topk(emb, qv, k=K).collect()}
+            for qv in queries
+        ]
+        for n_probe in (2, 4, 8, cells):
+            hits = 0
+            for qv, ex in zip(queries, exact_sets):
+                ap = {r.vec_id for r in
+                      similarity.ivf_topk(index, cents, qv, k=K,
+                                          n_probe=n_probe).collect()}
+                hits += len(ex & ap)
+            print(f"{'real recall@10':14s} "
+                  f"{hits / (K * len(queries)):7.2f}  "
+                  f"({n} driver embeddings, n_probe={n_probe}/{cells} "
+                  f"cells, 20 corpus queries)")
     spark.stop()
 
 
