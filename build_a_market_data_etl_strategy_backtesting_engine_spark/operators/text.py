@@ -238,6 +238,73 @@ def rolling_hash_fingerprints(
     return fps.groupBy(doc_id_col, "fp").agg(F.min("pos").alias("pos"))
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    window: int = 10,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection: mark every maximal token
+    span covered by a ``window``-token sequence that appears >= ``min_dup``
+    times corpus-wide (the exact-substring half of training-data dedup,
+    complementing MinHash near-dup and CCNet line dedup — the technique
+    behind "repeated 50-token substrings" corpus cleaning).
+
+    Relational plan, no suffix array needed:
+    1. positional token ``window``-grams -> hash (map-side explode; the gram
+       string is transient — only (doc, pos, hash) reaches the shuffle);
+    2. corpus-wide hash counts keep the duplicated ones (map-combinable
+       agg; at 100 TB the count table is pre-filtered by a first map-side
+       partial, and the semi-join back is hash-uniform by construction);
+    3. per-doc gaps-and-islands merge of overlapping [pos, pos+window)
+       hits -> maximal spans (one window sort per doc).
+
+    Returns per-doc span stats for docs with >= 1 duplicated window:
+    (doc_id, n_dup_windows, n_spans, dup_tokens, n_tokens, dup_frac).
+    A true suffix-automaton finds arbitrary-length matches; fixed-window
+    hashing finds every match of length >= ``window`` (any such match
+    contains a duplicated window), which is the guarantee the cleaning
+    step needs.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), " ")
+    grams = _word_grams(text_col, window)
+    hits = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        id_col, "n_tokens", "pos0", F.md5("gram").alias("h")
+    )
+    dup = hits.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= min_dup
+    )
+    marked = hits.join(dup.select("h"), "h")
+    # gaps-and-islands over window-start positions: a new span starts when
+    # this hit begins after every previous hit's end.
+    w_ord = W.partitionBy(id_col).orderBy("pos0")
+    prev_end = F.max(F.col("pos0") + window).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1))
+    spans = marked.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos0") > prev_end), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w_ord))
+    per_span = spans.groupBy(id_col, "n_tokens", "span_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.max(F.col("pos0") + window) - F.min("pos0")).alias("span_tokens"),
+    )
+    return per_span.groupBy(id_col, "n_tokens").agg(
+        F.sum("n_windows").cast("bigint").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+    ).select(
+        id_col, "n_dup_windows", "n_spans", "dup_tokens", "n_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

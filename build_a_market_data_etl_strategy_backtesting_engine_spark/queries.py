@@ -5595,6 +5595,51 @@ def q128(spark, sf_dir):
     )
 
 
+@_register(
+    "q130_exact_substring_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    hits AS (
+      SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos0,
+             md5(array_to_string(t[i : i + 9], ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(t) - 9)) AS g(i)
+      WHERE len(t) >= 10),
+    dup AS (SELECT h FROM hits GROUP BY h HAVING count(*) >= 2),
+    marked AS (SELECT hits.* FROM hits JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, n_tokens, pos0,
+             CASE WHEN max(pos0 + 10) OVER w IS NULL
+                    OR pos0 > max(pos0 + 10) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    sp AS (SELECT doc_id, n_tokens, pos0,
+                  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos0)
+                    AS span_id
+           FROM isl),
+    per AS (SELECT doc_id, n_tokens, span_id, count(*) AS n_windows,
+                   max(pos0 + 10) - min(pos0) AS span_tokens
+            FROM sp GROUP BY doc_id, n_tokens, span_id)
+    SELECT doc_id, CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           n_tokens,
+           round(sum(span_tokens) / n_tokens, 6) AS dup_frac
+    FROM per GROUP BY doc_id, n_tokens
+    """,
+)
+def q130(spark, sf_dir):
+    """ExactSubstr dedup spans (operators/text.py exact_substring_spans):
+    every maximal token span covered by a 10-token sequence occurring >=2
+    times corpus-wide — the exact-substring cleaning step complementing
+    MinHash near-dup (q23/q29) and line dedup (q111). Gram hashes are
+    md5-portable so the whole span algebra is differentially checked."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return text_ops.exact_substring_spans(d, window=10, min_dup=2)
+
+
 @_register("q129_trained_quality_filter", _golden_sql("q129"))
 def q129(spark, sf_dir):
     """Model-based corpus quality filtering, trained end-to-end: the

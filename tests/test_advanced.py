@@ -300,6 +300,46 @@ def test_frontier_slsqp_parity_kkt(spark, returns_sdf):
 
 # ------------------------------------------------------------ dedup / text
 
+def test_exact_substring_spans(spark):
+    """ExactSubstr semantics on a constructed fixture: shared window-size
+    runs are detected, overlapping windows merge into one maximal span,
+    and unique text produces no rows."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        text as text_ops,
+    )
+
+    shared = "a b c d e f"                      # 6 shared tokens
+    docs = spark.createDataFrame([
+        # doc 1: shared run at the start, unique tail
+        (1, shared + " u1 u2 u3 u4 u5 u6"),
+        # doc 2: unique head, the same shared run at the end
+        (2, "v1 v2 v3 v4 v5 v6 " + shared),
+        # doc 3: fully unique, same length
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           text_ops.exact_substring_spans(docs, window=4, min_dup=2)
+           .collect()}
+    assert set(out) == {1, 2}                   # doc 3 untouched
+    # 6-token shared run with window 4 -> 3 duplicated windows merging
+    # into ONE maximal span of exactly 6 tokens
+    for d in (1, 2):
+        assert out[d].n_dup_windows == 3
+        assert out[d].n_spans == 1
+        assert out[d].dup_tokens == 6
+        assert out[d].n_tokens == 12
+        assert out[d].dup_frac == 0.5
+    # two disjoint shared runs in one doc -> two spans, not one
+    docs2 = spark.createDataFrame([
+        (1, "a b c d x1 x2 x3 e f g h"),
+        (2, "a b c d y1 y2 y3 e f g h"),
+    ], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            text_ops.exact_substring_spans(docs2, window=4, min_dup=2)
+            .collect()}
+    assert out2[1].n_spans == 2 and out2[1].dup_tokens == 8
+
+
 def test_exact_and_near_dup(spark):
     docs = spark.createDataFrame([
         (1, "the quick brown fox jumps over the lazy dog"),

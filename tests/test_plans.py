@@ -410,3 +410,21 @@ def test_quality_classifier_feature_and_scoring_shapes(spark):
     txt = plans.explain_str(scored, "simple")
     plans.assert_max_shuffles(scored, 1)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_exact_substring_spans_shuffle_shape(spark):
+    """ExactSubstr dedup: 3 exchanges total — corpus hash-count agg, the
+    duplicated-hash set back to the probe side (broadcast at this size;
+    uniform-key SMJ at scale), and ONE (doc_id) window sort that the two
+    downstream span aggregations reuse without further exchanges
+    (hashpartitioning(doc_id) already clusters every (doc_id, *) key)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    df = text_ops.exact_substring_spans(docs, window=10, min_dup=2)
+    plans.assert_max_shuffles(df, 3)
+    txt = plans.explain_str(df, "simple")
+    assert txt.count("Window") == 2          # islands flags + span ids
+    assert txt.count("Sort") == 1            # one shared (doc_id, pos) sort
