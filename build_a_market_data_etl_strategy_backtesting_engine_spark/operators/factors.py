@@ -531,3 +531,84 @@ def seasonality_profile(
             F.stddev_samp("r").alias("std_r"),
         )
     )
+
+
+def hurst_exponent(
+    bars: DataFrame,
+    scales: tuple[int, ...] = (8, 16, 32),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent per symbol (Hurst 1951; the
+    Mandelbrot/Wallis estimator): long-memory diagnostic for return series
+    — H > 0.5 trending, < 0.5 mean-reverting (the regime gate between the
+    momentum and mean-reversion signal families).
+
+    Per symbol: log returns -> for each scale n, split the series into
+    full n-length blocks; per block R = range of cumulative mean-deviation,
+    S = population std; average R/S over blocks; H = OLS slope of
+    ln(avg R/S) on ln(n) (closed form ``covar_pop / var_pop``).
+
+    Everything is window/agg moment algebra sharing ONE (symbol, ts) sort:
+    the scale fan-out is an ``explode`` (|scales| copies of the return
+    rows, a constant factor, before the block agg collapses them), and the
+    final regression is a per-symbol agg over |scales| points. No Python,
+    no driver loop. Emits (symbol, n_scales, hurst).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    # idx is re-ranked AFTER the first-bar drop so blocks start at 0
+    r = (
+        bars.withColumn("_prev", F.lag(close_col).over(w))
+        .where(F.col("_prev") > 0)
+        .withColumn("r", F.log(F.col(close_col) / F.col("_prev")))
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy(symbol_col).orderBy(ts_col)
+            ) - 1,
+        )
+        .select(symbol_col, "r", "idx")
+    )
+    fan = r.select(
+        symbol_col, "r", "idx",
+        F.explode(F.array(*[F.lit(int(n)) for n in scales])).alias("n"),
+    ).withColumn("block", F.floor(F.col("idx") / F.col("n")))
+    per_block = (
+        fan.withColumn(
+            "mean_b",
+            F.avg("r").over(
+                Window.partitionBy(symbol_col, "n", "block")
+            ),
+        )
+        .withColumn(
+            "cumdev",
+            F.sum(F.col("r") - F.col("mean_b")).over(
+                Window.partitionBy(symbol_col, "n", "block")
+                .orderBy("idx")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(symbol_col, "n", "block")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.max("cumdev") - F.min("cumdev")).alias("rng"),
+            F.stddev_pop("r").alias("s"),
+        )
+        .where((F.col("cnt") == F.col("n")) & (F.col("s") > 0))
+        .withColumn("rs", F.col("rng") / F.col("s"))
+    )
+    per_scale = per_block.groupBy(symbol_col, "n").agg(
+        F.avg("rs").alias("avg_rs"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).where(F.col("avg_rs") > 0)
+    return (
+        per_scale.withColumn("lnn", F.log(F.col("n").cast("double")))
+        .withColumn("lnrs", F.log("avg_rs"))
+        .groupBy(symbol_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scales"),
+            (F.covar_pop("lnn", "lnrs") / F.var_pop("lnn")).alias("hurst"),
+        )
+        .where(F.col("n_scales") >= 2)
+    )

@@ -110,8 +110,11 @@ def kmeans_centroids(
     return cents.tolist()
 
 
-def _assign_cell(v: Column, centroids) -> Column:
-    """argmin_i ||v - c_i||^2 as a greatest-of-structs expression."""
+def _nearest_struct(v: Column, centroids) -> Column:
+    """``struct(nd, cell)`` of the nearest centroid: ``nd`` is the NEGATED
+    squared euclidean distance so ``greatest`` picks min-distance (ties
+    break to the larger cell index — mirrored by the oracle's
+    ``ORDER BY d2 ASC, cell DESC`` rank)."""
     scores = []
     for i, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
@@ -120,7 +123,128 @@ def _assign_cell(v: Column, centroids) -> Column:
             F.lit(0.0), lambda acc, x: acc + x,
         )
         scores.append(F.struct((-d2).alias("nd"), F.lit(i).alias("cell")))
-    return F.greatest(*scores)["cell"]
+    return F.greatest(*scores)
+
+
+def _assign_cell(v: Column, centroids) -> Column:
+    """argmin_i ||v - c_i||^2 as a greatest-of-structs expression."""
+    return _nearest_struct(v, centroids)["cell"]
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Cross-engine-deterministic Lloyd's: seeds are the ``k`` lowest-id
+    vectors (no hash dependence, so a SQL oracle can replay the exact same
+    iterations), update loop identical to :func:`kmeans_centroids`.
+
+    Shape at 100 TB: per iteration one map-side argmin over broadcast
+    literal centroids (k*dim floats — KBs) + one map-combinable
+    ``groupBy(cell, dim).avg`` — k*dim rows to the driver per round,
+    never the vectors. Returns ``list[list[float]]`` centroids."""
+    sample = (
+        embeddings.select(F.col(id_col).alias("_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("_id").limit(k).collect()
+    )
+    cents = [list(r["v"]) for r in sample]
+    df = embeddings.select(_as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iterations):
+        assigned = df.withColumn("cell", _assign_cell(F.col("v"), cents))
+        upd = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .select("cell", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        for r in upd:  # cells with no members keep their previous centroid
+            cents[r["cell"]] = list(r["centroid"])
+    return cents
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All input columns + ``cell`` (nearest centroid) + ``d2`` (squared
+    euclidean distance to it). Map-side only — centroids ride the plan as
+    literals, so this costs zero shuffles and partition-prunes when the
+    output is stored ``partitionBy(cell)``."""
+    near = _nearest_struct(_as_double(F.col(vec_col)), centroids)
+    return embeddings.select(
+        "*", near["cell"].alias("cell"), (-near["nd"]).alias("d2")
+    )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    lam: float = 0.7,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick ``argmax lam*rel(c) - (1-lam)*max_sim(c, selected)``
+    from the ``pool`` most query-relevant candidates — the standard
+    diversity-aware selection for retrieval / training-data curation.
+
+    The greedy loop is inherently sequential in k; each of the k steps is
+    one distributed argmax over the pooled candidates with the selected
+    vectors as broadcast literals (k*dim floats). Only the single winning
+    row crosses to the driver per step — the k-sized driver boundary, same
+    sanction as the portfolio solvers. Returns (rank, id, rel, mmr).
+    """
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col(vec_col))
+    rel = (
+        embeddings.select(F.col(id_col).alias("_id"), v.alias("v"),
+                          cosine(v, qarr).alias("rel"))
+    )
+    # TakeOrderedAndProject, not a global-window row_number: the pool cut
+    # is a distributed top-k, never a single-partition sort
+    pooled = (
+        rel.orderBy(F.col("rel").desc(), F.col("_id")).limit(pool)
+        .cache()
+    )
+    chosen: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    for rank in range(1, k + 1):
+        if not sel_vecs:
+            score = F.col("rel")
+        else:
+            sims = [cosine(F.col("v"),
+                           F.array(*[F.lit(float(x)) for x in s]))
+                    for s in sel_vecs]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(float(lam)) * F.col("rel") \
+                - F.lit(1.0 - float(lam)) * maxsim
+        cand = pooled
+        if chosen:
+            cand = cand.filter(~F.col("_id").isin([c[1] for c in chosen]))
+        row = (
+            cand.select("_id", "v", "rel", score.alias("mmr"))
+            .orderBy(F.col("mmr").desc(), F.col("_id"))
+            .limit(1).collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        chosen.append((rank, r["_id"], float(r["rel"]), float(r["mmr"])))
+        sel_vecs.append(list(r["v"]))
+    pooled.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        chosen, schema=f"rank int, {id_col} long, rel double, mmr double"
+    )
 
 
 def ivf_index(

@@ -5673,3 +5673,278 @@ def q129(spark, sf_dir):
         F.round(F.avg("quality_prob"), 6).alias("avg_prob"),
         F.sum("ok").cast("bigint").alias("n_agree"),
     )
+
+
+# ============== clustering / diverse selection / corporate actions / Hurst
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E402
+    corporate as corporate_ops,
+)
+
+
+def _duck_d2(v: str, c: str) -> str:
+    """Squared euclidean distance between two DOUBLE lists, spelled as the
+    explicit multiply (NOT ``^2`` — DuckDB pow need not equal x*x in FP)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({v})), "
+        f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]*{b}[i]))"
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of the EXACT Lloyd iterations kmeans_fit runs: seed =
+    k lowest-id vectors, per round assign (ties -> larger cell, mirroring
+    the greatest-of-structs argmin) then per-dimension mean update with
+    empty cells keeping their centroid."""
+    d2 = _duck_d2("e.v", "c.c")
+    parts = [
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INT) AS cell, v AS c "
+        f"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cell, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2 ASC, cell DESC) AS rn "
+            f"FROM (SELECT e.vec_id, e.v, c.cell, {d2} AS d2 "
+            f"FROM e, {prev} c))",
+            f"m{it} AS MATERIALIZED (SELECT vec_id, v, cell FROM a{it} WHERE rn = 1)",
+            f"u{it} AS (SELECT cell, g.i AS i, avg(v[g.i]) AS m "
+            f"FROM m{it}, unnest(generate_series(1, len(v))) AS g(i) "
+            f"GROUP BY cell, g.i)",
+            f"c{it} AS MATERIALIZED (SELECT p.cell, coalesce(n.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY i) "
+            f"AS c FROM u{it} GROUP BY cell) n USING (cell))",
+        ]
+    parts += [
+        f"fa AS (SELECT vec_id, label, cell, d2, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d2 ASC, cell DESC) AS rn "
+        f"FROM (SELECT e.vec_id, e.label, e.v, c.cell, {d2} AS d2 "
+        f"FROM e, c{iters} c))",
+        "f AS (SELECT vec_id, label, cell, d2 FROM fa WHERE rn = 1)",
+        "lab AS (SELECT cell, label, count(*) AS nl FROM f "
+        "GROUP BY cell, label)",
+        "mj AS (SELECT cell, label AS majority_label, "
+        "CAST(nl AS BIGINT) AS n_majority, row_number() OVER "
+        "(PARTITION BY cell ORDER BY nl DESC, label) AS rn FROM lab)",
+        "st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "round(avg(sqrt(d2)), 6) AS avg_dist FROM f GROUP BY cell)",
+    ]
+    final = (
+        "SELECT st.cell, st.n_vecs, st.avg_dist, mj.majority_label, "
+        "mj.n_majority FROM st JOIN mj ON st.cell = mj.cell AND mj.rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@_register("q131_kmeans_clusters", _kmeans_sql())
+def q131(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embedding table
+    (operators/similarity.py kmeans_fit/assign_clusters, k=8, 3
+    iterations, lowest-id seeds): the clustering primitive under SemDeDup
+    (q93) and IVF (q49), here differentially checked END-TO-END — the
+    oracle replays every assign/update round in SQL, so the iterative
+    loop itself is verified, not just a final snapshot. Emits per-cluster
+    size, mean distance, and majority ground-truth label."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = sim_ops.kmeans_fit(e, k=8, iterations=3)
+    a = sim_ops.assign_clusters(e, cents)
+    lab = a.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("nl"))
+    wm = Window.partitionBy("cell").orderBy(F.col("nl").desc(), "label")
+    mj = (
+        lab.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell", F.col("label").alias("majority_label"),
+            F.col("nl").cast("bigint").alias("n_majority"),
+        )
+    )
+    st = a.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+    )
+    return st.join(mj, "cell").select(
+        "cell", "n_vecs", "avg_dist", "majority_label", "n_majority"
+    )
+
+
+def _mmr_sql(k: int = 8, lam: float = 0.7, pool: int = 50) -> str:
+    """DuckDB replay of the greedy MMR loop: each chained CTE picks the
+    next argmax of lam*rel - (1-lam)*max_sim(candidate, selected), with
+    cosine spelled EXACTLY as the Spark fold (dot/sqrt(n2_a*n2_b))."""
+    lam_l, one_m = _dlit(lam), _dlit(1.0 - lam)
+    parts = [
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e "
+        "WHERE vec_id = (SELECT min(vec_id) FROM e))",
+        f"rel AS (SELECT vec_id, v, {_duck_dot('e.v', 'q.qv')} / "
+        f"sqrt({_duck_dot('e.v', 'e.v')} * {_duck_dot('q.qv', 'q.qv')}) "
+        f"AS rel, {_duck_dot('e.v', 'e.v')} AS n2 FROM e, q)",
+        f"pool AS MATERIALIZED (SELECT vec_id, v, rel, n2 FROM (SELECT *, "
+        f"row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM rel) "
+        f"WHERE rn <= {pool})",
+        "s1 AS MATERIALIZED (SELECT vec_id, v, rel, n2, rel AS mmr, 1 AS sel_rank "
+        "FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT * FROM s1)",
+    ]
+    for step in range(2, k + 1):
+        prev = f"sel{step - 1}"
+        parts += [
+            f"s{step} AS MATERIALIZED (SELECT p.vec_id, p.v, p.rel, p.n2, "
+            f"{lam_l} * p.rel - {one_m} * (SELECT "
+            f"max({_duck_dot('p.v', 's.v')} / sqrt(p.n2 * s.n2)) "
+            f"FROM {prev} s) AS mmr, {step} AS sel_rank FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"ORDER BY mmr DESC, p.vec_id LIMIT 1)",
+            f"sel{step} AS MATERIALIZED (SELECT * FROM {prev} "
+            f"UNION ALL SELECT * FROM s{step})",
+        ]
+    final = (
+        f"SELECT sel_rank, vec_id, round(rel, 6) AS rel, "
+        f"round(mmr, 6) AS mmr FROM sel{k}"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@_register("q132_mmr_diverse_topk", _mmr_sql())
+def q132(spark, sf_dir):
+    """Maximal-marginal-relevance diverse top-k selection
+    (operators/similarity.py mmr_select, lam=0.7, k=8, pool=50; query =
+    the lowest-id embedding): the diversity-aware retrieval/curation
+    selector — each greedy step is a distributed argmax with the selected
+    vectors as broadcast literals, and the oracle replays all k steps as
+    chained CTEs, so the sequential selection logic is differentially
+    verified."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [
+        float(x)
+        for x in e.orderBy("vec_id")
+        .select(F.transform("embedding", lambda c: c.cast("double"))
+                .alias("v"))
+        .first()["v"]
+    ]
+    out = sim_ops.mmr_select(e, qvec, k=8, lam=0.7, pool=50)
+    return out.select(
+        F.col("rank").alias("sel_rank"), "vec_id",
+        F.round("rel", 6).alias("rel"), F.round("mmr", 6).alias("mmr"),
+    )
+
+
+@_register(
+    "q133_split_adjustment",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    sp AS (SELECT symbol, bts AS ets FROM
+             (SELECT symbol, bts, row_number() OVER
+                (PARTITION BY symbol ORDER BY volume DESC, bts) AS rn
+              FROM bars)
+           WHERE rn = 1),
+    adj AS (SELECT b.symbol, b.bts, b.open, b.close,
+                   CASE WHEN b.bts < sp.ets THEN 2.0e0 ELSE 1.0e0 END
+                     AS factor
+            FROM bars b JOIN sp USING (symbol))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(close, 6) AS close, round(factor, 6) AS factor,
+           round(close / factor, 6) AS adj_close,
+           round(open / factor, 6) AS adj_open
+    FROM adj
+    """,
+)
+def q133(spark, sf_dir):
+    """Corporate-action back-adjustment (operators/corporate.py
+    adjust_for_splits): a deterministic synthetic action book — each
+    symbol 2:1-splits on its max-volume day — is applied with the
+    union-and-window factor method (one per-symbol sort, no inequality
+    join). Bars strictly before the effective instant are halved;
+    reference backtests raw closes (backtesting/engine.py), so this is
+    the beyond-reference equity-hygiene operator."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    wmax = Window.partitionBy("symbol").orderBy(
+        F.col("volume").desc(), "ts"
+    )
+    splits = (
+        b.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol", F.col("ts").alias("effective_ts"),
+            F.lit(2.0).alias("ratio"),
+        )
+    )
+    adj = corporate_ops.adjust_for_splits(
+        b, splits, price_cols=("open", "close")
+    )
+    return adj.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("close", 6).alias("close"),
+        F.round("factor", 6).alias("factor"),
+        F.round("adj_close", 6).alias("adj_close"),
+        F.round("adj_open", 6).alias("adj_open"),
+    )
+
+
+@_register(
+    "q134_hurst_exponent",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    r0 AS (SELECT symbol, bts, close,
+                  lag(close) OVER (PARTITION BY symbol ORDER BY bts)
+                    AS prev
+           FROM bars),
+    r AS (SELECT symbol, ln(close / prev) AS r,
+                 row_number() OVER (PARTITION BY symbol ORDER BY bts) - 1
+                   AS idx
+          FROM r0 WHERE prev > 0),
+    fan AS (SELECT symbol, r, idx, n,
+                   CAST(floor(idx / n) AS BIGINT) AS block
+            FROM r, (VALUES (8), (16), (32)) AS s(n)),
+    pb0 AS (SELECT symbol, n, block, idx, r,
+                   avg(r) OVER (PARTITION BY symbol, n, block) AS mean_b
+            FROM fan),
+    pb1 AS (SELECT symbol, n, block, r,
+                   sum(r - mean_b) OVER (PARTITION BY symbol, n, block
+                     ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS cumdev
+            FROM pb0),
+    pb AS (SELECT symbol, n, block, count(*) AS cnt,
+                  max(cumdev) - min(cumdev) AS rng, stddev_pop(r) AS s
+           FROM pb1 GROUP BY symbol, n, block),
+    rs AS (SELECT symbol, n, rng / s AS rs FROM pb
+           WHERE cnt = n AND s > 0),
+    ps AS (SELECT symbol, n, avg(rs) AS avg_rs FROM rs
+           GROUP BY symbol, n),
+    fin AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_scales,
+                   covar_pop(ln(CAST(n AS DOUBLE)), ln(avg_rs))
+                     / var_pop(ln(CAST(n AS DOUBLE))) AS hurst
+            FROM ps WHERE avg_rs > 0 GROUP BY symbol)
+    SELECT symbol, n_scales, round(hurst, 6) AS hurst
+    FROM fin WHERE n_scales >= 2
+    """,
+)
+def q134(spark, sf_dir):
+    """Rescaled-range Hurst exponent on hourly-bar log returns
+    (operators/factors.py hurst_exponent, scales 8/16/32): the
+    long-memory regime diagnostic that gates the momentum vs
+    mean-reversion signal families — all window/agg moment algebra on one
+    (symbol, ts) sort, regression slope in closed form."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    h = factors_ops.hurst_exponent(b, scales=(8, 16, 32))
+    return h.select(
+        "symbol", "n_scales", F.round("hurst", 6).alias("hurst")
+    )

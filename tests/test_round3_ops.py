@@ -1,0 +1,247 @@
+"""Round-3 operators: corporate-action adjustment, Hurst exponent,
+deterministic k-means, and MMR diverse selection — each checked against an
+independent numpy/pure-Python replica on synthetic frames (the DuckDB
+differential twin lives in test_oracle via q131-q134)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    corporate,
+    factors,
+    similarity,
+)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+# ------------------------------------------------------------- corporate
+
+
+def test_split_adjustment_halves_pre_split_bars(spark):
+    bars = spark.createDataFrame(
+        [("A", _ts(1), 100.0), ("A", _ts(2), 102.0), ("A", _ts(3), 51.0),
+         ("B", _ts(1), 10.0), ("B", _ts(2), 11.0)],
+        "symbol string, ts timestamp, close double",
+    )
+    splits = spark.createDataFrame(
+        [("A", _ts(3), 2.0)], "symbol string, effective_ts timestamp, ratio double"
+    )
+    out = {
+        (r["symbol"], r["ts"].day): (r["factor"], r["adj_close"])
+        for r in corporate.adjust_for_splits(bars, splits).collect()
+    }
+    # strictly before the effective instant -> divided by 2
+    assert out[("A", 1)][0] == pytest.approx(2.0)
+    assert out[("A", 1)][1] == pytest.approx(50.0)
+    assert out[("A", 2)][1] == pytest.approx(51.0)
+    # bar AT the effective instant is already post-split
+    assert out[("A", 3)][0] == pytest.approx(1.0)
+    assert out[("A", 3)][1] == pytest.approx(51.0)
+    # untouched symbol
+    assert out[("B", 1)][0] == pytest.approx(1.0)
+    assert out[("B", 2)][1] == pytest.approx(11.0)
+
+
+def test_split_factors_compound(spark):
+    bars = spark.createDataFrame(
+        [("A", _ts(1), 400.0), ("A", _ts(5), 100.0)],
+        "symbol string, ts timestamp, close double",
+    )
+    splits = spark.createDataFrame(
+        [("A", _ts(2), 2.0), ("A", _ts(4), 2.0)],
+        "symbol string, effective_ts timestamp, ratio double",
+    )
+    out = {r["ts"].day: r["adj_close"]
+           for r in corporate.adjust_for_splits(bars, splits).collect()}
+    assert out[1] == pytest.approx(100.0)   # 400 / (2*2)
+    assert out[5] == pytest.approx(100.0)
+
+
+def test_dividend_adjustment_proportional_factor(spark):
+    bars = spark.createDataFrame(
+        [("A", _ts(1), 100.0), ("A", _ts(3), 99.0)],
+        "symbol string, ts timestamp, close double",
+    )
+    divs = spark.createDataFrame(
+        [("A", _ts(2), 1.0)], "symbol string, ex_ts timestamp, amount double"
+    )
+    out = {r["ts"].day: (r["div_factor"], r["adj_close"])
+           for r in corporate.adjust_for_dividends(bars, divs).collect()}
+    # prev close 100, amount 1 -> factor 0.99 applied to earlier bars only
+    assert out[1][0] == pytest.approx(0.99)
+    assert out[1][1] == pytest.approx(99.0)
+    assert out[3][0] == pytest.approx(1.0)
+
+
+def test_dividend_without_prior_close_skipped(spark):
+    bars = spark.createDataFrame(
+        [("A", _ts(5), 50.0)], "symbol string, ts timestamp, close double"
+    )
+    divs = spark.createDataFrame(
+        [("A", _ts(2), 1.0)], "symbol string, ex_ts timestamp, amount double"
+    )
+    row = corporate.adjust_for_dividends(bars, divs).collect()[0]
+    assert row["div_factor"] == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------------- hurst
+
+
+def _numpy_hurst(closes: np.ndarray, scales=(8, 16, 32)) -> float:
+    r = np.diff(np.log(closes))
+    pts = []
+    for n in scales:
+        rss = []
+        for b in range(len(r) // n):
+            blk = r[b * n:(b + 1) * n]
+            dev = np.cumsum(blk - blk.mean())
+            s = blk.std()  # population
+            if s > 0:
+                rss.append((dev.max() - dev.min()) / s)
+        if rss:
+            pts.append((math.log(n), math.log(float(np.mean(rss)))))
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    xc = x - x.mean()
+    return float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+
+
+def _bars_df(spark, closes, symbol="A"):
+    rows = [(symbol, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+             float(c)) for i, c in enumerate(closes)]
+    return spark.createDataFrame(
+        rows, "symbol string, ts timestamp, close double"
+    )
+
+
+def test_hurst_matches_numpy_replica(spark):
+    rng = np.random.default_rng(7)
+    closes = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, 200)))
+    out = factors.hurst_exponent(_bars_df(spark, closes)).collect()
+    assert len(out) == 1
+    assert out[0]["hurst"] == pytest.approx(_numpy_hurst(closes), abs=1e-9)
+
+
+def test_hurst_persistent_beats_alternating(spark):
+    # AR(1) phi=0.9 returns -> persistent (high H); strict +/- alternation
+    # -> anti-persistent (low H). A noiseless constant-return series is
+    # degenerate (every block has S=0), hence the AR construction.
+    rng = np.random.default_rng(23)
+    r = np.zeros(256)
+    for i in range(1, 256):
+        r[i] = 0.9 * r[i - 1] + rng.normal(0, 0.01)
+    pers = 100.0 * np.exp(np.cumsum(r))
+    alt = 100.0 * np.exp(np.cumsum(np.tile([0.01, -0.01], 128)))
+    h_pers = factors.hurst_exponent(
+        _bars_df(spark, pers, "T")).collect()[0]["hurst"]
+    h_alt = factors.hurst_exponent(
+        _bars_df(spark, alt, "M")).collect()[0]["hurst"]
+    assert h_pers > 0.6
+    assert h_alt < 0.3
+    assert h_pers > h_alt + 0.3
+
+
+# ---------------------------------------------------------------- kmeans
+
+
+def _emb_df(spark, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    rows = [(i, [float(x) for x in v], int(l))
+            for i, (v, l) in enumerate(zip(vecs, labels))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 5, (3, 8))
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.3, (20, 8)) for c in centers]
+    ).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    got = np.array(similarity.kmeans_fit(df, k=3, iterations=3))
+
+    # numpy replica: same seeds (lowest ids), same update, ties impossible
+    x = vecs.astype(np.float64)
+    cents = x[:3].copy()
+    for _ in range(3):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(3):
+            if (assign == c).any():
+                cents[c] = x[assign == c].mean(axis=0)
+    assert np.allclose(got, cents, atol=1e-9)
+
+
+def test_assign_clusters_is_nearest(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(0, 1, (30, 4)).astype(np.float32)
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    df = _emb_df(spark, vecs)
+    out = similarity.assign_clusters(df, cents).collect()
+    x = vecs.astype(np.float64)
+    for r in out:
+        d = [((x[r["vec_id"]] - np.array(c)) ** 2).sum() for c in cents]
+        assert r["cell"] == int(np.argmin(d))
+        assert r["d2"] == pytest.approx(min(d), rel=1e-9)
+
+
+# ------------------------------------------------------------------- mmr
+
+
+def test_mmr_matches_greedy_replica(spark):
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(0, 1, (40, 6)).astype(np.float32)
+    q = [float(x) for x in vecs[0]]
+    df = _emb_df(spark, vecs)
+    got = [(r["rank"], r["vec_id"])
+           for r in similarity.mmr_select(df, q, k=5, lam=0.6, pool=40)
+           .orderBy("rank").collect()]
+
+    x = vecs.astype(np.float64)
+    qv = np.array(q)
+
+    def cos(a, b):
+        return float(a @ b / math.sqrt((a @ a) * (b @ b)))
+
+    rel = [cos(v, qv) for v in x]
+    sel: list[int] = []
+    for _ in range(5):
+        best, best_s = None, None
+        for i in range(len(x)):
+            if i in sel:
+                continue
+            s = rel[i] if not sel else (
+                0.6 * rel[i]
+                - 0.4 * max(cos(x[i], x[j]) for j in sel)
+            )
+            if best_s is None or s > best_s + 1e-15 or (
+                    abs(s - best_s) <= 1e-15 and i < best):
+                best, best_s = i, s
+        sel.append(best)
+    assert got == [(k + 1, v) for k, v in enumerate(sel)]
+
+
+def test_mmr_lam_zero_picks_spread(spark):
+    # lam=0 ignores relevance after the first pick: with three tight
+    # groups, the first two picks must come from different groups
+    base = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]], dtype=float)
+    vecs = np.concatenate(
+        [b + 0.01 * np.eye(4)[3] * i for b in base for i in range(3)]
+    ).reshape(9, 4).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    out = similarity.mmr_select(
+        df, [1.0, 0.0, 0.0, 0.0], k=2, lam=0.0, pool=9
+    ).collect()
+    groups = {r["vec_id"] // 3 for r in out}
+    assert len(groups) == 2
