@@ -478,3 +478,244 @@ def mc_european_sql(
            round(avg(exp(-r * t_y) * {pay}), 6) AS mc_price
     FROM fanned GROUP BY id
     """
+
+
+# ------------------------- Longstaff-Schwartz American Monte Carlo
+
+
+def _cramer3(n, sm, sm2, sm3, sm4, sy, smy, sm2y):
+    """Cramer's-rule solve of the 3x3 normal equations for the quadratic
+    LSMC basis (1, m, m^2). Explicit cofactor expansion, NOT a library
+    solve: the SQL oracle spells the IDENTICAL formulas, so both engines
+    run the same IEEE operation sequence (lsmc_american_sql mirrors this
+    text term for term)."""
+    det = (
+        n * (sm2 * sm4 - sm3 * sm3)
+        - sm * (sm * sm4 - sm3 * sm2)
+        + sm2 * (sm * sm3 - sm2 * sm2)
+    )
+    d0 = (
+        sy * (sm2 * sm4 - sm3 * sm3)
+        - sm * (smy * sm4 - sm3 * sm2y)
+        + sm2 * (smy * sm3 - sm2 * sm2y)
+    )
+    d1 = (
+        n * (smy * sm4 - sm3 * sm2y)
+        - sy * (sm * sm4 - sm3 * sm2)
+        + sm2 * (sm * sm2y - smy * sm2)
+    )
+    d2 = (
+        n * (sm2 * sm2y - smy * sm3)
+        - sm * (sm * sm2y - smy * sm2)
+        + sy * (sm * sm3 - sm2 * sm2)
+    )
+    return det, d0, d1, d2
+
+
+_CRAMER_SQL = {
+    "det": ("(n * (sm2 * sm4 - sm3 * sm3) - sm * (sm * sm4 - sm3 * sm2)"
+            " + sm2 * (sm * sm3 - sm2 * sm2))"),
+    "d0": ("(sy * (sm2 * sm4 - sm3 * sm3) - sm * (smy * sm4 - sm3 * sm2y)"
+           " + sm2 * (smy * sm3 - sm2 * sm2y))"),
+    "d1": ("(n * (smy * sm4 - sm3 * sm2y) - sy * (sm * sm4 - sm3 * sm2)"
+           " + sm2 * (sm * sm2y - smy * sm2))"),
+    "d2": ("(n * (sm2 * sm2y - smy * sm3) - sm * (sm * sm2y - smy * sm2)"
+           " + sy * (sm * sm3 - sm2 * sm2))"),
+}
+
+
+def lsmc_american(
+    spark,
+    sigma: float,
+    s0: float = 100.0,
+    k: float = 100.0,
+    r: float = 0.05,
+    t_y: float = 0.5,
+    n_steps: int = 8,
+    n_paths: int = 2000,
+):
+    """Longstaff-Schwartz (2001) American put pricing by Monte Carlo:
+    GBM paths with the deterministic md5 Box-Muller RNG (same discipline
+    as :func:`mc_european`), then backward induction — at each exercise
+    date, regress the discounted continuation value of in-the-money paths
+    on the quadratic moneyness basis (1, m, m^2) and exercise where the
+    immediate payoff beats the fitted continuation.
+
+    Spark shape: paths are ROWS (the distributed axis — scale n_paths,
+    not executors-per-path); the price path array is ONE map-side
+    expression; each of the n_steps-1 induction rounds is one
+    map-combinable 8-scalar agg (the normal-equation sums) with the
+    3x3 solve on the driver via :func:`_cramer3` — the k-sized driver
+    boundary of every iterative operator here (BPE, Lloyd's). The basis
+    uses MONEYNESS m = S/s0, not raw S: the raw-moment matrix at S~100
+    is condition-1e10 and would amplify cross-engine 1e-15 sum noise
+    into decision flips.
+
+    Reference parity: black_scholes.py prices European only; LSMC is the
+    beyond-reference American extension. Regression-on-paths follows the
+    published algorithm (Longstaff & Schwartz, Rev. Fin. Studies 2001).
+    """
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_uniform,
+    )
+
+    sigma = float(sigma)
+    dt = float(t_y) / n_steps
+    drift = (r - sigma * sigma / 2.0) * dt
+    vol = sigma * _m.sqrt(dt)
+
+    def z(j):
+        key = F.concat_ws("-", F.lit("lsmc"), F.col("path"), j)
+        u1 = portable_uniform(F.concat(key, F.lit("a")))
+        u2 = portable_uniform(F.concat(key, F.lit("b")))
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * _m.pi * u2)
+
+    idx = F.sequence(F.lit(1), F.lit(int(n_steps)))
+    incs = F.transform(idx, lambda j: F.lit(drift) + F.lit(vol) * z(j))
+    s_arr = F.transform(
+        idx,
+        lambda j: F.lit(float(s0)) * F.exp(
+            F.aggregate(
+                F.slice(F.col("incs"), F.lit(1), j),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        ),
+    )
+    paths = (
+        spark.range(1, int(n_paths) + 1)
+        .select(F.col("id").alias("path"))
+        .withColumn("incs", incs)
+        .select("path", s_arr.alias("s"))
+        .cache()
+    )
+    df = paths.select(
+        "path", "s",
+        F.greatest(F.lit(float(k)) - F.element_at("s", int(n_steps)),
+                   F.lit(0.0)).alias("cf"),
+        F.lit(int(n_steps)).alias("tau"),
+    )
+    for t in range(int(n_steps) - 1, 0, -1):
+        x = F.element_at("s", t)
+        m = x / F.lit(float(s0))
+        pay = F.greatest(F.lit(float(k)) - x, F.lit(0.0))
+        y = F.col("cf") * F.exp(
+            F.lit(-r * dt) * (F.col("tau") - F.lit(t)).cast("double")
+        )
+        m2, m3 = m * m, (m * m) * m
+        row = df.where(pay > 0).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(m).alias("sm"), F.sum(m2).alias("sm2"),
+            F.sum(m3).alias("sm3"), F.sum(m3 * m).alias("sm4"),
+            F.sum(y).alias("sy"), F.sum(m * y).alias("smy"),
+            F.sum(m2 * y).alias("sm2y"),
+        ).first()
+        if row["n"] is None or row["n"] < 3:
+            continue
+        det, d0, d1, d2 = _cramer3(
+            row["n"], row["sm"], row["sm2"], row["sm3"], row["sm4"],
+            row["sy"], row["smy"], row["sm2y"],
+        )
+        if det == 0.0:
+            continue
+        b0, b1, b2 = d0 / det, d1 / det, d2 / det
+        cont = F.lit(b0) + F.lit(b1) * m + F.lit(b2) * (m * m)
+        cond = (pay > 0) & (pay > cont)
+        df = df.withColumns({
+            "cf": F.when(cond, pay).otherwise(F.col("cf")),
+            "tau": F.when(cond, F.lit(t)).otherwise(F.col("tau")),
+        })
+    return df.agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.avg(
+            F.col("cf") * F.exp(F.lit(-r * dt) * F.col("tau").cast("double"))
+        ).alias("price"),
+        F.avg(
+            (F.col("tau") < int(n_steps)).cast("double")
+        ).alias("early_frac"),
+    )
+
+
+def lsmc_american_sql(
+    sigma_ctes: str,
+    s0: float = 100.0,
+    k: float = 100.0,
+    r: float = 0.05,
+    t_y: float = 0.5,
+    n_steps: int = 8,
+    n_paths: int = 2000,
+) -> str:
+    """DuckDB twin of :func:`lsmc_american`: identical draws, identical
+    Cramer formulas (``_CRAMER_SQL`` is the SQL spelling of
+    :func:`_cramer3`), with every backward-induction round a chained
+    MATERIALIZED CTE (plain CTEs are inlined and double the plan per
+    round). ``sigma_ctes`` must end with a 1-row CTE ``sig(sigma)``."""
+    import math as _m
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        portable_uniform_sql,
+    )
+
+    def _d(x: float) -> str:
+        s = repr(float(x))
+        return s if "e" in s or "E" in s else s + "e0"
+
+    dt = float(t_y) / n_steps
+    key = ("('lsmc-' || CAST(path AS VARCHAR) || '-' || "
+           "CAST(j AS VARCHAR))")
+    u1 = portable_uniform_sql(f"({key} || 'a')")
+    u2 = portable_uniform_sql(f"({key} || 'b')")
+    z = (f"(sqrt(-2.0e0 * ln({u1})) * "
+         f"cos(2e0 * {_m.pi!r}e0 * {u2}))")
+    drift = f"(({_d(r)} - sig.sigma * sig.sigma / 2e0) * {_d(dt)})"
+    vol = f"(sig.sigma * sqrt({_d(dt)}))"
+    parts = [
+        sigma_ctes,
+        f"p0 AS MATERIALIZED (SELECT path, "
+        f"list_transform(generate_series(1, {int(n_steps)}), "
+        f"j -> {drift} + {vol} * {z}) AS incs "
+        f"FROM (SELECT unnest(generate_series(1, {int(n_paths)})) "
+        f"AS path), sig)",
+        f"ps AS MATERIALIZED (SELECT path, "
+        f"list_transform(generate_series(1, {int(n_steps)}), "
+        f"j -> {_d(s0)} * exp(list_sum(incs[1:j]))) AS s FROM p0)",
+        f"cf{int(n_steps)} AS MATERIALIZED (SELECT path, s, "
+        f"greatest({_d(k)} - s[{int(n_steps)}], 0e0) AS cf, "
+        f"{int(n_steps)} AS tau FROM ps)",
+    ]
+    for t in range(int(n_steps) - 1, 0, -1):
+        nxt = f"cf{t + 1}"
+        parts += [
+            f"reg{t} AS MATERIALIZED (SELECT "
+            f"CAST(count(*) AS DOUBLE) AS n, sum(m) AS sm, "
+            f"sum(m * m) AS sm2, sum((m * m) * m) AS sm3, "
+            f"sum(((m * m) * m) * m) AS sm4, sum(y) AS sy, "
+            f"sum(m * y) AS smy, sum((m * m) * y) AS sm2y FROM "
+            f"(SELECT s[{t}] / {_d(s0)} AS m, cf * "
+            f"exp({_d(-r * dt)} * CAST(tau - {t} AS DOUBLE)) AS y "
+            f"FROM {nxt} WHERE greatest({_d(k)} - s[{t}], 0e0) > 0e0))",
+            f"bet{t} AS MATERIALIZED (SELECT n, "
+            f"{_CRAMER_SQL['det']} AS det, {_CRAMER_SQL['d0']} AS d0, "
+            f"{_CRAMER_SQL['d1']} AS d1, {_CRAMER_SQL['d2']} AS d2 "
+            f"FROM reg{t})",
+            f"cf{t} AS MATERIALIZED (SELECT path, s, "
+            f"CASE WHEN b.n >= 3e0 AND b.det <> 0e0 AND pay > 0e0 "
+            f"AND pay > (b.d0 / b.det + (b.d1 / b.det) * m "
+            f"+ (b.d2 / b.det) * (m * m)) THEN pay ELSE cf END AS cf, "
+            f"CASE WHEN b.n >= 3e0 AND b.det <> 0e0 AND pay > 0e0 "
+            f"AND pay > (b.d0 / b.det + (b.d1 / b.det) * m "
+            f"+ (b.d2 / b.det) * (m * m)) THEN {t} ELSE tau END AS tau "
+            f"FROM (SELECT path, s, cf, tau, "
+            f"greatest({_d(k)} - s[{t}], 0e0) AS pay, "
+            f"s[{t}] / {_d(s0)} AS m FROM {nxt}), bet{t} b)",
+        ]
+    final = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n_paths, "
+        f"round(avg(cf * exp({_d(-r * dt)} * CAST(tau AS DOUBLE))), 6) "
+        f"AS price, round(avg(CASE WHEN tau < {int(n_steps)} "
+        f"THEN 1.0e0 ELSE 0.0e0 END), 6) AS early_frac FROM cf1"
+    )
+    return ",\n".join(parts) + "\n" + final

@@ -18,7 +18,7 @@ full crypto digest — ~5x cheaper in the shingle hot loop).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -581,4 +581,37 @@ def fingerprint_overlap_pairs(
              / F.least(F.col("n_fp_a"), F.col("n_fp_b"))
              ).alias("containment"),
         )
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Resolution step of the near-dup pipeline: given transitive cluster
+    labels (:func:`connected_components`), elect ONE canonical document per
+    cluster — highest ``quality_col``, ties to the lowest id (the
+    keep-longest convention of the standard corpus-dedup recipe; pass a
+    model score column for smarter election). Emits every input row +
+    ``n_members`` + ``is_canonical`` so the caller can either filter to
+    canonicals or audit the drop set.
+
+    Shape at 100 TB: one equi-join on the doc id and two windows sharing
+    the single ``cluster`` partitioning — one shuffle beyond the join.
+    Singleton clusters pass through with ``is_canonical = 1``."""
+    j = docs.join(clusters, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy(cluster_col)
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "is_canonical", (F.col("_rn") == 1).cast("int")
+        )
+        .drop("_rn")
     )

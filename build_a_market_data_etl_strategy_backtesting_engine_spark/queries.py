@@ -5948,3 +5948,108 @@ def q134(spark, sf_dir):
     return h.select(
         "symbol", "n_scales", F.round("hurst", 6).alias("hurst")
     )
+
+
+@_register(
+    "q135_dedup_resolution",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM g a JOIN g b
+             ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id),
+    j AS (SELECT d.doc_id, d.n_chars, cc.cluster
+          FROM documents d JOIN cc USING (doc_id)),
+    r AS (SELECT doc_id, cluster, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cluster) AS n_members
+          FROM j)
+    SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+           CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_canonical
+    FROM r
+    """,
+)
+def q135(spark, sf_dir):
+    """End-to-end near-dup RESOLUTION (operators/dedup.py
+    resolve_duplicates): q80's transitive clusters (same-source 3-gram
+    Jaccard >= 0.05 -> connected components) + canonical election
+    (keep-longest by n_chars, ties to lowest id) — the full
+    candidates -> verify -> cluster -> keep-list pipeline a corpus dedup
+    actually ships, with the drop set auditable via is_canonical = 0."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = (
+        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
+              "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    jac = dedup_ops.ngram_jaccard_pairs(
+        d, cand.select("source", "doc_a", "doc_b"), n=3)
+    edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    cc = dedup_ops.connected_components(edges, d.select("doc_id"))
+    out = dedup_ops.resolve_duplicates(
+        d.select("doc_id", "n_chars"), cc, quality_col="n_chars"
+    )
+    return out.select(
+        "doc_id", "cluster", F.col("n_members").cast("bigint")
+        .alias("n_members"), "is_canonical",
+    )
+
+
+_LSMC_SIGMA_CTES = (
+    f"WITH {TICKS_CTE},\n"
+    f"    {_bars_cte(1440)},\n"
+    "    r0 AS (SELECT symbol, bts, close / lag(close) OVER\n"
+    "             (PARTITION BY symbol ORDER BY bts) - 1 AS r FROM bars),\n"
+    "    pr AS (SELECT bts, avg(r) AS r FROM r0 WHERE r IS NOT NULL\n"
+    "           GROUP BY bts),\n"
+    "    sig AS (SELECT sqrt(252e0) * stddev_samp(r) AS sigma FROM pr)"
+)
+
+
+@_register(
+    "q136_lsmc_american",
+    deriv.lsmc_american_sql(_LSMC_SIGMA_CTES),
+)
+def q136(spark, sf_dir):
+    """Longstaff-Schwartz American put MC (functions/derivatives.py
+    lsmc_american): sigma = annualized vol of the equal-weight daily
+    portfolio (so the check is SF-dependent), 2000 md5-deterministic GBM
+    paths, 7 backward-induction rounds of quadratic-basis regression with
+    the 3x3 Cramer solve on the driver. The oracle replays EVERY round as
+    chained MATERIALIZED CTEs with the identical Cramer formulas — the
+    full iterative regress-and-exercise loop is differentially verified,
+    not just the final price. Beyond-reference: black_scholes.py is
+    European-only."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    pr = (
+        b.withColumn("r", F.col("close") / F.lag("close").over(w) - 1)
+        .where(F.col("r").isNotNull())
+        .groupBy("ts").agg(F.avg("r").alias("r"))
+    )
+    std = pr.agg(F.stddev_samp("r")).first()[0]
+    sigma = math.sqrt(252.0) * float(std)
+    out = deriv.lsmc_american(spark, sigma)
+    return out.select(
+        "n_paths", F.round("price", 6).alias("price"),
+        F.round("early_frac", 6).alias("early_frac"),
+    )

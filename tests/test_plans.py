@@ -428,3 +428,68 @@ def test_exact_substring_spans_shuffle_shape(spark):
     txt = plans.explain_str(df, "simple")
     assert txt.count("Window") == 2          # islands flags + span ids
     assert txt.count("Sort") == 1            # one shared (doc_id, pos) sort
+
+
+def test_split_adjustment_single_window_sort(spark):
+    """Corporate-action adjustment must be the union-and-window shape: one
+    (symbol, ts) sort-shuffle, no join-back of the factor table and no
+    nested-loop inequality join against the action book."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        corporate,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    splits = b.groupBy("symbol").agg(F.min("ts").alias("effective_ts")) \
+        .withColumn("ratio", F.lit(2.0))
+    adj = corporate.adjust_for_splits(b, splits)
+    txt = plans.explain_str(adj, "simple")
+    assert "NestedLoop" not in txt
+    # bars agg shuffle + splits agg shuffle + one union-window sort
+    assert plans.count_shuffles(adj) <= 3
+
+
+def test_hurst_shares_one_symbol_sort(spark):
+    """The scale fan-out explode must not add shuffles: returns window,
+    block windows, and both aggs ride (symbol)-compatible partitioning —
+    budget pinned so a regression to per-scale re-sorts is caught."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        factors,
+    )
+
+    ticks = events_as_ticks(load_tables(spark, SF, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    h = factors.hurst_exponent(b)
+    # bars agg + returns window + (symbol,n,block) window + final aggs
+    assert plans.count_shuffles(h) <= 5
+
+
+def test_mmr_pool_is_top_k_not_global_sort(spark):
+    """The MMR candidate pool cut must plan as TakeOrderedAndProject (a
+    distributed top-k), never a single-partition global sort."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        similarity,
+    )
+
+    e = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    qvec = [0.0] * 64
+    qvec[0] = 1.0
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    rel = e.select(
+        F.col("vec_id").alias("_id"), v.alias("v"),
+        similarity.cosine(v, F.array(*[F.lit(x) for x in qvec])).alias("rel"),
+    )
+    pool = rel.orderBy(F.col("rel").desc(), F.col("_id")).limit(20)
+    assert "TakeOrderedAndProject" in plans.explain_str(pool, "simple")
+
+
+def test_assign_clusters_is_shuffle_free(spark):
+    """Cluster assignment rides the scan as literal-centroid expressions:
+    zero exchanges."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        similarity,
+    )
+
+    e = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    assert plans.count_shuffles(similarity.assign_clusters(e, cents)) == 0

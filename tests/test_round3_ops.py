@@ -245,3 +245,71 @@ def test_mmr_lam_zero_picks_spread(spark):
     ).collect()
     groups = {r["vec_id"] // 3 for r in out}
     assert len(groups) == 2
+
+
+# ------------------------------------------------------- lsmc / resolve
+
+
+def test_lsmc_american_put_bounds(spark):
+    """American put must price >= the Black-Scholes European put (early
+    exercise is worth something with r > 0) and below the strike; a
+    material fraction of paths must exercise early."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    s0 = k = 100.0
+    r, sigma, t = 0.05, 0.2, 0.5
+    row = deriv.lsmc_american(
+        spark, sigma, s0=s0, k=k, r=r, t_y=t, n_steps=8, n_paths=4000
+    ).first()
+    d1 = (math.log(s0 / k) + (r + sigma * sigma / 2) * t) / (
+        sigma * math.sqrt(t))
+    d2 = d1 - sigma * math.sqrt(t)
+
+    def ncdf(x):
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    euro_put = k * math.exp(-r * t) * ncdf(-d2) - s0 * ncdf(-d1)
+    # MC noise at 4000 paths ~ 0.1; the early premium at these params is
+    # small, so allow the noise band downward but require the order
+    assert row["price"] > euro_put - 0.25
+    assert row["price"] < k
+    assert 0.0 < row["early_frac"] < 1.0
+    assert row["n_paths"] == 4000
+
+
+def test_lsmc_deep_itm_exercises_now(spark):
+    """A put struck far above spot should exercise almost immediately on
+    effectively every path (continuation can't beat intrinsic)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        derivatives as deriv,
+    )
+
+    row = deriv.lsmc_american(
+        spark, 0.1, s0=50.0, k=100.0, r=0.05, t_y=0.5,
+        n_steps=8, n_paths=500,
+    ).first()
+    assert row["early_frac"] > 0.99
+    # exercised at step 1 -> price ~ intrinsic discounted one step
+    assert row["price"] == pytest.approx(
+        50.0 * math.exp(-0.05 * 0.5 / 8), rel=0.05)
+
+
+def test_resolve_duplicates_elects_longest(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (4, 10)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster long"
+    )
+    out = {r["doc_id"]: (r["is_canonical"], r["n_members"])
+           for r in dedup.resolve_duplicates(docs, clusters).collect()}
+    assert out[2] == (1, 3)   # longest, lowest id among the 80-tie
+    assert out[3] == (0, 3)
+    assert out[1] == (0, 3)
+    assert out[4] == (1, 1)   # singleton keeps itself
