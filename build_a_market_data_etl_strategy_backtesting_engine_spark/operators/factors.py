@@ -612,3 +612,52 @@ def hurst_exponent(
         )
         .where(F.col("n_scales") >= 2)
     )
+
+
+def kalman_hedge(
+    pairs: DataFrame,
+    q_var: float = 1e-5,
+    r_var: float = 1e-3,
+    pair_col: str = "pair",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Kalman-filter dynamic hedge ratio for pairs trading: the classic
+    state-space upgrade of the static OLS hedge (state beta_t follows a
+    random walk with variance ``q_var``; observation y_t = beta_t x_t +
+    noise with variance ``r_var``). Per step:
+
+        p_pred = p + q;  k = p_pred x / (x^2 p_pred + r)
+        beta  += k (y - beta x);  p = (1 - k x) p_pred
+
+    Inherently sequential per pair — implemented as an Arrow-batched
+    ``applyInPandas`` loop in plain Python floats (the op ORDER is the
+    cross-engine contract: the DuckDB oracle's recursive CTE spells the
+    identical expressions, so results match bit-for-bit, q137). Pairs
+    run in PARALLEL across groups — the 100 TB axis is the number of
+    pairs, exactly like the per-symbol event engine. Emits per row:
+    pair, ts, beta (post-update), p, spread = y - beta*x.
+    """
+    import pandas as pd
+
+    schema = (f"{pair_col} string, {ts_col} timestamp, beta double, "
+              f"p double, spread double")
+    qv, rv = float(q_var), float(r_var)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        beta, p = 0.0, 1.0
+        out = []
+        for ts, x, y in zip(pdf[ts_col], pdf[x_col], pdf[y_col]):
+            x, y = float(x), float(y)
+            p_pred = p + qv
+            k = p_pred * x / (x * x * p_pred + rv)
+            beta = beta + k * (y - beta * x)
+            p = (1.0 - k * x) * p_pred
+            out.append((pdf[pair_col].iloc[0], ts, beta, p,
+                        y - beta * x))
+        return pd.DataFrame(
+            out, columns=[pair_col, ts_col, "beta", "p", "spread"])
+
+    return pairs.groupBy(pair_col).applyInPandas(run, schema)

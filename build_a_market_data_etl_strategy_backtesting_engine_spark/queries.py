@@ -6053,3 +6053,224 @@ def q136(spark, sf_dir):
         "n_paths", F.round("price", 6).alias("price"),
         F.round("early_frac", 6).alias("early_frac"),
     )
+
+
+@_register(
+    "q137_kalman_hedge",
+    f"""
+    WITH RECURSIVE {TICKS_CTE},
+    {_bars_cte(1440)},
+    s1 AS (SELECT min(symbol) AS s FROM bars),
+    s2 AS (SELECT min(symbol) AS s FROM bars
+           WHERE symbol > (SELECT s FROM s1)),
+    j AS (SELECT a.bts, a.close AS x, b.close AS y
+          FROM bars a, bars b, s1, s2
+          WHERE a.symbol = s1.s AND b.symbol = s2.s AND a.bts = b.bts),
+    obs AS (SELECT row_number() OVER (ORDER BY bts) AS i, bts, x, y
+            FROM j),
+    kf AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS TIMESTAMP) AS bts,
+             CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y,
+             0.0e0 AS beta, 1.0e0 AS p
+      UNION ALL
+      SELECT o.i, o.bts, o.x, o.y,
+             kf.beta + ((kf.p + 1e-5) * o.x
+               / (o.x * o.x * (kf.p + 1e-5) + 1e-3))
+               * (o.y - kf.beta * o.x) AS beta,
+             (1.0e0 - ((kf.p + 1e-5) * o.x
+               / (o.x * o.x * (kf.p + 1e-5) + 1e-3)) * o.x)
+               * (kf.p + 1e-5) AS p
+      FROM kf JOIN obs o ON o.i = kf.i + 1
+    )
+    SELECT (SELECT s FROM s1) || '/' || (SELECT s FROM s2) AS pair,
+           epoch_us(bts) AS bar_us, round(beta, 8) AS beta,
+           round(p, 10) AS p, round(y - beta * x, 6) AS spread
+    FROM kf WHERE i >= 1
+    """,
+)
+def q137(spark, sf_dir):
+    """Kalman-filter dynamic hedge ratio (operators/factors.py
+    kalman_hedge) on the two alphabetically-first symbols' aligned daily
+    closes: the state-space pairs-trading hedge whose sequential update
+    loop runs as a per-pair applyInPandas in plain-Python floats — and
+    the oracle replays the SAME operation order in a DuckDB recursive
+    CTE, making this the repo's differentially-verified stateful
+    operator (most stateful ops elsewhere settle for golden pins)."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    syms = [
+        r["symbol"]
+        for r in b.select("symbol").distinct()
+        .orderBy("symbol").limit(2).collect()
+    ]
+    s1, s2 = syms[0], syms[1]
+    xa = b.where(F.col("symbol") == s1).select(
+        "ts", F.col("close").alias("x"))
+    yb = b.where(F.col("symbol") == s2).select(
+        "ts", F.col("close").alias("y"))
+    pair = xa.join(yb, "ts").withColumn(
+        "pair", F.concat_ws("/", F.lit(s1), F.lit(s2)))
+    out = factors_ops.kalman_hedge(pair)
+    return out.select(
+        "pair", F.unix_micros("ts").alias("bar_us"),
+        F.round("beta", 8).alias("beta"),
+        F.round("p", 10).alias("p"),
+        F.round("spread", 6).alias("spread"),
+    )
+
+
+def _md5_bands(d):
+    """Portable md5 minhash bands (the q29 oracle twin, factored for
+    reuse): 8 md5-min signatures -> two 4-row bands -> (doc_id, band,
+    bh)."""
+    sh = dedup_ops.char_shingles(d, 5)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}"))))
+          .alias(f"m{h}") for h in range(_MINHASH_PERMS)]
+    )
+    return mins.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4)])).alias("bh"),
+    ).unionByName(
+        mins.select(
+            "doc_id", F.lit(1).alias("band"),
+            F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4, 8)]))
+            .alias("bh"),
+        )
+    )
+
+
+@_register(
+    "q138_lsh_calibration",
+    f"""
+    WITH {_minhash_bands_sql()},
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    p AS (SELECT cand.doc_a, cand.doc_b,
+                 len(list_intersect(ga.grams, gb.grams)) AS ni,
+                 len(ga.grams) AS na, len(gb.grams) AS nb
+          FROM cand
+          JOIN g ga ON cand.doc_a = ga.doc_id
+          JOIN g gb ON cand.doc_b = gb.doc_id),
+    h AS (SELECT least(CAST(floor((ni / (na + nb - ni)) * 10) AS INT), 9)
+                   AS bucket,
+                 ni / (na + nb - ni) AS j
+          FROM p)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(j), 6) AS avg_jaccard
+    FROM h GROUP BY bucket
+    """,
+)
+def q138(spark, sf_dir):
+    """LSH threshold-calibration curve: every banding candidate pair
+    (q29's md5-portable path) verified with exact 3-gram Jaccard (q28's
+    stage) and histogrammed into 0.1 buckets — the precision profile a
+    dedup operator reads to pick its Jaccard cut. Composition of the
+    candidate and verify stages; candidates-only, never all-pairs."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bands = _md5_bands(d)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .select("doc_a", "doc_b")
+    )
+    jac = dedup_ops.ngram_jaccard_pairs(d, cand, n=3)
+    return (
+        jac.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("int").alias("bucket"),
+            "jaccard",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+@_register(
+    "q139_dedup_impact_by_source",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM g a JOIN g b
+             ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id),
+    j AS (SELECT d.doc_id, d.source, d.n_chars, cc.cluster
+          FROM documents d JOIN cc USING (doc_id)),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM j)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_chars END) AS BIGINT)
+             AS chars_dropped,
+           round(avg(CASE WHEN rn = 1 THEN 0.0e0 ELSE 1.0e0 END), 6)
+             AS dup_rate
+    FROM r GROUP BY source
+    """,
+)
+def q139(spark, sf_dir):
+    """Per-source dedup impact audit: q135's resolution rolled up by
+    source — docs seen, canonicals kept, characters dropped, and the
+    duplicate rate, i.e. the curation report that decides which sources
+    are worth re-crawling. Same cluster/election pipeline, one extra
+    map-combinable agg."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = (
+        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
+              "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    jac = dedup_ops.ngram_jaccard_pairs(
+        d, cand.select("source", "doc_a", "doc_b"), n=3)
+    edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    cc = dedup_ops.connected_components(edges, d.select("doc_id"))
+    res = dedup_ops.resolve_duplicates(
+        d.select("doc_id", "source", "n_chars"), cc,
+        quality_col="n_chars",
+    )
+    return res.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_canonical").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_canonical") == 1, 0)
+              .otherwise(F.col("n_chars"))).cast("bigint")
+        .alias("chars_dropped"),
+        F.round(F.avg(F.when(F.col("is_canonical") == 1, 0.0)
+                      .otherwise(1.0)), 6).alias("dup_rate"),
+    )

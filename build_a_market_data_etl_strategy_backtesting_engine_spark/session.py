@@ -145,13 +145,23 @@ def _normalize_events_ts(df):
       1000)``. Integer ``div``, NOT ``/``: float division of ~1.7e18 ns loses
       precision past 2^53 and lands ±128ns off. Floor division matches
       DuckDB's ns->us truncation.
-    - ``timestamp_ntz`` -> cast to LTZ ``timestamp``. Session tz is pinned
-      UTC, so wall clock == epoch and the cast is a no-op numerically; LTZ
-      is the engine-wide ts type (``unix_micros`` etc. require it).
+    - ``timestamp_ntz`` -> interpret the naive wall clock AS UTC,
+      independent of the session timezone: ``from_utc_timestamp(
+      cast(ts as timestamp), current_timezone())``. The cast reinterprets
+      the wall clock in the SESSION tz (epoch = wall - offset) and
+      ``from_utc_timestamp`` adds the same per-value offset back, so the
+      pair is exactly wall-as-UTC under ANY session tz. A bare cast is
+      correct only while the session is UTC — under a vanilla non-UTC
+      driver session it shifts every epoch by the tz offset (caught by
+      the hostile-tz driver simulation: daily bars grew a 31st day; note
+      ``to_utc_timestamp(ts, 'UTC')`` is an identity and does NOT fix
+      it). LTZ is the engine-wide ts type (``unix_micros`` etc.).
     - ``timestamp``     -> already LTZ; pass through.
 
     All three land on the exact same epoch-µs values the tz-naive DuckDB
-    oracle sees (tests/test_schema_evolution.py pins every vintage).
+    oracle sees regardless of ``spark.sql.session.timeZone``
+    (tests/test_schema_evolution.py pins every vintage + a non-UTC
+    session).
     """
     from pyspark.sql import functions as F
 
@@ -159,7 +169,12 @@ def _normalize_events_ts(df):
     if dtype == "bigint":
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if dtype == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
     return df
 
 

@@ -313,3 +313,44 @@ def test_resolve_duplicates_elects_longest(spark):
     assert out[3] == (0, 3)
     assert out[1] == (0, 3)
     assert out[4] == (1, 1)   # singleton keeps itself
+
+
+# ---------------------------------------------------------------- kalman
+
+
+def test_kalman_hedge_converges_to_true_ratio(spark):
+    import numpy as np
+    rng = np.random.default_rng(29)
+    x = 100.0 + np.cumsum(rng.normal(0, 0.5, 120))
+    y = 1.5 * x + rng.normal(0, 0.2, 120)
+    rows = [("P", dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+             float(x[i]), float(y[i])) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "pair string, ts timestamp, x double, y double")
+    out = factors.kalman_hedge(df).orderBy("ts").collect()
+    assert out[-1]["beta"] == pytest.approx(1.5, abs=0.02)
+    # posterior variance must shrink monotonically-ish from the prior
+    assert out[-1]["p"] < out[0]["p"]
+    # spread uses the post-update beta
+    last = out[-1]
+    assert last["spread"] == pytest.approx(
+        y[-1] - last["beta"] * x[-1], abs=1e-9)
+
+
+def test_kalman_hedge_pairs_run_independently(spark):
+    rows = []
+    for pair, slope in (("A", 2.0), ("B", -1.0)):
+        for i in range(60):
+            xv = 50.0 + i
+            rows.append((pair, dt.datetime(2024, 1, 1)
+                         + dt.timedelta(days=i), xv, slope * xv))
+    df = spark.createDataFrame(
+        rows, "pair string, ts timestamp, x double, y double")
+    out = factors.kalman_hedge(df)
+    finals = {r["pair"]: r["beta"] for r in out.withColumn(
+        "rn", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("pair").orderBy(F.desc("ts")))
+    ).where("rn = 1").collect()}
+    assert finals["A"] == pytest.approx(2.0, abs=0.01)
+    assert finals["B"] == pytest.approx(-1.0, abs=0.01)

@@ -111,3 +111,30 @@ def test_documents_passthrough(spark, tmp_path):
     pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
     docs = load_tables(spark, str(tmp_path), ["documents"])["documents"]
     assert docs.collect()[0].text == "hello world"
+
+
+@pytest.mark.parametrize(
+    "label,arr",
+    [
+        ("int64_ns", pa.array(NS, pa.int64())),
+        ("timestamp_us", pa.array(US, pa.timestamp("us"))),
+        ("timestamp_us_utc", pa.array(US, pa.timestamp("us", tz="UTC"))),
+    ],
+)
+def test_events_ts_vintages_non_utc_session(spark, tmp_path, label, arr):
+    """The driver imports __spark_entry__ with its OWN SparkSession, which
+    need not be UTC — the ingest normalization must yield the same epoch
+    micros under ANY session timezone. Round-3 post-mortem: the NTZ
+    vintage was normalized with a bare cast("timestamp"), which
+    reinterprets the wall clock in the SESSION tz; under America/New_York
+    every epoch shifted +5h and daily bars grew a 31st day. Pinned here
+    by flipping the session tz around the same loader path."""
+    d = _write_events(str(tmp_path), arr)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        dtype, got = _load_ts(spark, d)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert dtype == "timestamp", (label, dtype)
+    assert got == US, (label, got)
