@@ -6274,3 +6274,93 @@ def q139(spark, sf_dir):
         F.round(F.avg(F.when(F.col("is_canonical") == 1, 0.0)
                       .otherwise(1.0)), 6).alias("dup_rate"),
     )
+
+
+@_register(
+    "q140_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 5.0e-2 AND 7.0e-2
+      AND l_quantity < 24e0
+    """,
+)
+def q140(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): pure filter + global
+    agg — the canonical predicate-pushdown/codegen benchmark. Every
+    predicate reaches the parquet scan (PushedFilters), the agg is one
+    map-combinable sum, zero joins; at 100 TB this is the scan-bound
+    pattern AQE cannot improve and pushdown fully determines."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q141_large_volume_customers",
+    """
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING sum(l_quantity) > 150e0)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, odate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def q141(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    self-aggregation of the fact table used as a semi-join key set, then
+    the dim joins and top-k. The big-order key set is orders-of-magnitude
+    smaller than lineitem (aggregate-then-join, never join-then-filter)
+    and broadcasts; final ranking is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
+                F.col("l_orderkey") == F.col("_bk"))
+        .join(F.broadcast(orders),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "odate",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -493,3 +493,26 @@ def test_assign_clusters_is_shuffle_free(spark):
     e = load_tables(spark, SF, ["embeddings"])["embeddings"]
     cents = [[float(i == j) for j in range(64)] for i in range(4)]
     assert plans.count_shuffles(similarity.assign_clusters(e, cents)) == 0
+
+
+def test_q6_shape_pushes_all_predicates(spark):
+    """TPC-H Q6 shape (q140): every predicate must reach the parquet scan
+    and the projection must prune to the 4 referenced columns — at 100 TB
+    this query IS its scan."""
+    df = q.spark_queries()["q140_forecast_revenue"](spark, SF)
+    plans.assert_pushed_filters(df, ["l_shipdate", "l_discount",
+                                     "l_quantity"])
+    scans = plans.read_schema_columns(df)
+    assert scans and sorted(scans[0]) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+    assert plans.count_shuffles(df) <= 1  # single global agg
+
+
+def test_q18_aggregates_before_joining(spark):
+    """TPC-H Q18 shape (q141): the big-order key set must come from an
+    aggregate of lineitem alone (aggregate-then-join) and ride broadcast
+    joins — no sort-merge join of two fact-sized inputs."""
+    df = q.spark_queries()["q141_large_volume_customers"](spark, SF)
+    txt = plans.explain_str(df, "simple")
+    assert "SortMergeJoin" not in txt
+    assert "Broadcast" in txt
