@@ -6364,3 +6364,56 @@ def q141(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@_register(
+    "q142_garch_volatility",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    r0 AS (SELECT symbol, bts,
+                  close / lag(close) OVER
+                    (PARTITION BY symbol ORDER BY bts) - 1 AS r
+           FROM bars),
+    rr AS (SELECT symbol, bts, r,
+                  CAST(row_number() OVER
+                    (PARTITION BY symbol ORDER BY bts) - 1 AS DOUBLE) AS i
+           FROM r0 WHERE r IS NOT NULL),
+    v AS (SELECT symbol, var_samp(r) AS vbar FROM rr GROUP BY symbol),
+    s AS (SELECT rr.symbol, rr.bts, rr.r, rr.i, v.vbar,
+                 coalesce(sum(power({_dlit(1.0 / 0.90)}, rr.i)
+                              * rr.r * rr.r)
+                   OVER (PARTITION BY rr.symbol ORDER BY rr.bts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0e0) AS acc
+          FROM rr JOIN v ON rr.symbol = v.symbol),
+    h AS (SELECT symbol, bts, r,
+                 (vbar * {_dlit(1.0 - 0.08 - 0.90)})
+                   * (1.0e0 - power({_dlit(0.90)}, i))
+                   / {_dlit(1.0 - 0.90)}
+                 + power({_dlit(0.90)}, i) * vbar
+                 + {_dlit(0.08)} * power({_dlit(0.90)}, i - 1.0e0) * acc
+                   AS h
+          FROM s)
+    SELECT symbol, epoch_us(bts) AS bar_us, round(r, 8) AS r,
+           round(h, 10) AS garch_var,
+           round(sqrt(h * 252e0), 8) AS garch_vol_ann
+    FROM h
+    """,
+)
+def q142(spark, sf_dir):
+    """GARCH(1,1) conditional volatility (functions/ewm.py
+    garch_volatility, alpha=0.08 beta=0.90, variance-targeted omega):
+    the mean-reverting vol filter one rung above q113's RiskMetrics EWMA
+    (its alpha+beta=1 boundary), unrolled to the same closed-form window
+    expression — fully JVM-side, one window sort + one per-symbol
+    variance agg. power() libm skew absorbed by edge rounding."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = ewm_fns.garch_volatility(b, alpha=0.08, beta=0.90)
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("r", 8).alias("r"),
+        F.round("garch_var", 10).alias("garch_var"),
+        F.round("garch_vol_ann", 8).alias("garch_vol_ann"),
+    )

@@ -354,3 +354,34 @@ def test_kalman_hedge_pairs_run_independently(spark):
     ).where("rn = 1").collect()}
     assert finals["A"] == pytest.approx(2.0, abs=0.01)
     assert finals["B"] == pytest.approx(-1.0, abs=0.01)
+
+
+# ----------------------------------------------------------------- garch
+
+
+def test_garch_unroll_equals_recursion(spark):
+    """The closed-form window unroll must reproduce the plain GARCH(1,1)
+    recursion h_1 = vbar, h_t = omega + alpha*r_{t-1}^2 + beta*h_{t-1}."""
+    import numpy as np
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (
+        ewm,
+    )
+
+    rng = np.random.default_rng(31)
+    closes = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.02, 80)))
+    df = _bars_df(spark, closes)
+    alpha, beta = 0.08, 0.90
+    out = ewm.garch_volatility(df, alpha=alpha, beta=beta) \
+        .orderBy("ts").collect()
+
+    r = np.diff(closes) / closes[:-1]
+    vbar = float(np.var(r, ddof=1))
+    omega = vbar * (1 - alpha - beta)
+    h = vbar
+    for k, row in enumerate(out):
+        if k > 0:
+            h = omega + alpha * r[k - 1] ** 2 + beta * h
+        assert row["garch_var"] == pytest.approx(h, rel=1e-9), k
+        assert row["garch_vol_ann"] == pytest.approx(
+            (h * 252) ** 0.5, rel=1e-9)
