@@ -17,7 +17,7 @@ from collections.abc import Callable, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import signals
@@ -316,3 +316,75 @@ def rl_strategy_signals(
         return pdf[cols]
 
     return bars.groupBy(symbol_col).applyInPandas(_run, out_schema)
+
+
+def triple_barrier_labels(
+    bars: DataFrame,
+    horizon: int = 5,
+    profit_take: float = 0.02,
+    stop_loss: float = 0.02,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+) -> DataFrame:
+    """Triple-barrier event labeling (Lopez de Prado, *Advances in
+    Financial Machine Learning* ch.3): each bar is labeled by the FIRST
+    barrier its forward close path touches — +1 profit-take at
+    ``+profit_take``, -1 stop-loss at ``-stop_loss``, 0 if neither is hit
+    within ``horizon`` bars. The supervised-learning label generator for
+    every trading-ML pipeline (``make_labels``'s fixed-horizon label is
+    its degenerate no-barrier case).
+
+    Relational formulation: a bounded ``horizon``-way offset explode +
+    ONE (symbol, idx) equi-join fans each bar to its forward closes; two
+    conditional min-aggs find the first crossing per side; the label is
+    pure CASE arithmetic. No window-into-the-future tricks, no Python.
+    Cost at 100 TB: fan-out is a constant factor = horizon on the BAR
+    table (already reduced from ticks), join keys are
+    partition-colocated.
+
+    Bars with fewer than ``horizon`` future closes are dropped (a
+    timeout label needs the full window to mean "no barrier"). Emits
+    (symbol, ts, close, label, t_hit): ``t_hit`` = bars until the
+    deciding barrier (horizon for timeouts).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    base = bars.select(
+        symbol_col, ts_col, close_col,
+        (F.row_number().over(w)).alias("_idx"),
+    )
+    fwd = base.select(
+        F.col(symbol_col), F.col("_idx").alias("_fidx"),
+        F.col(close_col).alias("_fclose"),
+    )
+    fan = base.select(
+        symbol_col, ts_col, close_col, "_idx",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(horizon)))
+        ).alias("_k"),
+    ).withColumn("_fidx", F.col("_idx") + F.col("_k"))
+    j = fan.join(fwd, [symbol_col, "_fidx"]).withColumn(
+        "_ret", F.col("_fclose") / F.col(close_col) - 1.0
+    )
+    agg = j.groupBy(symbol_col, ts_col, close_col).agg(
+        F.count(F.lit(1)).alias("_nf"),
+        F.min(F.when(F.col("_ret") >= float(profit_take), F.col("_k")))
+        .alias("_kpt"),
+        F.min(F.when(F.col("_ret") <= -float(stop_loss), F.col("_k")))
+        .alias("_ksl"),
+    )
+    kpt = F.coalesce(F.col("_kpt"), F.lit(int(horizon) + 1))
+    ksl = F.coalesce(F.col("_ksl"), F.lit(int(horizon) + 1))
+    label = (
+        F.when(kpt < ksl, F.lit(1))
+        .when(ksl < kpt, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    t_hit = F.least(kpt, ksl, F.lit(int(horizon))).cast("int")
+    return (
+        agg.where(F.col("_nf") >= int(horizon))
+        .select(
+            symbol_col, ts_col, close_col,
+            label.alias("label"), t_hit.alias("t_hit"),
+        )
+    )

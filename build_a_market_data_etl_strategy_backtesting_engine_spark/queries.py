@@ -6417,3 +6417,50 @@ def q142(spark, sf_dir):
         F.round("garch_var", 10).alias("garch_var"),
         F.round("garch_vol_ann", 8).alias("garch_vol_ann"),
     )
+
+
+@_register(
+    "q143_triple_barrier_labels",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(1440)},
+    base AS (SELECT symbol, bts, close,
+                    row_number() OVER (PARTITION BY symbol ORDER BY bts)
+                      AS idx
+             FROM bars),
+    fan AS (SELECT b.symbol, b.bts, b.close, b.idx, k.k,
+                   f.close AS fclose
+            FROM base b
+            JOIN (SELECT unnest(generate_series(1, 5)) AS k) k ON true
+            JOIN base f ON f.symbol = b.symbol AND f.idx = b.idx + k.k),
+    agg AS (SELECT symbol, bts, close, count(*) AS nf,
+                   min(CASE WHEN fclose / close - 1.0e0 >= 2.0e-2
+                            THEN k END) AS kpt,
+                   min(CASE WHEN fclose / close - 1.0e0 <= -2.0e-2
+                            THEN k END) AS ksl
+            FROM fan GROUP BY symbol, bts, close),
+    lab AS (SELECT symbol, bts, close,
+                   coalesce(kpt, 6) AS kpt, coalesce(ksl, 6) AS ksl
+            FROM agg WHERE nf >= 5)
+    SELECT symbol, epoch_us(bts) AS bar_us, round(close, 6) AS close,
+           CASE WHEN kpt < ksl THEN 1
+                WHEN ksl < kpt THEN -1 ELSE 0 END AS label,
+           CAST(least(kpt, ksl, 5) AS INT) AS t_hit
+    FROM lab
+    """,
+)
+def q143(spark, sf_dir):
+    """Triple-barrier event labels (operators/ml.py
+    triple_barrier_labels, horizon=5, +/-2% barriers) on daily bars: the
+    Lopez de Prado labeling scheme feeding the ML bridge (q57 features /
+    q61 predict / q67 walk-forward) — first-crossing logic as a bounded
+    offset explode + one equi-join + conditional min-aggs, no
+    future-window tricks."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1d")
+    out = ml_ops.triple_barrier_labels(
+        b, horizon=5, profit_take=0.02, stop_loss=0.02)
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("close", 6).alias("close"), "label", "t_hit",
+    )

@@ -385,3 +385,39 @@ def test_garch_unroll_equals_recursion(spark):
         assert row["garch_var"] == pytest.approx(h, rel=1e-9), k
         assert row["garch_vol_ann"] == pytest.approx(
             (h * 252) ** 0.5, rel=1e-9)
+
+
+# -------------------------------------------------------- triple barrier
+
+
+def test_triple_barrier_semantics(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        ml,
+    )
+
+    # closes: 100 -> +3% at k=2 (PT first), then a crash path, then flat
+    closes = [100.0, 101.0, 103.5, 96.0, 95.0, 95.5, 95.2, 95.1,
+              95.05, 95.02, 95.0, 95.01]
+    df = _bars_df(spark, closes)
+    out = {r["ts"].hour + 24 * (r["ts"].day - 1): (r["label"], r["t_hit"])
+           for r in ml.triple_barrier_labels(
+               df, horizon=5, profit_take=0.02, stop_loss=0.02).collect()}
+    # bar 0 (close 100): +3.5% at k=2 before any -2% -> PT
+    assert out[0] == (1, 2)
+    # bar 1 (close 101): 103.5 is +2.47% at k=1 -> PT immediately
+    assert out[1] == (1, 1)
+    # bar 2 (close 103.5): 96 at k=1 is -7.2% -> SL
+    assert out[2] == (-1, 1)
+    # bar 5 (95.5): flat within ±2% for 5 bars -> timeout
+    assert out[5] == (0, 5)
+    # bars with fewer than 5 future closes are dropped
+    assert max(out) == len(closes) - 6
+
+
+def test_triple_barrier_requires_full_horizon(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        ml,
+    )
+
+    df = _bars_df(spark, [100.0, 100.5, 101.0])
+    assert ml.triple_barrier_labels(df, horizon=5).count() == 0
