@@ -500,3 +500,100 @@ def almgren_chriss_schedule(
             ((x_prev - x_rem) / F.lit(total_qty)).alias("slice_frac"),
         )
     )
+
+
+def _session_variance(wd: Window, tick_size: float | None):
+    """Sample variance of ``dclose`` over the session partition. With
+    ``tick_size`` set (prices live on a known grid), the price changes are
+    quantized to INTEGER ticks and the variance comes from exact integer
+    sums ``(n*sum(t^2) - sum(t)^2) / (n*(n-1))`` — order-free and
+    bit-identical across engines, unlike float ``var_samp`` whose
+    summation-algorithm skew (~1e-13 relative) otherwise leaks through
+    the multiplicative quote algebra onto rounding-grid edges. None falls
+    back to raw ``var_samp``."""
+    if tick_size is None:
+        return F.var_samp("dclose").over(wd)
+    t = F.round(F.col("dclose") / F.lit(float(tick_size)), 0).cast("long")
+    n = F.count(F.col("dclose")).over(wd)
+    st = F.sum(t).over(wd)
+    st2 = F.sum(t * t).over(wd)
+    return F.when(
+        n >= 2,
+        (st2 * n - st * st).cast("double")
+        / (n * (n - 1)).cast("double")
+        * F.lit(float(tick_size) * float(tick_size)),
+    )
+
+
+def avellaneda_stoikov_quotes(
+    bars: DataFrame,
+    gamma: float = 0.1,
+    kappa: float = 1.5,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    close_col: str = "close",
+    tick_size: float | None = None,
+) -> DataFrame:
+    """Avellaneda-Stoikov (2008) market-making quotes per intraday bar:
+    the inventory-skewed reservation price and optimal spread
+
+        r_t   = mid - q_t * gamma * sigma^2 * tau
+        delta = gamma * sigma^2 * tau / 2 + (1/gamma) * ln(1 + gamma/kappa)
+        bid/ask = r_t -/+ delta
+
+    with q_t = cumulative tick-rule inventory within the session (unit
+    lot per bar — the paper's dimensionless inventory), sigma^2 = the
+    session's bar-to-bar close-change variance, and tau = fraction of the
+    session remaining. The session key is pure integer epoch-day
+    arithmetic (engine-portable, never calendar functions).
+
+    All window algebra on one (symbol, day) partitioning — the quoting
+    surface for a backtest of passive fills, beyond-reference (the
+    engine's book sim consumes quotes; this GENERATES them). sigma^2
+    uses the full session's variance (a diagnostic/backtest convention,
+    not a causal live estimate — a live variant would substitute the
+    EWMA/GARCH filters)."""
+    day = F.floor(F.unix_timestamp(ts_col) / 86400).cast("long")
+    wd = Window.partitionBy(symbol_col, "day")
+    wo = wd.orderBy(ts_col)
+    w_cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        bars.withColumn("day", day)
+        .withColumn("dclose",
+                    F.col(close_col) - F.lag(close_col).over(wo))
+        .withColumn(
+            "sgn",
+            F.when(F.col("dclose") > 0, 1)
+            .when(F.col("dclose") < 0, -1).otherwise(0),
+        )
+        .withColumn("inv", F.sum("sgn").over(w_cum))
+        .withColumn("sigma2", _session_variance(wd, tick_size))
+        .withColumn("n_bars", F.count(F.lit(1)).over(wd))
+        .withColumn("bar_i", F.row_number().over(wo))
+        .withColumn(
+            "tau",
+            (F.col("n_bars") - F.col("bar_i")).cast("double")
+            / F.col("n_bars").cast("double"),
+        )
+    )
+    g = float(gamma)
+    resv = (
+        F.col(close_col)
+        - F.col("inv").cast("double") * F.lit(g) * F.col("sigma2")
+        * F.col("tau")
+    )
+    half = (
+        F.lit(g) * F.col("sigma2") * F.col("tau") / F.lit(2.0)
+        + F.lit(1.0 / g) * F.log(F.lit(1.0 + g / float(kappa)))
+    )
+    return (
+        d.where(F.col("sigma2").isNotNull())
+        .select(
+            symbol_col, ts_col, F.col(close_col).alias("mid"),
+            F.col("inv").alias("inventory"), "tau",
+            resv.alias("reservation"),
+            (resv - half).alias("bid"),
+            (resv + half).alias("ask"),
+            (half * 2.0).alias("spread"),
+        )
+    )

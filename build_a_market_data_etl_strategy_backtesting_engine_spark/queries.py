@@ -6464,3 +6464,79 @@ def q143(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("bar_us"),
         F.round("close", 6).alias("close"), "label", "t_hit",
     )
+
+
+@_register(
+    "q144_avellaneda_stoikov",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    b AS (SELECT symbol, bts, close,
+                 epoch_us(bts) // 86400000000 AS day
+          FROM bars),
+    d AS (SELECT symbol, bts, close, day,
+                 close - lag(close) OVER
+                   (PARTITION BY symbol, day ORDER BY bts) AS dclose
+          FROM b),
+    e AS (SELECT symbol, bts, close, day, dclose,
+                 CASE WHEN dclose > 0 THEN 1
+                      WHEN dclose < 0 THEN -1 ELSE 0 END AS sgn
+          FROM d),
+    f AS (SELECT symbol, bts, close,
+                 sum(sgn) OVER (PARTITION BY symbol, day ORDER BY bts
+                                ROWS UNBOUNDED PRECEDING) AS inv,
+                 CASE WHEN count(dclose) OVER dw >= 2 THEN
+                   CAST(sum(CAST(round(dclose / 1.0e-2, 0) AS BIGINT)
+                            * CAST(round(dclose / 1.0e-2, 0) AS BIGINT))
+                          OVER dw
+                        * count(dclose) OVER dw
+                        - sum(CAST(round(dclose / 1.0e-2, 0) AS BIGINT))
+                            OVER dw
+                          * sum(CAST(round(dclose / 1.0e-2, 0) AS BIGINT))
+                            OVER dw AS DOUBLE)
+                   / CAST(count(dclose) OVER dw
+                          * (count(dclose) OVER dw - 1) AS DOUBLE)
+                   * 1.0e-4 END AS sigma2,
+                 count(*) OVER (PARTITION BY symbol, day) AS n_bars,
+                 row_number() OVER (PARTITION BY symbol, day
+                                    ORDER BY bts) AS bar_i
+          FROM e
+          WINDOW dw AS (PARTITION BY symbol, day)),
+    g AS (SELECT symbol, bts, close, inv, sigma2,
+                 CAST(n_bars - bar_i AS DOUBLE)
+                   / CAST(n_bars AS DOUBLE) AS tau
+          FROM f WHERE sigma2 IS NOT NULL),
+    h AS (SELECT symbol, bts, close, inv, tau,
+                 close - CAST(inv AS DOUBLE) * 1.0e-1 * sigma2 * tau
+                   AS resv,
+                 1.0e-1 * sigma2 * tau / 2.0e0
+                   + 1.0e1 * ln({_dlit(1.0 + 0.1 / 1.5)}) AS half
+          FROM g)
+    SELECT symbol, epoch_us(bts) AS bar_us, round(close, 6) AS mid,
+           CAST(inv AS BIGINT) AS inventory, round(tau, 6) AS tau,
+           round(resv, 6) AS reservation,
+           round(resv - half, 6) AS bid, round(resv + half, 6) AS ask,
+           round(half * 2.0e0, 6) AS spread
+    FROM h
+    """,
+)
+def q144(spark, sf_dir):
+    """Avellaneda-Stoikov market-making quotes (operators/
+    microstructure.py avellaneda_stoikov_quotes, gamma=0.1 kappa=1.5) on
+    hourly bars: inventory-skewed reservation price + optimal spread per
+    bar — the quote GENERATOR complementing the book sim that consumes
+    quotes (q36/q65). Session key is integer epoch-day arithmetic;
+    everything rides one (symbol, day) window partitioning."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    out = micro_ops.avellaneda_stoikov_quotes(
+        b, gamma=0.1, kappa=1.5, tick_size=0.01)
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round("mid", 6).alias("mid"),
+        F.col("inventory").cast("bigint").alias("inventory"),
+        F.round("tau", 6).alias("tau"),
+        F.round("reservation", 6).alias("reservation"),
+        F.round("bid", 6).alias("bid"), F.round("ask", 6).alias("ask"),
+        F.round("spread", 6).alias("spread"),
+    )

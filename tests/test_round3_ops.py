@@ -421,3 +421,36 @@ def test_triple_barrier_requires_full_horizon(spark):
 
     df = _bars_df(spark, [100.0, 100.5, 101.0])
     assert ml.triple_barrier_labels(df, horizon=5).count() == 0
+
+
+# --------------------------------------------------- avellaneda-stoikov
+
+
+def test_avellaneda_stoikov_quote_geometry(spark):
+    import numpy as np
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        microstructure,
+    )
+
+    # one session: prices on a 0.01 grid, strictly rising -> inventory
+    # grows positive and the reservation price is skewed BELOW mid
+    closes = [round(100.0 + 0.05 * i, 2) for i in range(24)]
+    df = _bars_df(spark, closes)
+    out = microstructure.avellaneda_stoikov_quotes(
+        df, gamma=0.1, kappa=1.5, tick_size=0.01
+    ).orderBy("ts").collect()
+    assert len(out) == 24
+    r = np.diff(closes)
+    vbar = float(np.var(r, ddof=1))
+    for i, row in enumerate(out):
+        assert row["inventory"] == i  # rising closes -> +1 each bar
+        assert row["spread"] > 0
+        assert row["bid"] < row["ask"]
+        tau = (24 - (i + 1)) / 24
+        assert row["reservation"] == pytest.approx(
+            closes[i] - row["inventory"] * 0.1 * vbar * tau, rel=1e-9)
+        # sigma^2 from integer ticks equals the float sample variance
+        # exactly on grid-aligned data
+    # last bar of the session: tau = 0 -> reservation back at mid
+    assert out[-1]["reservation"] == pytest.approx(closes[-1])
