@@ -628,7 +628,7 @@ def lsmc_american(
             "cf": F.when(cond, pay).otherwise(F.col("cf")),
             "tau": F.when(cond, F.lit(t)).otherwise(F.col("tau")),
         })
-    return df.agg(
+    out = df.agg(
         F.count(F.lit(1)).alias("n_paths"),
         F.avg(
             F.col("cf") * F.exp(F.lit(-r * dt) * F.col("tau").cast("double"))
@@ -637,6 +637,12 @@ def lsmc_american(
             (F.col("tau") < int(n_steps)).cast("double")
         ).alias("early_frac"),
     )
+    # materialize the 1-row result so the paths cache (~n_paths*n_steps
+    # doubles of executor storage) is released before returning instead
+    # of pinned for the life of the session
+    rows = out.collect()
+    paths.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def lsmc_american_sql(

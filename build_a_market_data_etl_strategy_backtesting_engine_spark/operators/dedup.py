@@ -601,8 +601,14 @@ def resolve_duplicates(
 
     Shape at 100 TB: one equi-join on the doc id and two windows sharing
     the single ``cluster`` partitioning — one shuffle beyond the join.
-    Singleton clusters pass through with ``is_canonical = 1``."""
-    j = docs.join(clusters, id_col)
+    Singleton clusters pass through with ``is_canonical = 1``: docs
+    absent from ``clusters`` (e.g. :func:`connected_components` with the
+    default ``nodes=None``, which labels edge endpoints only) are
+    left-joined and coalesced to their own id as a singleton cluster
+    rather than silently dropped."""
+    j = docs.join(clusters, id_col, "left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col)
     )

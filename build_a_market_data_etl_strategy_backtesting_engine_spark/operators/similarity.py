@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(vec: Column) -> Column:
@@ -242,9 +243,16 @@ def mmr_select(
         sel_vecs.append(list(r["v"]))
     pooled.unpersist()
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        chosen, schema=f"rank int, {id_col} long, rel double, mmr double"
-    )
+    # id type follows the input column (string doc ids work, not just
+    # bigint) — the output schema is derived, not hardcoded
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField(id_col, id_type, True),
+        T.StructField("rel", T.DoubleType(), True),
+        T.StructField("mmr", T.DoubleType(), True),
+    ])
+    return spark.createDataFrame(chosen, schema=out_schema)
 
 
 def ivf_index(

@@ -6338,27 +6338,26 @@ def q141(spark, sf_dir):
     and broadcasts; final ranking is TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    # ONE lineitem pass: the per-order sum that feeds the HAVING filter IS
+    # total_qty (grouping by orderkey covers every line of the order), so
+    # the filtered aggregate carries the answer and nothing fact-scale is
+    # ever re-scanned or broadcast. Only the HAVING-filtered key set (and
+    # the orders rows it selects) ride broadcast joins.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 150)
-        .select("l_orderkey")
+        .select("l_orderkey", F.round("_q", 4).alias("total_qty"))
     )
+    bigorders = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).drop("l_orderkey")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
-                F.col("l_orderkey") == F.col("_bk"))
-        .join(F.broadcast(orders),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        cust.join(F.broadcast(bigorders),
+                  F.col("c_custkey") == F.col("o_custkey"))
+        .select(
             "c_name", "o_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-            "o_totalprice",
-        )
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
-        .select(
-            "c_name", "o_custkey", "o_orderkey", "odate",
             F.round("o_totalprice", 4).alias("o_totalprice"), "total_qty",
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
