@@ -67,7 +67,11 @@ def socket_tick_source(
     connect, read frames, hand each to the normalizer). Reconnection is the
     stream restart policy (checkpoint + supervisor re-``start()``), not an
     in-source loop; subscription handshakes belong in the feed bridge that
-    terminates the WebSocket and re-emits newline-delimited JSON.
+    terminates the WebSocket and re-emits newline-delimited JSON — which
+    now exists in-engine: :mod:`..streaming.websocket` provides the RFC
+    6455 client (``WebSocketClient``), the reference-parity live loop with
+    reconnect/heartbeat/seq-resume (``LiveWsETL``), and ``ws_tick_source``
+    which terminates a real ``ws://`` endpoint into this source.
 
     Compose with ``normalize_trades``/``normalize_trades_with_rejects`` and
     any sink in this module; tests/test_socket_source.py drives it end-to-end
