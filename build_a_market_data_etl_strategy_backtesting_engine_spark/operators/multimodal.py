@@ -6,19 +6,23 @@ Beyond-reference operators (SURVEY §7.6): images/audio/video ride as
 resize / frame-sample run as mapInPandas stages so each Arrow batch crosses
 the Python boundary once.
 
-The actual codec work is STUBBED in this container (no PIL/ffmpeg —
-environment rule: no installs): ``decode_image`` raises
-``NotImplementedError`` unless a decoder import succeeds, and
-``fake_decode_stats`` provides a deterministic stand-in so the Spark-side
-plumbing — schema, batching, partition sizing — is real and tested. On a
-real cluster, swap the stub for PIL/torchvision inside the same UDF body.
+Decode status (r4): **uncompressed image formats decode for real** with
+pure numpy — BMP (24/32-bit BI_RGB, bottom-up or top-down) and binary
+PPM/PGM (P6/P5) — exactly the way the audio path decodes raw PCM16. The
+:func:`image_features` / :func:`resize_images` real paths need no PIL for
+those formats; compressed formats (PNG/JPEG) still route to PIL when
+importable and raise ``NotImplementedError`` otherwise (no installs in
+this container). On a real cluster the same UDF bodies pick up Pillow
+automatically.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -38,16 +42,136 @@ def _try_import_pil():
 
 
 def decode_image(content: bytes) -> "object":
-    """Real decode path — requires PIL, absent in this container."""
+    """PIL decode path — only needed for compressed formats; BMP/PPM/PGM
+    decode without it via :func:`decode_image_array`."""
     Image = _try_import_pil()
     if Image is None:
         raise NotImplementedError(
-            "image decode requires PIL/Pillow; not available in this "
-            "environment — use fake_decode_stats for plumbing tests"
+            "compressed-image decode requires PIL/Pillow; BMP and binary "
+            "PPM/PGM decode natively via decode_image_array"
         )
     import io
 
     return Image.open(io.BytesIO(content))
+
+
+# ------------------------------------------------- pure-numpy image codecs
+#
+# The same move that made the audio path real (PCM16 = numpy frombuffer):
+# the uncompressed raster formats are just headers + arrays, so decode /
+# encode needs no image library. BMP follows the BITMAPINFOHEADER layout
+# (24/32-bit, BI_RGB only); PPM/PGM are the netpbm binary variants.
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """BI_RGB BMP -> (H, W, 3) uint8 RGB array.
+
+    Supports 24/32-bit uncompressed, bottom-up (positive height, the
+    default) and top-down (negative height) row orders, honoring the
+    4-byte row stride padding."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    width, height = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (want BI_RGB)")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp} (want 24/32)")
+    top_down = height < 0
+    h = abs(height)
+    nch = bpp // 8
+    stride = ((bpp * width + 31) // 32) * 4
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    px = rows[:, : width * nch].reshape(h, width, nch)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR(A) -> RGB (alpha dropped)
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BI_RGB bottom-up BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, _ = arr.shape
+    stride = ((24 * w + 31) // 32) * 4
+    pad = stride - w * 3
+    body = bytearray()
+    bgr = arr[:, :, [2, 1, 0]]
+    for row in bgr[::-1]:  # bottom-up
+        body += row.tobytes() + b"\x00" * pad
+    pix_off = 14 + 40
+    size = pix_off + len(body)
+    header = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary netpbm (P6 PPM / P5 PGM, maxval <= 255) -> (H, W, C) uint8."""
+    magic = content[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    nch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(content, dtype=np.uint8, count=w * h * nch,
+                        offset=pos).reshape(h, w, nch)
+    return np.ascontiguousarray(arr)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> binary P6/P5 bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    magic = b"P5" if arr.ndim == 2 else b"P6"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_image_array(content: bytes) -> np.ndarray:
+    """Dispatch decode: BMP / binary PPM / PGM natively (pure numpy);
+    anything else via PIL when importable, else ``NotImplementedError``."""
+    head = bytes(content[:2])
+    if head == b"BM":
+        return decode_bmp(bytes(content))
+    if head in (b"P6", b"P5"):
+        return decode_ppm(bytes(content))
+    img = decode_image(bytes(content))  # PIL path (raises w/o PIL)
+    return np.asarray(img.convert("RGB"))
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (floor index mapping) —
+    library-free so the real resize path has no PIL dependency."""
+    sh, sw = arr.shape[:2]
+    ri = (np.arange(h) * sh) // h
+    ci = (np.arange(w) * sw) // w
+    return np.ascontiguousarray(arr[ri][:, ci])
 
 
 def media_features(
@@ -75,9 +199,13 @@ def media_features(
                     lambda b: hashlib.sha256(b or b"").hexdigest()),
             })
             if use_real_decoder:
-                imgs = pdf["content"].map(decode_image)  # raises w/o PIL
-                out["width"] = imgs.map(lambda i: i.width).astype("int32")
-                out["height"] = imgs.map(lambda i: i.height).astype("int32")
+                # numpy decode for BMP/PPM/PGM; PIL only for compressed
+                arrs = pdf["content"].map(
+                    lambda b: decode_image_array(bytes(b or b"")))
+                out["width"] = arrs.map(
+                    lambda a: a.shape[1]).astype("int32")
+                out["height"] = arrs.map(
+                    lambda a: a.shape[0]).astype("int32")
             else:
                 out["width"] = pdf.get(
                     "width", pd.Series([None] * len(pdf))).astype("Int32")
@@ -89,6 +217,56 @@ def media_features(
             yield out
 
     return media.mapInPandas(_run, DECODE_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, "
+    "decode_ok boolean"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL per-image decode + channel statistics over the binary column
+    (the image twin of :func:`audio_features`): BMP/PPM/PGM payloads are
+    decoded with pure numpy; rows whose format needs an absent library
+    come back with ``decode_ok = false`` instead of failing the batch.
+
+    Stats are computed from integer pixel sums (exact, order-free) so the
+    outputs are bit-deterministic across partitionings — golden-pinnable.
+    mapInPandas: one Python crossing per Arrow batch; at 100 TB the only
+    sizing concern is rows-per-batch vs payload size, same as audio."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = decode_image_array(bytes(b or b""))
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError):
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, False))
+                    continue
+                h, w = arr.shape[:2]
+                nch = 1 if arr.ndim == 2 else arr.shape[2]
+                px = arr.reshape(h, w, nch).astype(np.int64)
+                n = h * w
+                csum = px.sum(axis=(0, 1))  # integer: exact
+                means = [float(csum[min(c, nch - 1)]) / n for c in range(3)]
+                gray = px.mean(axis=2)
+                gsum, gsq = float(gray.sum()), float((gray * gray).sum())
+                var = max(gsq / n - (gsum / n) ** 2, 0.0)
+                rows.append((mid, w, h, nch, means[0], means[1], means[2],
+                             var ** 0.5, True))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "mean_r", "mean_g", "mean_b", "std_gray", "decode_ok",
+            ])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(_run, IMAGE_FEATURES_SCHEMA)
 
 
 RESIZE_SCHEMA = ("media_id long, kind string, content binary, width int, "
@@ -104,13 +282,14 @@ def resize_images(
     """Image resize stage via mapInPandas (the preprocessing step before
     feature extraction in a vision-training pipeline).
 
-    Real path (``use_real_decoder=True``): PIL decode -> resize ->
-    re-encode inside the UDF — raises in this container (no PIL, by rule).
-    Stub path: passes the payload through untouched and stamps the target
-    dims + ``resized`` flag, keeping the batch shape, schema, and binary
-    round-trip through Arrow real (binary columns survive the Python
-    boundary byte-exact — asserted in tests). Items already at target size
-    are passed through with ``resized=false`` in both paths.
+    Real path (``use_real_decoder=True``): decode -> nearest-neighbor
+    resize -> re-encode inside the UDF. BMP/PPM/PGM payloads do this with
+    pure numpy (no PIL needed — REAL in this container); other formats
+    fall back to PIL and raise without it. Stub path: passes the payload
+    through untouched and stamps the target dims + ``resized`` flag,
+    keeping the batch shape, schema, and binary round-trip through Arrow
+    real. Items already at target size pass through with
+    ``resized=false`` in both paths.
     """
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +323,13 @@ def resize_images(
 
 
 def _resize_one(content: bytes, w: int, h: int) -> bytes:
-    """Real PIL decode->resize->PNG re-encode; raises without PIL."""
+    """Real decode->resize->re-encode. Numpy path for BMP/PPM/PGM
+    (re-encodes in the SAME format); PIL (PNG out) for anything else."""
+    head = bytes(content[:2])
+    if head in (b"BM", b"P6", b"P5"):
+        arr = decode_image_array(content)
+        small = resize_nearest(arr, w, h)
+        return encode_bmp(small) if head == b"BM" else encode_ppm(small)
     img = decode_image(content)
     import io
 
@@ -208,6 +393,37 @@ def frame_sample_plan(
                         lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )
+
+
+def synthetic_images(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL image table: seeded gradient/checker rasters
+    encoded as actual BMP (odd widths exercise row padding) and binary
+    PPM/PGM payloads, conforming to MEDIA_SCHEMA. Unlike
+    :func:`synthetic_media` (opaque fake bytes, kept frozen for the q40
+    golden), these payloads round-trip through the numpy codecs."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 7) % 20       # odd widths -> BMP stride padding
+        h = 9 + (i * 5) % 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+        g = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+        b = (((xx + yy + i) % 16) * 17).astype(np.uint8)
+        arr = np.stack([r, g, b], axis=-1)
+        fmt = ["bmp", "ppm", "pgm"][i % 3]
+        if fmt == "bmp":
+            payload = encode_bmp(arr)
+        elif fmt == "ppm":
+            payload = encode_ppm(arr)
+        else:
+            payload = encode_ppm(arr[:, :, 0])  # P5 grayscale
+        rows.append((i, "image", bytearray(payload), f"synth/{fmt}",
+                     w, h, None, {"fmt": fmt}))
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

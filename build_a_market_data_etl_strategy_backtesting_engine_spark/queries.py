@@ -6539,3 +6539,51 @@ def q144(spark, sf_dir):
         F.round("bid", 6).alias("bid"), F.round("ask", 6).alias("ask"),
         F.round("spread", 6).alias("spread"),
     )
+
+
+# ===================================================== round-4 additions
+
+_GOLDENS['q145'] = (
+    ['media_id', 'width', 'height', 'n_channels',
+     'mean_r', 'mean_g', 'mean_b', 'std_gray', 'decode_ok'],
+    [
+        (0, 13, 9, 3, 127.153846, 127.111111, 135.128205, 50.718053, 1),
+        (1, 20, 14, 3, 127.05, 127.071429, 129.685714, 46.250266, 1),
+        (2, 27, 19, 1, 127.037037, 127.037037, 127.037037, 76.391526, 1),
+        (3, 14, 24, 3, 127.071429, 127.041667, 129.52381, 43.628807, 1),
+        (4, 21, 13, 3, 127.142857, 127.153846, 130.769231, 44.716621, 1),
+        (5, 28, 18, 1, 127.071429, 127.071429, 127.071429, 76.308083, 1),
+        (6, 15, 23, 3, 127.066667, 127.043478, 127.327536, 43.054947, 1),
+        (7, 22, 12, 3, 127.090909, 127.083333, 128.272727, 43.718313, 1),
+        (8, 29, 17, 1, 127.034483, 127.034483, 127.034483, 76.140742, 1),
+        (9, 16, 22, 3, 127.5, 127.090909, 127.5, 44.359574, 1),
+        (10, 23, 11, 3, 127.043478, 127.272727, 121.620553, 44.131879, 1),
+        (11, 30, 16, 1, 127.033333, 127.033333, 127.033333, 76.158818, 1),
+    ])
+
+
+@_register("q145_image_decode_features", _golden_sql("q145"))
+def q145(spark, sf_dir):
+    """REAL image decode end-to-end (closes the r3 multimodal partial):
+    deterministic BMP/PPM/PGM rasters (operators/multimodal.py
+    synthetic_images) -> pure-numpy decode_image_array inside the
+    image_features mapInPandas stage -> per-image width/height/channel
+    means + grayscale std from integer pixel sums (bit-deterministic
+    across partitionings). Same Arrow-batch shape the stubbed path
+    proved; the decode is now real, like audio PCM16 before it (q40
+    kept frozen on the opaque-bytes golden)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
+    media = mm_ops.synthetic_images(spark, 12)
+    feats = mm_ops.image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
