@@ -46,14 +46,48 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_jdbc(df: DataFrame, url: str, table: str,
                properties: dict[str, str] | None = None,
-               batch_size: int = 1000, mode: str = "append") -> None:
+               batch_size: int = 1000, mode: str = "append",
+               column_types: str | None = None) -> None:
     """Postgres batch-insert parity (etl/database_writer.py:110-163):
     executor-parallel INSERTs with JDBC ``batchsize`` playing the role of the
     reference's 1000-row buffer. Retry/exactly-once belongs to the streaming
-    checkpoint layer, not here."""
+    checkpoint layer, not here.
+
+    Verified end-to-end against the embedded Derby driver on Spark's own
+    classpath (tests/test_round4_ops.py::test_jdbc_round_trip — a real
+    file-backed database, no network service needed); against Postgres the
+    only change is the url/driver pair.
+
+    ``column_types`` is the reference's explicit DDL types
+    (database_writer.py:74-82 — ``symbol VARCHAR(20), price
+    NUMERIC(20,6)``) via Spark's ``createTableColumnTypes``; leaving it
+    None lets the dialect default (which on Derby maps StringType to
+    CLOB — unindexable and uncomparable, so give strings a VARCHAR)."""
     props = {"batchsize": str(batch_size)}
+    if column_types:
+        props["createTableColumnTypes"] = column_types
     props.update(properties or {})
     df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: dict[str, str] | None = None,
+              partition_column: str | None = None,
+              lower_bound=None, upper_bound=None,
+              num_partitions: int | None = None) -> DataFrame:
+    """JDBC scan twin of :func:`write_jdbc` (database_writer.py:165-190
+    reads). Pass ``partition_column`` + bounds for a parallel partitioned
+    read (one executor query per stride) — without them the scan is a
+    single connection, fine for dims only."""
+    kwargs = {}
+    if partition_column is not None:
+        kwargs = {
+            "column": partition_column,
+            "lowerBound": lower_bound,
+            "upperBound": upper_bound,
+            "numPartitions": num_partitions or 8,
+        }
+    return spark.read.jdbc(url, table, properties=properties or {}, **kwargs)
 
 
 def latest_trades(df: DataFrame, symbol: str, limit: int = 100,

@@ -210,3 +210,43 @@ def test_resize_images_real_path(spark):
         assert r["resized"]
         arr = mm.decode_image_array(bytes(r["content"]))
         assert (arr.shape[1], arr.shape[0]) == (8, 5)
+
+
+# -------------------------------------------------- verified JDBC sink (r4)
+
+
+def test_jdbc_round_trip(spark, tmp_path):
+    """Closes the §2.1 JDBC-sink partial: write_jdbc lands 2,500 rows in a
+    REAL database (embedded Derby, on Spark's default classpath), read
+    back via a partitioned JDBC scan — values, append mode, and the
+    reference's 1000-row batch size all exercised
+    (etl/database_writer.py:110-163 parity)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.io import (
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 2500).selectExpr(
+        "id", "cast(id * 1.5 as double) as price",
+        "concat('SYM', cast(id % 5 as string)) as symbol")
+    write_jdbc(df, url, "ticks", properties=props, batch_size=1000,
+               column_types="symbol VARCHAR(20)")  # reference DDL parity
+
+    back = read_jdbc(spark, url, "ticks", properties=props)
+    assert back.count() == 2500
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(2500))
+    assert back.filter("symbol = 'SYM3'").count() == 500
+
+    # append mode: a second batch adds, never clobbers (writer buffer flush
+    # semantics of the reference)
+    write_jdbc(df.limit(100), url, "ticks", properties=props, mode="append")
+    assert read_jdbc(spark, url, "ticks", properties=props).count() == 2600
+
+    # partitioned parallel read plans one query per stride
+    par = read_jdbc(spark, url, "ticks", properties=props,
+                    partition_column="id", lower_bound=0,
+                    upper_bound=2500, num_partitions=4)
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == 2600
