@@ -209,6 +209,99 @@ def streaming_dedup(
     )
 
 
+BACKTEST_STATE_SCHEMA = ("last_price double, last_position double, "
+                         "cum_log double, seen long")
+BACKTEST_SCHEMA = (
+    "symbol string, ts timestamp, price double, signal double, "
+    "position double, trade double, returns double, "
+    "strategy_returns double, costs double, net_returns double, "
+    "equity double"
+)
+
+
+def streaming_backtest(
+    bars: DataFrame,
+    position_size: float = 1.0,
+    commission: float = 0.001,
+    slippage: float = 0.0005,
+    initial_cash: float = 1_000_000.0,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "close",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """The flagship 9-step vectorized backtest kernel
+    (``operators/backtest.py::backtest_signals``, portfolio.py:169-220)
+    as a LIVE streaming query: per-symbol state carries exactly the three
+    scalars the recurrences need — last price, last position, and the
+    running ``sum(log1p(net_returns))`` that is the equity curve's
+    exp∘sum∘log1p accumulator — so each micro-batch extends the curve
+    without recomputation and batch replay == stream replay
+    (tests/test_streaming.py::test_streaming_backtest_matches_batch).
+
+    Input contract: bars already carry the signal column (compose any
+    signal stage upstream); ACROSS micro-batches the source must deliver
+    per-symbol rows in event-time order (same contract as every
+    sequence-dependent stateful operator here). Within a batch rows are
+    sorted by ``ts_col``.
+
+    Scale shape: state is 4 scalars/symbol; each batch does one
+    numpy-vectorized pass per (symbol, batch) Arrow frame. 100 TB of
+    history is irrelevant to the state size — only symbol cardinality
+    matters, identical to the reference's per-symbol dict."""
+    import numpy as np
+
+    size = float(position_size)
+    cost_rate = float(commission) + float(slippage)
+    cash0 = float(initial_cash)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            last_px, last_pos, cum_log, seen = state.get
+        else:
+            last_px, last_pos, cum_log, seen = 0.0, 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            px = pdf[price_col].to_numpy(dtype=np.float64)
+            sig = pdf[signal_col].to_numpy(dtype=np.float64)
+            n = len(px)
+            if n == 0:
+                continue
+            pos = sig * size
+            prev_pos = np.concatenate(([last_pos], pos[:-1]))
+            prev_px = np.concatenate(([last_px], px[:-1]))
+            if seen == 0:
+                prev_px[0] = px[0]  # first bar ever: returns = 0 exactly
+            trade = pos - prev_pos
+            returns = px / prev_px - 1.0
+            strat = prev_pos * returns
+            costs = np.abs(trade) * cost_rate
+            net = strat - costs
+            cum = cum_log + np.cumsum(np.log1p(net))
+            yield pd.DataFrame({
+                "symbol": symbol, "ts": pdf[ts_col], "price": px,
+                "signal": sig, "position": pos, "trade": trade,
+                "returns": returns, "strategy_returns": strat,
+                "costs": costs, "net_returns": net,
+                "equity": np.exp(cum) * cash0,
+            })
+            last_px, last_pos = float(px[-1]), float(pos[-1])
+            cum_log = float(cum[-1])
+            seen += n
+        state.update((last_px, last_pos, cum_log, seen))
+
+    return bars.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=BACKTEST_SCHEMA,
+        stateStructType=BACKTEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FILLS_SCHEMA = ("trade_id string, ts timestamp, symbol string, side string, "
                 "quantity double, price double, order_id string")
 
