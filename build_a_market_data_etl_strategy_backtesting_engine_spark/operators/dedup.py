@@ -428,6 +428,102 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 50,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris, Lattanzi,
+    Mirrokni, Rastogi & Vassilvitskii, *Connected Components in MapReduce
+    and Beyond*, SoCC 2014) — the adversarial-diameter upgrade the
+    min-label loop (:func:`connected_components`) documents: rounds are
+    O(log n) in the component size instead of O(diameter), so a 10^6-node
+    chain converges in ~20 rounds, not 10^6.
+
+    Per round, two relational steps over the canonical (big, small) edge
+    set, each ONE equi-join + ONE map-combinable min-agg (the same
+    shuffle budget per round as min-label):
+
+    - **large-star**: every node links its strictly-larger neighbors to
+      the minimum of its neighborhood (flattens tall trees in one hop);
+    - **small-star**: every node links its smaller neighbors AND itself
+      to that minimum (contracts the remaining short trees into stars).
+
+    At the fixed point the edge set IS the component mapping (every node
+    points at its component minimum). Convergence is detected by a
+    2-scalar (count, hash-sum) signature per round — the standard bounded
+    driver boundary. Same output contract as
+    :func:`connected_components`: ``(node_col, cluster)``, cluster = the
+    smallest member id, singletons (when ``nodes`` is given) keep their
+    own id. ``_stats['rounds']`` reports the round count for tests."""
+    u, v = F.col("u"), F.col("v")
+    e = (
+        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        # ---- large-star: neighbors > u attach to min(N(u) ∪ {u})
+        both = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        ls = (
+            both.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: canonical edges all have v < u; every neighbor
+        # and u itself attach to the neighborhood min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(v.alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        sig = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        e = ss
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # fixed point: e = (member, component-min) star edges
+    labels = (
+        e.select(u.alias(node_col), v.alias("cluster"))
+        .union(e.select(v.alias(node_col), v.alias("cluster")))
+        .distinct()
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(node_col))
+            .join(labels, node_col, "left")
+            .select(
+                F.col(node_col),
+                F.coalesce(F.col("cluster"), F.col(node_col))
+                .alias("cluster"),
+            )
+        )
+    return labels
+
+
 def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,

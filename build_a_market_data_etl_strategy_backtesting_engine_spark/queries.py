@@ -6587,3 +6587,49 @@ def q145(spark, sf_dir):
         F.round("std_gray", 6).alias("std_gray"),
         F.col("decode_ok").cast("int").alias("decode_ok"),
     )
+
+
+@_register(
+    "q146_dup_clusters_star",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS grams
+          FROM toks),
+    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM g a JOIN g b
+             ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id
+    """,
+)
+def q146(spark, sf_dir):
+    """q80's transitive duplicate clusters computed by the
+    large-star/small-star algorithm (operators/dedup.py
+    connected_components_star, Kiveris et al. SoCC 2014) instead of
+    min-label propagation: O(log n) rounds vs O(diameter), the
+    100 TB-adversarial-graph path. Same recursive-CTE reachability
+    oracle — both implementations must land on the identical fixpoint."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = (
+        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
+              "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    j = dedup_ops.ngram_jaccard_pairs(
+        d, cand.select("source", "doc_a", "doc_b"), n=3)
+    edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    return dedup_ops.connected_components_star(edges, d.select("doc_id"))

@@ -250,3 +250,53 @@ def test_jdbc_round_trip(spark, tmp_path):
                     upper_bound=2500, num_partitions=4)
     assert par.rdd.getNumPartitions() == 4
     assert par.count() == 2600
+
+
+# ---------------------------------------- large-star/small-star CC (r4)
+
+
+def test_cc_star_matches_minlabel_on_random_graph(spark):
+    """Differential oracle: on shallow graphs (the near-dup regime) the
+    star algorithm must produce exactly the min-label labels."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    ref = {r["doc_id"]: r["cluster"] for r in
+           dedup.connected_components(edf, nodes=nodes).collect()}
+    got = {r["doc_id"]: r["cluster"] for r in
+           dedup.connected_components_star(edf, nodes=nodes).collect()}
+    assert got == ref
+
+
+def test_cc_star_long_chain_logarithmic_rounds(spark):
+    """The adversarial-diameter case the min-label loop truncates at
+    (diameter 200 >> max_iter 25): star converges in O(log n) rounds and
+    labels the whole chain with node 0."""
+    n = 200
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats = {}
+    got = {r["doc_id"]: r["cluster"] for r in
+           dedup.connected_components_star(edf, _stats=stats).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}, "chain not fully merged"
+    assert stats["rounds"] <= 20, f"rounds {stats['rounds']} not O(log n)"
+    # and the documented failure mode is real: min-label at default
+    # max_iter=25 must NOT fully merge a 200-chain
+    partial = {r["cluster"] for r in
+               dedup.connected_components(edf).collect()}
+    assert len(partial) > 1, "expected min-label truncation on the chain"
+
+
+def test_cc_star_singletons_and_two_components(spark):
+    edf = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [10, 11, 12, 20, 21, 99]], "doc_id long")
+    got = {r["doc_id"]: r["cluster"] for r in
+           dedup.connected_components_star(edf, nodes=nodes).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
