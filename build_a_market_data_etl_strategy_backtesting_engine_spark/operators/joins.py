@@ -7,9 +7,12 @@ extension). Two scale-aware strategies:
   sort per key, forward-fill the right side's values, keep left rows.
   Cost = ONE shuffle of left+right on the key — no range explosion, no
   skewed inequality join. The standard idiom for distributed as-of.
+  Covers ALL merge_asof direction/tolerance combinations JVM-side (r4):
+  forward is the mirrored window ordering, nearest picks per-row between
+  the two fills off the same exchange, tolerance is a delta post-filter.
 - ``asof_join_pandas`` (merge_asof twin): per-key ``applyInPandas`` running
-  ``pd.merge_asof`` — exact pandas semantics incl. tolerance; use when a
-  tolerance or nearest-direction is needed.
+  ``pd.merge_asof`` — kept as the differential reference for the JVM
+  path (tests assert equality); prefer ``asof_join`` in pipelines.
 - ``range_join``: interval containment via bucketed equi-join — each
   interval replicated to the time buckets it spans, points join their
   bucket, then the exact predicate filters. Turns an O(n*m) inequality join
@@ -25,6 +28,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tolerance_native(tolerance, on_type) -> float | int | None:
+    """Normalize a tolerance (seconds number, pd.Timedelta, or duration
+    string) to the native delta unit of the ``on`` column: microseconds
+    for timestamps, the column's own units for numerics."""
+    if tolerance is None:
+        return None
+    is_ts = on_type.typeName().startswith("timestamp")
+    if isinstance(tolerance, str):
+        tolerance = pd.Timedelta(tolerance)
+    if isinstance(tolerance, pd.Timedelta):
+        if not is_ts:
+            raise ValueError("Timedelta tolerance on a numeric 'on' column")
+        return int(tolerance.value // 1000)  # ns -> µs
+    return float(tolerance) * 1_000_000 if is_ts else float(tolerance)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -32,9 +51,25 @@ def asof_join(
     by: str = "symbol",
     value_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right row
-    with ``right.on <= left.on`` within the same ``by`` group.
+    """As-of join, fully JVM-side (union-and-window idiom — ONE shuffle on
+    ``by``, no Python, no inequality join), with pandas ``merge_asof``
+    semantics for all direction/tolerance combinations:
+
+    - ``backward`` (default): most recent right row with
+      ``right.on <= left.on``;
+    - ``forward``: earliest right row with ``right.on >= left.on``
+      (the mirrored window ordering);
+    - ``nearest``: whichever of the two is closer, ties to backward
+      (pandas tie-break); both candidates come from the SAME single
+      exchange — two window sorts, zero extra shuffles.
+
+    ``tolerance``: seconds (number), ``pd.Timedelta``, or a duration
+    string — a match farther than this is nulled out per side BEFORE the
+    nearest choice (merge_asof parity: a backward match beyond tolerance
+    still loses to a forward match within it).
 
     Returns left columns + right ``value_cols`` (suffixed on collision) +
     ``{on}{suffix}`` (the matched right timestamp, null if none).
@@ -69,17 +104,52 @@ def asof_join(
           for c in l_cols if c not in (on, by)],
         rv_struct.alias("_rv"),
     )
-    # right rows sort BEFORE left rows at equal ts (_side 0 < 1) so the
-    # match is backward-inclusive, like pandas merge_asof default.
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction {direction!r}")
+    # right rows sort BEFORE left rows at equal ts (_side 0 < 1) in BOTH
+    # orderings, so backward AND forward matches are ts-inclusive, like
+    # pandas merge_asof (allow_exact_matches=True).
     u = lhs.unionByName(rhs)
-    w = (
+    on_type = left.schema[on].dataType
+    is_ts = on_type.typeName().startswith("timestamp")
+    tol = _tolerance_native(tolerance, on_type)
+
+    def _units(c):
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    def _within(struct_col):
+        """Null out a matched struct whose |Δon| exceeds the tolerance."""
+        if tol is None:
+            return struct_col
+        delta = F.abs(_units(F.col(on)) - _units(struct_col[matched_ts]))
+        return F.when(delta <= F.lit(tol), struct_col)
+
+    w_b = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("_side"))
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*", F.last("_rv", ignorenulls=True).over(w).alias("_f_rv"),
+    w_f = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction == "backward":
+        chosen = _within(F.last("_rv", ignorenulls=True).over(w_b))
+    elif direction == "forward":
+        chosen = _within(F.last("_rv", ignorenulls=True).over(w_f))
+    else:
+        back = _within(F.last("_rv", ignorenulls=True).over(w_b))
+        fwd = _within(F.last("_rv", ignorenulls=True).over(w_f))
+        bd = F.abs(_units(F.col(on)) - _units(back[matched_ts]))
+        fd = F.abs(_units(fwd[matched_ts]) - _units(F.col(on)))
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(bd <= fd, back)          # tie -> backward (pandas)
+            .otherwise(fwd)
+        )
+    filled = u.select("*", chosen.alias("_f_rv"))
     keep = [by, on] + [c for c in l_cols if c not in (on, by)]
     return filled.filter(F.col("_side") == 1).select(
         *keep,

@@ -6633,3 +6633,84 @@ def q146(spark, sf_dir):
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
     return dedup_ops.connected_components_star(edges, d.select("doc_id"))
+
+
+@_register(
+    "q147_asof_forward_tolerance",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)}
+    SELECT t.seq, epoch_us(t.ts) AS us, t.price,
+           CASE WHEN b.bts IS NOT NULL
+                 AND epoch_us(b.bts) - epoch_us(t.ts) <= 1800000000
+                THEN b.close END AS bar_close,
+           CASE WHEN b.bts IS NOT NULL
+                 AND epoch_us(b.bts) - epoch_us(t.ts) <= 1800000000
+                THEN epoch_us(b.bts) END AS bar_us
+    FROM ticks t ASOF LEFT JOIN bars b
+      ON t.symbol = b.symbol AND t.ts <= b.bts
+    """,
+)
+def q147(spark, sf_dir):
+    """FORWARD as-of join with tolerance (every tick -> the NEXT 1H bar
+    open-time within 30 minutes) — the r4 JVM-native direction extension
+    of q41's backward join (operators/joins.py asof_join: mirrored window
+    ordering + delta post-filter, one shuffle, no Python). Oracle =
+    DuckDB ASOF LEFT JOIN on t.ts <= b.bts with the tolerance applied as
+    a CASE post-filter."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H").select("symbol", "ts", "close")
+    out = join_ops.asof_join(
+        ticks, b, on="ts", by="symbol", value_cols=["close"],
+        tolerance=1800.0, direction="forward")
+    return out.select(
+        "seq", F.unix_micros("ts").alias("us"), "price",
+        F.col("close").alias("bar_close"),
+        F.unix_micros("ts_right").alias("bar_us"),
+    )
+
+
+@_register(
+    "q148_asof_nearest",
+    f"""
+    WITH {TICKS_CTE},
+    {_bars_cte(60)},
+    bk AS (SELECT t.seq, t.symbol, t.ts, t.price,
+                  b.close AS b_close, b.bts AS b_bts
+           FROM ticks t ASOF LEFT JOIN bars b
+             ON t.symbol = b.symbol AND t.ts >= b.bts),
+    fw AS (SELECT t.seq, b.close AS f_close, b.bts AS f_bts
+           FROM ticks t ASOF LEFT JOIN bars b
+             ON t.symbol = b.symbol AND t.ts <= b.bts)
+    SELECT bk.seq, epoch_us(bk.ts) AS us, bk.price,
+           CASE WHEN b_bts IS NULL THEN f_close
+                WHEN f_bts IS NULL THEN b_close
+                WHEN epoch_us(bk.ts) - epoch_us(b_bts)
+                     <= epoch_us(f_bts) - epoch_us(bk.ts) THEN b_close
+                ELSE f_close END AS bar_close,
+           CASE WHEN b_bts IS NULL THEN epoch_us(f_bts)
+                WHEN f_bts IS NULL THEN epoch_us(b_bts)
+                WHEN epoch_us(bk.ts) - epoch_us(b_bts)
+                     <= epoch_us(f_bts) - epoch_us(bk.ts)
+                THEN epoch_us(b_bts)
+                ELSE epoch_us(f_bts) END AS bar_us
+    FROM bk JOIN fw ON bk.seq = fw.seq
+    """,
+)
+def q148(spark, sf_dir):
+    """NEAREST as-of join (each tick -> the closer of the previous/next
+    1H bar open-time, ties to backward — pandas merge_asof tie-break):
+    both candidate fills come off ONE exchange (two window sorts share
+    the (symbol) partitioning). Oracle composes DuckDB's backward and
+    forward ASOF joins with an explicit CASE distance choice — an
+    independent two-pass formulation of the same semantics."""
+    ticks = _ticks(spark, sf_dir)
+    b = bars.ticks_to_ohlcv(ticks, "1H").select("symbol", "ts", "close")
+    out = join_ops.asof_join(
+        ticks, b, on="ts", by="symbol", value_cols=["close"],
+        direction="nearest")
+    return out.select(
+        "seq", F.unix_micros("ts").alias("us"), "price",
+        F.col("close").alias("bar_close"),
+        F.unix_micros("ts_right").alias("bar_us"),
+    )

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 import pytest
 
 from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
@@ -300,3 +302,116 @@ def test_cc_star_singletons_and_two_components(spark):
     got = {r["doc_id"]: r["cluster"] for r in
            dedup.connected_components_star(edf, nodes=nodes).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
+# -------------------------------------- JVM-native as-of directions (r4)
+
+
+class TestAsofDirections:
+    """asof_join now covers every merge_asof direction/tolerance combo
+    JVM-side; pandas merge_asof is the differential oracle."""
+
+    @staticmethod
+    def _frames():
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        t0 = pd.Timestamp("2024-03-01")
+        lrows, rrows = [], []
+        for sym in ["A", "B"]:
+            lt = np.sort(rng.choice(np.arange(0, 3600, 7), 40,
+                                    replace=False))
+            rt = np.sort(rng.choice(np.arange(0, 3600, 11), 25,
+                                    replace=False))
+            for s in lt:
+                lrows.append({"symbol": sym,
+                              "ts": t0 + pd.Timedelta(seconds=int(s)),
+                              "px": float(s)})
+            for s in rt:
+                rrows.append({"symbol": sym,
+                              "ts": t0 + pd.Timedelta(seconds=int(s)),
+                              "quote": float(s) * 2.0})
+        return pd.DataFrame(lrows), pd.DataFrame(rrows)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("tol_s", [None, 30])
+    def test_matches_merge_asof(self, spark, direction, tol_s):
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+            joins,
+        )
+
+        lpdf, rpdf = self._frames()
+        tol = None if tol_s is None else pd.Timedelta(seconds=tol_s)
+        got = (
+            joins.asof_join(
+                spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                value_cols=["quote"], tolerance=tol, direction=direction)
+            .toPandas().sort_values(["symbol", "ts"])
+            .reset_index(drop=True)
+        )
+        exp_parts = []
+        for sym, lg in lpdf.groupby("symbol"):
+            rg = rpdf[rpdf["symbol"] == sym]
+            exp_parts.append(pd.merge_asof(
+                lg.sort_values("ts"),
+                rg[["ts", "quote"]].sort_values("ts"),
+                on="ts", tolerance=tol, direction=direction))
+        exp = (pd.concat(exp_parts).sort_values(["symbol", "ts"])
+               .reset_index(drop=True))
+        assert len(got) == len(exp)
+        pd.testing.assert_series_equal(
+            got["quote"], exp["quote"], check_names=False)
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+            joins,
+        )
+
+        t0 = pd.Timestamp("2024-03-01")
+        left = spark.createDataFrame(pd.DataFrame([
+            {"symbol": "A", "ts": t0 + pd.Timedelta(seconds=10)}]))
+        right = spark.createDataFrame(pd.DataFrame([
+            {"symbol": "A", "ts": t0 + pd.Timedelta(seconds=5),
+             "quote": 1.0},
+            {"symbol": "A", "ts": t0 + pd.Timedelta(seconds=15),
+             "quote": 2.0}]))
+        row = joins.asof_join(left, right, value_cols=["quote"],
+                              direction="nearest").first()
+        assert row["quote"] == 1.0  # equidistant -> backward (pandas)
+
+    def test_numeric_on_column_with_tolerance(self, spark):
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+            joins,
+        )
+
+        left = spark.createDataFrame(
+            [("A", 10.0), ("A", 25.0)], "symbol string, ts double")
+        right = spark.createDataFrame(
+            [("A", 8.0, 80.0), ("A", 26.0, 260.0)],
+            "symbol string, ts double, quote double")
+        got = {r["ts"]: r["quote"] for r in joins.asof_join(
+            left, right, value_cols=["quote"], tolerance=3.0,
+            direction="nearest").collect()}
+        assert got == {10.0: 80.0, 25.0: 260.0}
+        got_b = {r["ts"]: r["quote"] for r in joins.asof_join(
+            left, right, value_cols=["quote"], tolerance=1.0,
+            direction="backward").collect()}
+        assert got_b == {10.0: None, 25.0: None}
+
+    def test_single_shuffle_plan(self, spark):
+        """All three directions plan exactly ONE exchange (the nearest
+        variant's two window sorts share it) and zero Python stages."""
+        from build_a_market_data_etl_strategy_backtesting_engine_spark import plans
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+            joins,
+        )
+
+        lpdf, rpdf = self._frames()
+        l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+        for direction in ["backward", "forward", "nearest"]:
+            df = joins.asof_join(l, r, value_cols=["quote"],
+                                 tolerance=30.0, direction=direction)
+            assert plans.count_shuffles(df) == 1, direction
+            txt = plans.explain_str(df, "formatted")
+            assert "ArrowEvalPython" not in txt
+            assert "FlatMapGroupsInPandas" not in txt
