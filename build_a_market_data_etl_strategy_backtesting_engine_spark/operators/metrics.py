@@ -135,15 +135,33 @@ def compute_metrics(
         F.coalesce(F.avg(F.when(r > 0, r)), F.lit(0.0)).alias("avg_win"),
         F.coalesce(F.avg(F.when(r < 0, r)), F.lit(0.0)).alias("avg_loss"),
     ]
-    out = df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
-
     if include_streaks:
-        streaks = consecutive_streaks(df, returns_col, group, ts_col)
-        if group:
-            out = out.join(streaks, on=group, how="left")
-        else:
-            out = out.crossJoin(streaks)
-    return out
+        # Fold the gaps-and-islands streak computation into the SAME
+        # single pass instead of joining consecutive_streaks() back (the
+        # join formulation recomputed the entire upstream lineage - the
+        # kernel, its scan, its windows - as a second plan subtree). The
+        # island window partitions by (group, _grp): hash(group) already
+        # satisfies that clustering, so both extra windows ride the ONE
+        # existing exchange as additional sorts, and the streak maxes
+        # join the main aggregation for free.
+        flag = F.when(r > 0, 1).when(r < 0, -1).otherwise(0)
+        df = df.withColumn("_flag", flag)
+        changed = F.when(
+            F.lag("_flag", 1).over(w).isNull()
+            | (F.col("_flag") != F.lag("_flag", 1).over(w)), 1
+        ).otherwise(0)
+        df = df.withColumn("_grp", F.sum(changed).over(w_all))
+        w_island = Window.partitionBy(*group, "_grp").orderBy(ts_col)
+        df = df.withColumn("_streak", F.row_number().over(w_island))
+        aggs += [
+            F.coalesce(
+                F.max(F.when(F.col("_flag") == 1, F.col("_streak"))),
+                F.lit(0)).alias("max_consecutive_wins"),
+            F.coalesce(
+                F.max(F.when(F.col("_flag") == -1, F.col("_streak"))),
+                F.lit(0)).alias("max_consecutive_losses"),
+        ]
+    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
 
 
 def consecutive_streaks(
