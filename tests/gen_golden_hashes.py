@@ -1,0 +1,72 @@
+"""Generate tests/golden_hashes.json — frozen result hashes for the
+newest oracle pairs (q131+), per scale factor.
+
+Complements the DuckDB sweep: the driver externally audits q01-q50 only,
+so the newest operators rely on the builder's own harness. Freezing
+their canonical result hashes in-repo catches regressions in seconds
+(tests/test_golden_r4.py) without spinning DuckDB or the full sweep.
+
+Run:  python tests/gen_golden_hashes.py            (sf0.001 + sf0.01)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.oracle_harness import _rows_to_set  # noqa: E402
+
+GOLDEN_MIN = 131  # q131 onward: the post-r2 operators
+OUT = Path(__file__).resolve().parent / "golden_hashes.json"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def result_hash(df) -> tuple[int, str]:
+    rows = [tuple(r) for r in df.collect()]
+    canon = _rows_to_set(df.columns, rows)
+    h = hashlib.sha256()
+    h.update(repr(sorted(df.columns)).encode())
+    for r in canon:
+        h.update(repr(r).encode())
+    return len(rows), h.hexdigest()
+
+
+def golden_names(q) -> list[str]:
+    out = []
+    for name in sorted(q.spark_queries()):
+        try:
+            num = int(name.split("_", 1)[0].lstrip("q"))
+        except ValueError:
+            continue
+        if num >= GOLDEN_MIN:
+            out.append(name)
+    return out
+
+
+def main() -> None:
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="gen-golden")
+    names = golden_names(q)
+    data: dict[str, dict[str, dict]] = {}
+    for sf_dir in SF_DIRS:
+        key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        for name in names:
+            n, digest = result_hash(q.spark_queries()[name](spark, sf_dir))
+            data.setdefault(name, {})[key] = {"rows": n, "sha256": digest}
+            print(f"{key} {name}: {n} rows {digest[:12]}")
+    OUT.write_text(json.dumps(data, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {OUT} ({len(names)} queries x {len(SF_DIRS)} SFs)")
+
+
+if __name__ == "__main__":
+    main()
