@@ -106,10 +106,22 @@ def bench_asof_join(spark, sf_dir):
     _materialize(joins.asof_join(ticks, b, value_cols=["close"]))
 
 
+def bench_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of (r4): backward + forward fills off ONE
+    exchange, per-row distance choice — all JVM-side."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import joins
+
+    ticks = events_as_ticks(load_tables(spark, sf_dir, ["events"])["events"])
+    b = bars.ticks_to_ohlcv(ticks, "1H").select("symbol", "ts", "close")
+    _materialize(joins.asof_join(ticks, b, value_cols=["close"],
+                                 direction="nearest"))
+
+
 BENCHES = {
     "clean_ohlcv": bench_clean_ohlcv,
     "backtest_metrics": bench_backtest_metrics,
     "asof_join": bench_asof_join,
+    "asof_nearest": bench_asof_nearest,
     "pricing_summary": bench_from_query("q01_pricing_summary"),
     "star_join": bench_from_query("q02_revenue_by_nation"),
     "metrics_suite": bench_from_query("q17_metrics_suite"),
