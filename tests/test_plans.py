@@ -524,3 +524,24 @@ def test_q18_aggregates_before_joining(spark):
     # aggregate (big) or the big-filtered orders join — both key-set
     # sized; the raw lineitem scan must not feed one directly
     assert "HashAggregate" in txt
+
+
+def test_r4_asof_directions_two_shuffles_no_python(spark):
+    """q147 (forward+tolerance) and q148 (nearest) plan exactly the bars
+    aggregation exchange + the union window exchange — 2 shuffles total,
+    zero Python stages. The nearest variant's second fill is a Sort under
+    the same exchange, NOT a new one."""
+    for name in ["q147_asof_forward_tolerance", "q148_asof_nearest"]:
+        df = q.spark_queries()[name](spark, SF)
+        assert plans.count_shuffles(df) == 2, name
+        txt = plans.explain_str(df, "formatted")
+        assert "FlatMapGroupsInPandas" not in txt, name
+        assert "ArrowEvalPython" not in txt, name
+
+
+def test_r4_image_decode_shuffle_free(spark):
+    """q145: the real image decode is ONE mapInPandas stage over the
+    generated frame — zero exchanges; payload bytes never shuffle."""
+    df = q.spark_queries()["q145_image_decode_features"](spark, SF)
+    assert plans.count_shuffles(df) == 0
+    assert "MapInPandas" in plans.explain_str(df, "formatted")
