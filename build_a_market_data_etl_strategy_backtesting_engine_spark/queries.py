@@ -6714,3 +6714,42 @@ def q148(spark, sf_dir):
         F.col("close").alias("bar_close"),
         F.unix_micros("ts_right").alias("bar_us"),
     )
+
+
+_GOLDENS['q149'] = (
+    ['symbol', 'n_bars', 'total_volume', 'avg_close', 'min_low',
+     'max_high'],
+    [
+        ('AAPL', 6, 292392.0, 100.149892, 99.000547, 100.999716),
+        ('GOOGL', 6, 294172.0, 100.235003, 99.000398, 100.999702),
+        ('MSFT', 6, 291817.0, 99.512542, 99.000223, 100.999275),
+    ])
+
+
+@_register("q149_tickgen_datasource_ohlcv", _golden_sql("q149"))
+def q149(spark, sf_dir):
+    """Python DataSource API end-to-end (sources/datasource.py): 18,000
+    ticks generated partition-parallel by the registered ``tickgen``
+    source (pure function of seq — partition-count invariant, pinned in
+    tests/test_datasource.py), rolled to 1H OHLCV and summarized. The
+    golden pins the full path: custom source -> engine bars -> agg.
+    Input-independent (single golden row-set, like q39/q40)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        ensure_package_on_executors,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sources import (
+        datasource as dsrc,
+    )
+
+    ensure_package_on_executors(spark)
+    dsrc.register(spark)
+    ticks = (spark.read.format("tickgen").option("n_ticks", 18000)
+             .option("n_partitions", 8).load())
+    b = bars.ticks_to_ohlcv(ticks, "1H")
+    return b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+        F.round(F.avg("close"), 6).alias("avg_close"),
+        F.round(F.min("low"), 6).alias("min_low"),
+        F.round(F.max("high"), 6).alias("max_high"),
+    )
