@@ -614,3 +614,71 @@ def test_streaming_backtest_matches_batch(spark, tmp_path):
     for col in ["returns", "strategy_returns", "net_returns", "equity"]:
         np.testing.assert_allclose(got[col].values, batch[col].values,
                                    rtol=1e-12, err_msg=col)
+
+
+def test_live_pipeline_matches_batch(spark, tmp_path):
+    """The full reference loop live: ticks -> watermarked streaming OHLCV
+    -> durable bar log -> stateless signal -> stateful kernel, as two
+    chained queries (Spark disallows applyInPandasWithState after a
+    streaming agg - streaming/pipeline.py documents the architecture).
+    The composed stream must equal the composed batch pipeline."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        backtest,
+        bars as bars_ops,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        pipeline,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(240):
+        rows.append({"ts": (t0 + pd.Timedelta(seconds=15 * i)).isoformat(),
+                     "symbol": ["A", "B"][i % 2],
+                     "price": 100.0 + ((i * 7) % 40) / 10.0,
+                     "volume": float(i % 5 + 1)})
+    # sentinel ticks far ahead advance the watermark so every real 1min
+    # window finalizes in append mode (one per symbol; excluded below)
+    for sym in ["A", "B"]:
+        rows.append({"ts": (t0 + pd.Timedelta(hours=2)).isoformat(),
+                     "symbol": sym, "price": 100.0, "volume": 1.0})
+    d = tmp_path / "ticks_in"
+    d.mkdir()
+    pd.DataFrame(rows[:120]).to_json(d / "b1.json", orient="records",
+                                     lines=True)
+    pd.DataFrame(rows[120:]).to_json(d / "b2.json", orient="records",
+                                     lines=True)
+    src = (spark.readStream.format("json")
+           .schema("ts timestamp, symbol string, price double, "
+                   "volume double")
+           .option("maxFilesPerTrigger", 1).load(str(d)))
+    wd = str(tmp_path / "pipe")
+    q1 = pipeline.start_bar_stage(src, wd, freq="1min")
+    q1.awaitTermination(120)
+    q2 = pipeline.start_backtest_stage(spark, wd,
+                                       query_name="live_bt_test")
+    q2.awaitTermination(120)
+    cutoff = t0 + pd.Timedelta(hours=1)
+    got = (spark.sql("select * from live_bt_test").toPandas()
+           .query("ts < @cutoff")
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert len(got) == 120  # 60 one-minute bars per symbol
+
+    # batch replica with the SAME operators
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    ticks_b = spark.createDataFrame(pdf)
+    bars_b = bars_ops.ticks_to_ohlcv(ticks_b, "1min")
+    from pyspark.sql import functions as F
+    sig_b = bars_b.withColumn(
+        "signal",
+        F.when(F.col("close") > F.col("open"), 1.0).otherwise(-1.0))
+    res_b = backtest.backtest_signals(sig_b)
+    exp = (res_b.toPandas().query("ts < @cutoff")
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    for col in ["price", "signal", "position", "trade", "costs"]:
+        np.testing.assert_array_equal(got[col].values, exp[col].values,
+                                      err_msg=col)
+    for col in ["returns", "net_returns", "equity"]:
+        np.testing.assert_allclose(got[col].values, exp[col].values,
+                                   rtol=1e-12, err_msg=col)
