@@ -456,7 +456,7 @@ class WsFeedBridge:
         return self
 
     def _serve(self) -> None:
-        self._srv.settimeout(0.5)
+        self._srv.settimeout(0.1)
         conns: list[socket.socket] = []
         while not self._stop.is_set():
             try:
@@ -468,7 +468,7 @@ class WsFeedBridge:
                 break
             if not conns:
                 continue
-            for rec in self.etl.drain(max_items=1000):
+            for rec in self.etl.drain(max_items=20000):
                 line = (json.dumps(rec) + "\n").encode()
                 for c in list(conns):
                     try:
