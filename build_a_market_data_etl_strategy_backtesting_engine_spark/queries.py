@@ -6753,3 +6753,141 @@ def q149(spark, sf_dir):
         F.round(F.min("low"), 6).alias("min_low"),
         F.round(F.max("high"), 6).alias("max_high"),
     )
+
+
+@_register(
+    "q150_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1.0e0 - l.l_discount)), 4)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, odate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q150(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one market segment. Scale shape: BUILDING customers are
+    1/5 of a dim -> broadcast into orders, the filtered orders key set
+    broadcasts into the lineitem scan (aggregate target), final ranking
+    is TakeOrderedAndProject. lineitem scanned once, never broadcast."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    cutoff = "1998-03-15 00:00:00"
+    orders = t["orders"].filter(F.col("o_orderdate") < _ntz(cutoff)) \
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")) \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].filter(F.col("l_shipdate") > _ntz(cutoff))
+    return (
+        li.join(F.broadcast(orders),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q151_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1.0e0 - l.l_discount)), 4)
+             AS revenue_lost,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_lost DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q151(spark, sf_dir):
+    """TPC-H Q10 shape (returned items): revenue lost to returns per
+    customer over a quarter-window. Returned lines aggregate per
+    orderkey FIRST (fact collapses before any join), then the small
+    per-order rows broadcast through orders -> customer -> nation.
+    Fact is scanned once with the returnflag filter pushed down."""
+    t = load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "nation"])
+    li = (t["lineitem"].filter(F.col("l_returnflag") == "R")
+          .groupBy("l_orderkey")
+          .agg(F.sum(F.col("l_extendedprice")
+                     * (F.lit(1.0) - F.col("l_discount"))).alias("_rev"),
+               F.count(F.lit(1)).alias("_n")))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ntz("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1997-07-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev"), F.sum("_n").alias("_n"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round("_rev", 4).alias("revenue_lost"),
+            F.col("_n").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q152_promo_revenue",
+    """
+    SELECT round(100.0e0 * sum(CASE WHEN p.p_type = 'PROMO'
+               THEN l.l_extendedprice * (1.0e0 - l.l_discount)
+               ELSE 0.0e0 END)
+             / sum(l.l_extendedprice * (1.0e0 - l.l_discount)), 6)
+             AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q152(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): promo share of one month's
+    gross revenue. part is the dim -> broadcast; the shipdate month
+    filter is pushed to the lineitem scan; ONE global aggregate, no
+    shuffle beyond it."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1997-02-01 00:00:00")))
+    gross = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", gross)
+                        .otherwise(F.lit(0.0)))
+                / F.sum(gross), 6).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
