@@ -6891,3 +6891,83 @@ def q152(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_register(
+    "q153_top_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1.0e0 - l_discount)), 4)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q153(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max (ties included). The correlated max-subquery becomes a
+    rank-1 window over the AGGREGATED frame (supplier-count rows, not
+    fact rows) — one fact scan + agg, one window over the collapsed
+    set, supplier dim broadcast at the end."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    rev = (
+        t["lineitem"].filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1997-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = (rev.withColumn("_rk", F.rank().over(w))
+           .filter(F.col("_rk") == 1).drop("_rk"))
+    return (
+        top.join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q154_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey, 0.5e0 * avg(l_quantity) AS half_avg
+                FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l.l_extendedprice) / 7.0e0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pa.half_avg
+    """,
+)
+def q154(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines below half
+    the part's average quantity, for one brand. The correlated per-part
+    average is an aggregate of the fact joined BACK by part key — both
+    sides collapse before joining (per-part rows, not line pairs); the
+    brand dim filter broadcasts. One fact scan feeds both branches."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    li = t["lineitem"]
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1") \
+        .select("p_partkey")
+    return (
+        li.join(F.broadcast(brand),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa.withColumnRenamed("l_partkey", "_pk"),
+              F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
