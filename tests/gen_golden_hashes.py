@@ -22,7 +22,8 @@ from tests.oracle_harness import _rows_to_set  # noqa: E402
 
 GOLDEN_MIN = 131  # q131 onward: the post-r2 operators
 OUT = Path(__file__).resolve().parent / "golden_hashes.json"
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
 
 
 def result_hash(df) -> tuple[int, str]:
