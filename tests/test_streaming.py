@@ -488,7 +488,9 @@ def test_streaming_order_book_matches_batch(spark, tmp_path):
     out = stateful.streaming_order_book(src, slippage_pct=0.001)
     q = (out.writeStream.format("memory").queryName("sbook")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # under a fully loaded suite the pandas workers can take minutes to
+    # spin up; a silent timeout here shows up as a row-count mismatch
+    assert q.awaitTermination(300), "streaming book query did not finish"
     got = (spark.sql("SELECT * FROM sbook").toPandas()
            .sort_values("trade_id").reset_index(drop=True))
 
