@@ -6911,10 +6911,11 @@ def q152(spark, sf_dir):
 )
 def q153(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
-    keep the max (ties included). The correlated max-subquery becomes a
-    rank-1 window over the AGGREGATED frame (supplier-count rows, not
-    fact rows) — one fact scan + agg, one window over the collapsed
-    set, supplier dim broadcast at the end."""
+    keep the max (ties included). The correlated max-subquery is a 1-row
+    aggregate broadcast back onto the supplier-level frame (never a
+    partitionless rank window — that would single-partition-sort every
+    supplier at scale) — one fact scan + agg, one scalar broadcast,
+    supplier dim broadcast at the end."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
     rev = (
         t["lineitem"].filter(
@@ -6925,9 +6926,9 @@ def q153(spark, sf_dir):
                            * (F.lit(1.0) - F.col("l_discount"))), 4)
              .alias("total_revenue"))
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = (rev.withColumn("_rk", F.rank().over(w))
-           .filter(F.col("_rk") == 1).drop("_rk"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (rev.join(F.broadcast(mx))
+           .filter(F.col("total_revenue") == F.col("_mx")).drop("_mx"))
     return (
         top.join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
                  F.col("l_suppkey") == F.col("s_suppkey"))
