@@ -201,3 +201,57 @@ def test_matcher_conservation(spec, cross):
         filled[oid] = filled.get(oid, 0.0) + qty
     for oid, q in filled.items():
         assert q <= submitted[oid] + 1e-9
+
+
+# ---------------------------------------------- r4 pure-function codecs
+
+_img = st.tuples(
+    st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1)
+)
+
+
+@given(_img)
+@settings(max_examples=30, deadline=None)
+def test_image_codec_roundtrip_property(spec):
+    """Any uint8 raster survives BMP and PPM encode->decode bit-exact
+    (incl. odd widths exercising BMP stride padding)."""
+    import numpy as np
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        multimodal as mm,
+    )
+
+    h, w, seed = spec
+    arr = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(arr)), arr)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(arr)), arr)
+    gray = arr[:, :, 0]
+    assert np.array_equal(
+        mm.decode_ppm(mm.encode_ppm(gray))[:, :, 0], gray)
+
+
+_frame = st.tuples(
+    st.sampled_from([0x1, 0x2, 0x9, 0xA]),
+    st.binary(min_size=0, max_size=70000),
+    st.booleans(),
+)
+
+
+@given(_frame)
+@settings(max_examples=30, deadline=None)
+def test_ws_frame_codec_roundtrip_property(spec):
+    """Any payload survives the RFC 6455 frame codec across all three
+    length encodings (7/16/64-bit), masked and unmasked; decoding any
+    PREFIX of a frame returns None (never a torn frame or a raise)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        websocket as wsx,
+    )
+
+    opcode, payload, mask = spec
+    raw = wsx.encode_frame(opcode, payload, mask=mask)
+    fin, op, got, used = wsx.decode_frame(raw + b"XX")
+    assert (fin, op, got, used) == (True, opcode, payload, len(raw))
+    for cut in {1, 2, 3, len(raw) // 2, len(raw) - 1} - {len(raw)}:
+        if 0 < cut < len(raw):
+            assert wsx.decode_frame(raw[:cut]) is None
