@@ -55,6 +55,15 @@ def register_functions(spark: SparkSession) -> list[str]:
         # (same xxhash64 bucket as operators/sampling.py hash_bucket)
         "sample_bucket": ("k STRING",
                           "CAST(pmod(xxhash64(k), 10000) AS DOUBLE)"),
+        # tz-proof session keys (r4): integer epoch arithmetic, immune to
+        # the session timezone — the SQL twins of microstructure._utc_day
+        # and _utc_minute_of_day (date_trunc/hour truncate in session tz)
+        "epoch_day_us": ("ts TIMESTAMP",
+                         "CAST(unix_micros(ts)"
+                         " - pmod(unix_micros(ts), 86400000000) AS DOUBLE)"),
+        "minute_of_day": ("ts TIMESTAMP",
+                          "CAST(CAST(pmod(unix_micros(ts), 86400000000)"
+                          " / 60000000 AS INT) AS DOUBLE)"),
     }
     for name, (args, body) in defs.items():
         spark.sql(_fn(name, args, body))

@@ -95,3 +95,31 @@ def test_sample_bucket_sql_matches_operator(spark):
     kept_op = {r.doc_id for r in
                sampling.deterministic_sample(df, "doc_id", 0.3).collect()}
     assert kept_sql == kept_op
+
+
+def test_tz_proof_session_keys(spark):
+    """epoch_day_us / minute_of_day must not move with the session tz
+    (the SQL twins of the r4 microstructure fix)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.sqlapi import (
+        register_functions,
+    )
+
+    register_functions(spark)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+
+    def vals():
+        return spark.sql(
+            "SELECT epoch_day_us(timestamp_micros(93784000000)) AS d, "
+            "minute_of_day(timestamp_micros(93784000000)) AS m"
+        ).first()
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = vals()
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+        b = vals()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    # 93784 s = 1d 2h 3m 4s -> day 86400e6 us, minute 123
+    assert (a["d"], a["m"]) == (86400000000.0, 123.0)
+    assert (b["d"], b["m"]) == (a["d"], a["m"])
