@@ -98,16 +98,34 @@ def unroll_row_bound(decay: float) -> int:
     """Rows per partition before ``decay^(-n)`` overflows a double, with a
     10% safety margin (ln(DBL_MAX) ≈ 709.78). The validity envelope of
     every closed-form unroll in this module: ~6,000 rows at beta=0.90,
-    ~10,300 at lam=0.94."""
+    ~10,300 at lam=0.94. ``decay >= 1`` (the EWMA boundary / IGARCH
+    parameterizations) has NO valid unroll — bound 0, so ``engine="auto"``
+    always takes the recursion there."""
     import math
 
-    return int(0.9 * 709.78 / math.log(1.0 / float(decay)))
+    decay = float(decay)
+    if decay >= 1.0:
+        return 0
+    return int(0.9 * 709.78 / math.log(1.0 / decay))
 
 
 def _max_rows_per_key(df: DataFrame, symbol_col: str) -> int:
-    """1-scalar driver boundary backing the auto engine choice."""
+    """1-scalar driver boundary backing the auto engine choice. Costs one
+    eager count aggregation over the input — callers on hot paths that
+    KNOW their per-key cardinality should pass engine= explicitly."""
     row = df.groupBy(symbol_col).count().agg(F.max("count")).first()
     return int(row[0] or 0)
+
+
+def _key_ts_schema(df: DataFrame, symbol_col: str, ts_col: str,
+                   value_fields: str) -> str:
+    """applyInPandas output schema with the key/ts types taken from the
+    INPUT (int symbol ids and numeric ts columns survive the engine
+    switch instead of hitting a hardcoded string/timestamp contract)."""
+    sym_t = df.schema[symbol_col].dataType.simpleString()
+    ts_t = df.schema[ts_col].dataType.simpleString()
+    return (f"`{symbol_col}` {sym_t}, `{ts_col}` {ts_t}, "
+            + value_fields)
 
 
 def ewma_variance_expr(
@@ -128,6 +146,10 @@ def ewma_variance_expr(
     for bar-level series; chunk or use applyInPandas beyond that.
     ``w`` must be partitioned + ordered.
     """
+    if not 0.0 < float(lam) < 1.0:
+        raise ValueError(
+            f"lam={lam}: the closed-form unroll needs 0 < lam < 1 — "
+            "use engine='pandas' (the recursion) at the boundary")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     i = F.row_number().over(w) - 1
     u = F.pow(F.lit(1.0 / lam), i)
@@ -148,7 +170,10 @@ def ewma_volatility(
     """Per-symbol RiskMetrics EWMA volatility from bar closes: simple
     returns, EWMA variance (lam = 0.94, the RiskMetrics daily decay),
     vol = sqrt(variance). Rows before the second bar carry NULLs (no
-    return yet). One (symbol, ts) window sort is the only shuffle.
+    return yet). The query itself is one (symbol, ts) window sort;
+    ``engine="auto"`` additionally runs ONE eager count aggregation to
+    pick the engine — pass ``engine=`` explicitly on hot paths where the
+    per-key cardinality is known.
 
     ``engine``: ``"expr"`` = the closed-form JVM unroll (fastest; valid
     while rows/symbol < :func:`unroll_row_bound`), ``"pandas"`` = the
@@ -178,8 +203,8 @@ def ewma_volatility(
             pdf["ewma_var"] = out
             return pdf[[symbol_col, ts_col, "r", "ewma_var"]]
 
-        schema = (f"`{symbol_col}` string, `{ts_col}` timestamp, "
-                  "`r` double, `ewma_var` double")
+        schema = _key_ts_schema(bars, symbol_col, ts_col,
+                                "`r` double, `ewma_var` double")
         rec = with_r.select(symbol_col, ts_col, "r") \
             .groupBy(symbol_col).applyInPandas(_run, schema)
         return rec.select(
@@ -218,6 +243,11 @@ def garch_variance_expr(
     numeric envelope as the EWMA unroll: valid while ``beta^(-n)`` is in
     double range (~6,700 rows/partition at beta=0.9); chunk beyond.
     ``vbar_col`` is the per-key sample variance joined alongside."""
+    if not 0.0 < float(beta) < 1.0:
+        raise ValueError(
+            f"beta={beta}: the closed-form unroll needs 0 < beta < 1 "
+            "(IGARCH beta=1 has no stationary unroll) — use "
+            "engine='pandas' (the recursion) there")
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     i = (F.row_number().over(w) - 1).cast("double")
     r2 = F.col(value_col) * F.col(value_col)
@@ -282,8 +312,8 @@ def garch_volatility(
             pdf["garch_var"] = out
             return pdf[[symbol_col, ts_col, "r", "garch_var"]]
 
-        schema = (f"`{symbol_col}` string, `{ts_col}` timestamp, "
-                  "`r` double, `garch_var` double")
+        schema = _key_ts_schema(bars, symbol_col, ts_col,
+                                "`r` double, `garch_var` double")
         rec = j.select(symbol_col, ts_col, "r", "vbar") \
             .groupBy(symbol_col).applyInPandas(_run, schema)
         return rec.select(

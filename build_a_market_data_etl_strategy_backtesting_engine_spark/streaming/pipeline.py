@@ -69,6 +69,10 @@ def start_backtest_stage(
     ``signal_expr``: a Column over the bar columns (default: up-bar long /
     down-bar short). Stateless by construction — windowed signals belong
     in the bar stage where the watermark governs them."""
+    # both queries can start together on a live trigger: the file-stream
+    # source requires the path to exist before query 1 commits its first
+    # micro-batch
+    os.makedirs(os.path.join(workdir, "bars"), exist_ok=True)
     bars = (
         spark.readStream.schema(BAR_SCHEMA)
         .parquet(os.path.join(workdir, "bars"))

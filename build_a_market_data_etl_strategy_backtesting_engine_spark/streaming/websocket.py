@@ -135,20 +135,49 @@ def parse_ws_url(url: str) -> tuple[str, int, str]:
 # ------------------------------------------------------------ client
 
 
+def declared_frame_len(buf: bytes | bytearray) -> int | None:
+    """Total byte length the frame at the head of ``buf`` declares, or
+    None if even the header is incomplete. Lets a reader reject an
+    oversized declaration BEFORE buffering the whole payload."""
+    if len(buf) < 2:
+        return None
+    n = buf[1] & 0x7F
+    masked = bool(buf[1] & 0x80)
+    pos = 2
+    if n == 126:
+        if len(buf) < 4:
+            return None
+        n = struct.unpack(">H", bytes(buf[2:4]))[0]
+        pos = 4
+    elif n == 127:
+        if len(buf) < 10:
+            return None
+        n = struct.unpack(">Q", bytes(buf[2:10]))[0]
+        pos = 10
+    return pos + (4 if masked else 0) + n
+
+
 class WebSocketClient:
     """Blocking RFC 6455 client over one TCP socket.
 
     Does the opening handshake on :meth:`connect` (verifying the accept
     key), answers pings with pongs transparently, reassembles
     continuation frames, and exposes :meth:`recv_text` /
-    :meth:`send_text` / :meth:`ping` / :meth:`close`."""
+    :meth:`send_text` / :meth:`ping` / :meth:`close`.
+
+    ``max_frame_bytes`` bounds the receive buffer: a corrupt or hostile
+    header declaring a multi-GB payload raises ``ConnectionError``
+    instead of buffering toward OOM (a desynced stream looks exactly
+    like this)."""
 
     def __init__(self, url: str, connect_timeout: float = 5.0,
-                 poll_timeout: float = 0.5):
+                 poll_timeout: float = 0.5,
+                 max_frame_bytes: int = 16 * 1024 * 1024):
         self.url = url
         self.host, self.port, self.resource = parse_ws_url(url)
         self.connect_timeout = connect_timeout
         self.poll_timeout = poll_timeout
+        self.max_frame_bytes = int(max_frame_bytes)
         self.sock: socket.socket | None = None
         self._buf = bytearray()
         self._fragments: list[bytes] = []
@@ -224,6 +253,12 @@ class WebSocketClient:
         assert self.sock is not None, "not connected"
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
+            declared = declared_frame_len(self._buf)
+            if declared is not None and declared > self.max_frame_bytes:
+                raise ConnectionError(
+                    f"frame declares {declared} bytes "
+                    f"(> max_frame_bytes={self.max_frame_bytes}); "
+                    "corrupt or hostile stream")
             frame = decode_frame(self._buf)
             if frame is not None:
                 fin, opcode, payload, used = frame
@@ -291,7 +326,14 @@ class LiveWsETL:
     ``seq``, the subscribe message includes ``last_seq`` after the first
     connect and frames with ``seq <= last_seq`` are dropped — a
     resume-capable feed therefore delivers exactly-once across
-    reconnects; a plain feed degrades to the reference's behavior."""
+    RECONNECTS; a plain feed degrades to the reference's behavior.
+
+    Buffer overflow is a separate, orthogonal loss mode: if the consumer
+    drains slower than the feed for ``queue_size`` messages, further
+    records are DROPPED and counted in ``stats['dropped']`` — the
+    reference's full-queue behavior (websocket_client.py:142-147), made
+    visible instead of silent. Size ``queue_size`` to the worst-case
+    consumer stall; the resume guarantee does not cover these drops."""
 
     def __init__(
         self,
@@ -306,7 +348,8 @@ class LiveWsETL:
         self.ws_url = ws_url
         self.symbols = symbols
         self.message_handler = message_handler or (lambda d: d)
-        self.queue: deque = deque(maxlen=queue_size)
+        self.queue: deque = deque()
+        self.queue_size = int(queue_size)
         self.reconnect_delay = reconnect_delay
         self.heartbeat_interval = heartbeat_interval
         self.max_reconnects = max_reconnects
@@ -316,6 +359,7 @@ class LiveWsETL:
             "messages_received": 0,
             "messages_processed": 0,
             "errors": 0,
+            "dropped": 0,
             "reconnects": 0,
             "pings_sent": 0,
         }
@@ -419,6 +463,12 @@ class LiveWsETL:
             with self._lock:
                 self._stats["errors"] += 1
             return
+        if len(self.queue) >= self.queue_size:
+            # reference parity (websocket_client.py:142-147): full queue
+            # drops the NEW message — but counted, never silent
+            with self._lock:
+                self._stats["dropped"] += 1
+            return
         self.queue.append(record)
         with self._lock:
             self._stats["messages_processed"] += 1
@@ -468,13 +518,23 @@ class WsFeedBridge:
                 break
             if not conns:
                 continue
-            for rec in self.etl.drain(max_items=20000):
+            batch = self.etl.drain(max_items=20000)
+            for i, rec in enumerate(batch):
                 line = (json.dumps(rec) + "\n").encode()
+                delivered = False
                 for c in list(conns):
                     try:
                         c.sendall(line)
+                        delivered = True
                     except OSError:
                         conns.remove(c)
+                if not delivered:
+                    # every connection died mid-batch (e.g. Spark query
+                    # restart): put this and the remaining records BACK at
+                    # the queue head so the reconnected reader gets them —
+                    # 'held, not lost' has to survive a dead socket too
+                    self.etl.queue.extendleft(reversed(batch[i:]))
+                    break
         for c in conns:
             try:
                 c.close()

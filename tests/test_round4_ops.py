@@ -536,18 +536,25 @@ def test_utc_day_and_slot_are_session_tz_invariant(spark):
             F.unix_micros(_utc_day("ts")),
             _utc_minute_of_day("ts")).collect()]
 
+    def epochs():
+        df = spark.createDataFrame(pdf)
+        return [r[0] for r in df.select(F.unix_micros("ts")).collect()]
+
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        utc_keys = keys()
+        utc_keys, utc_epochs = keys(), epochs()
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        ny_keys = keys()
+        ny_keys, ny_epochs = keys(), epochs()
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     # createDataFrame interprets naive stamps in the session tz, so the
     # EPOCH values differ between sessions; what must be invariant is the
-    # key ARITHMETIC: day = floor(epoch/day), slot = minutes into the
-    # epoch day. Verify directly against the epoch of each row.
-    for (day_us, slot), (day_us2, slot2) in zip(utc_keys, ny_keys):
-        assert day_us % 86_400_000_000 == 0
-        assert day_us2 % 86_400_000_000 == 0
-        assert 0 <= slot < 1440 and 0 <= slot2 < 1440
+    # key ARITHMETIC relative to each row's true epoch: day =
+    # epoch - epoch%day, slot = (epoch%day)/min. The old tz-dependent
+    # spelling (hour(ts)*60+minute(ts), date_trunc) violates exactly
+    # this under NY (offset-shifted) — pinned per row, not just by range.
+    day_us = 86_400_000_000
+    for (d, s), e in list(zip(utc_keys, utc_epochs)) + \
+            list(zip(ny_keys, ny_epochs)):
+        assert d == e - e % day_us, "day key not pure epoch arithmetic"
+        assert s == (e % day_us) // 60_000_000, "slot key tz-dependent"
