@@ -394,3 +394,62 @@ def test_ws_tick_source_feeds_spark_normalizer(spark, tmp_path):
         if bridge is not None:
             bridge.close()
         server.close()
+
+
+def test_bridge_requeues_when_consumer_dies():
+    """The held-not-lost claim must survive a dead consumer socket
+    (r4 review fix): records drained while no live consumer can take
+    them go BACK to the queue head, and a reconnecting consumer reads
+    the full uninterrupted sequence."""
+    import socket as socklib
+
+    def handler(conn: _WsConn, n: int):
+        conn.recv_subscribe()
+        for i in range(60):
+            conn.send_text(json.dumps({"seq": i, "symbol": "A",
+                                       "price": float(i)}))
+            time.sleep(0.01)
+        time.sleep(30)  # hold the feed open while consumers churn
+
+    server = WsTestServer(handler)
+    bridge = wsx.WsFeedBridge(server.url, ["A"]).start()
+    received = []
+    try:
+        def read_some(sock, min_lines, deadline_s=10):
+            buf = b""
+            deadline = time.monotonic() + deadline_s
+            while buf.count(b"\n") < min_lines and \
+                    time.monotonic() < deadline:
+                sock.settimeout(0.5)
+                try:
+                    chunk = sock.recv(65536)
+                except socklib.timeout:
+                    continue
+                if not chunk:
+                    break
+                buf += chunk
+            return [json.loads(x) for x in buf.split(b"\n") if x]
+
+        c1 = socklib.create_connection(("127.0.0.1", bridge.port))
+        received += read_some(c1, 10)
+        assert len(received) >= 10
+        # hard-kill the first consumer (RST) and give the bridge time to
+        # discover the death on its next send
+        c1.setsockopt(socklib.SOL_SOCKET, socklib.SO_LINGER,
+                      struct.pack("ii", 1, 0))
+        c1.close()
+        time.sleep(1.0)
+        c2 = socklib.create_connection(("127.0.0.1", bridge.port))
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            received += read_some(c2, 1, deadline_s=1)
+            seqs = sorted(r["seq"] for r in received)
+            if len(set(seqs)) >= 60:
+                break
+        c2.close()
+        uniq = sorted({r["seq"] for r in received})
+        assert uniq == list(range(60)), \
+            f"records lost across consumer death: have {len(uniq)}/60"
+    finally:
+        bridge.close()
+        server.close()
