@@ -382,7 +382,16 @@ def binomial_american(
     """Run the CRR American backward induction on a Spark DataFrame of
     (id, s, k, t_y, r, sigma). Entirely JVM-side — the value array walks
     back through ``n_steps`` recursive union steps, no Python in the
-    loop."""
+    loop.
+
+    The recursion materializes (n_steps + 1) rows per option, so Spark's
+    default ``cteRecursionRowLimit`` (1M) trips at ~15k options with 64
+    steps (hit at sf0.1, r4). Raise it to fit the actual row budget —
+    a bounded, known iteration count, not an unbounded loop guard."""
+    need = (int(n_steps) + 1) * max(opts.count(), 1) * 2
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if need > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
     opts.createOrReplaceTempView(view_name)
     return spark.sql(
         binomial_american_sql(

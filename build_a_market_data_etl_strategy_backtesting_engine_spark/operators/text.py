@@ -820,8 +820,15 @@ def hashed_ngram_score(
     w = _hashed_weight(portable_bucket(F.col("gram"), n_buckets))
     scored = per_gram.select(F.col(id_col), w.alias("w"))
     score = F.avg("w")
+    # w is k/1024 - 1 with integer k, so w*1024 is integer-valued: the
+    # exact BIGINT feature-weight sum is the order-free, engine-exact
+    # representation of the score (score = w_sum_x1024 / (1024 * n)) —
+    # the emission oracles should compare (avg(double)/round can land on
+    # a decimal rounding tie and flip the last digit across engines)
+    w_sum = F.sum((F.col("w") * 1024).cast("long"))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_features"),
+        w_sum.alias("w_sum_x1024"),
         score.alias("score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("quality_prob"),
     )

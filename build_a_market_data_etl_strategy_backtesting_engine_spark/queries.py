@@ -4855,11 +4855,12 @@ _Q112_BUCKET = sampling_ops.portable_bucket_sql("gram", 1024)
     g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
     wtd AS (SELECT doc_id,
                    ((CAST({_Q112_BUCKET} AS BIGINT) * 2654435761 + 12345)
-                    % 2048) / 1024.0e0 - 1.0e0 AS w
+                    % 2048) AS k
             FROM g)
     SELECT doc_id, count(*) AS n_features,
-           round(avg(w), 8) AS score,
-           round(1.0e0 / (1.0e0 + exp(-avg(w))), 8) AS quality_prob
+           CAST(sum(k - 1024) AS BIGINT) AS w_sum_x1024,
+           round(1.0e0 / (1.0e0 + exp(-(sum(k - 1024) / 1024.0e0
+                                        / count(*)))), 8) AS quality_prob
     FROM wtd GROUP BY doc_id
     """,
 )
@@ -4867,13 +4868,14 @@ def q112(spark, sf_dir):
     """fastText-style hashed-n-gram linear quality score (operators/
     text.py hashed_ngram_score): unigram+bigram features, portable md5
     bucket, frozen integer-arithmetic weights, sigmoid of the mean.
-    The mean is an order-insensitive pairwise sum over identical doubles
-    — rounded at the edge."""
+    The score crosses the oracle boundary as the EXACT integer weight
+    sum (w*1024 is integer-valued) — avg+round landed on a decimal
+    rounding tie at sf0.1 and the engines broke it differently (r4);
+    only the sigmoid stays float, rounded at the edge."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     out = text_ops.hashed_ngram_score(d, n_buckets=1024)
     return out.select(
-        "doc_id", "n_features",
-        F.round("score", 8).alias("score"),
+        "doc_id", "n_features", "w_sum_x1024",
         F.round("quality_prob", 8).alias("quality_prob"),
     )
 
@@ -4899,8 +4901,8 @@ def q112(spark, sf_dir):
                          ROWS UNBOUNDED PRECEDING) AS acc
           FROM rr)
     SELECT symbol, epoch_us(bts) AS bar_us, round(r, 8) AS r,
-           round(power({_dlit(0.94)}, i) * acc, 10) AS ewma_var,
-           round(sqrt(power({_dlit(0.94)}, i) * acc), 8) AS ewma_vol
+           round(power({_dlit(0.94)}, i) * acc, 4) AS ewma_var,
+           round(sqrt(power({_dlit(0.94)}, i) * acc), 6) AS ewma_vol
     FROM s
     """,
 )
@@ -4913,11 +4915,16 @@ def q113(spark, sf_dir):
     ticks = _ticks(spark, sf_dir)
     b = bars.ticks_to_ohlcv(ticks, "1d")
     out = ewm_fns.ewma_volatility(b, lam=0.94)
+    # variance magnitudes here are ~1e4-1e5 (event-value 'prices' swing
+    # wildly), so round-10 demanded 15 significant digits — past double
+    # cross-engine reproducibility; 4/6 decimals keep ~9-11 sig digits
+    # with ample margin over the ~1e-16-relative running-sum noise (r4
+    # sf0.1 sweep caught the 15th-digit flip)
     return out.select(
         "symbol", F.unix_micros("ts").alias("bar_us"),
         F.round("r", 8).alias("r"),
-        F.round("ewma_var", 10).alias("ewma_var"),
-        F.round("ewma_vol", 8).alias("ewma_vol"),
+        F.round("ewma_var", 4).alias("ewma_var"),
+        F.round("ewma_vol", 6).alias("ewma_vol"),
     )
 
 
