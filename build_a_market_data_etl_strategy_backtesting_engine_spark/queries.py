@@ -6979,3 +6979,69 @@ def q154(spark, sf_dir):
              .alias("avg_yearly"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@_register(
+    "q155_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1.0e0 - l.l_discount)), 4)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q155(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue by year
+    between two nations, reaching BOTH sides of the fact — supplier
+    nation via l_suppkey, customer nation via orders. Scale shape: the
+    two nation-filtered key sets (suppliers of FRANCE∪GERMANY; customers
+    of same) broadcast into the fact scan; orders⋈lineitem is the one
+    fact-fact join and runs on the shuffled orderkey (AQE-sized), never
+    broadcast. year() on an NTZ shipdate is tz-independent."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "supplier", "nation", "orders",
+                     "customer"])
+    nat = t["nation"].filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    supp = (t["supplier"]
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("_snk"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t["customer"]
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_cnk"),
+                F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("_cnk"))
+            .select("c_custkey", "cust_nation"))
+    orders = (t["orders"]
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00")))
+    return (
+        li.join(F.broadcast(supp),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 4)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
