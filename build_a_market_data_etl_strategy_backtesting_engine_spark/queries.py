@@ -7045,3 +7045,81 @@ def q155(spark, sf_dir):
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@_register(
+    "q156_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1.0e0 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'GERMANY' THEN volume
+                          ELSE 0.0e0 END) / sum(volume), 6) AS mkt_share,
+           round(sum(volume), 4) AS total_volume,
+           count(*) AS n_lines
+    FROM vol GROUP BY o_year
+    """,
+)
+def q156(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of PROMO-part volume sold into one region, by year. Every
+    non-fact input is a filtered dim and broadcasts (customer keys of
+    the region, PROMO part keys, supplier->nation); the only fact-fact
+    join is lineitem x orders on the shuffled orderkey. The share is a
+    conditional-sum ratio inside ONE aggregation — never a join of two
+    aggregates."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "part", "orders", "customer", "nation",
+                     "region", "supplier"])
+    eu_nat = (t["nation"]
+              .join(F.broadcast(t["region"]
+                                .filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select(F.col("n_nationkey").alias("_eunk")))
+    cust = (t["customer"]
+            .join(F.broadcast(eu_nat),
+                  F.col("c_nationkey") == F.col("_eunk"))
+            .select("c_custkey"))
+    orders = (t["orders"]
+              .filter((F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+                      & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00")))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "o_orderdate"))
+    promo = t["part"].filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("_snk"))
+            .select("s_suppkey", "supp_nation"))
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "GERMANY", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+            .alias("mkt_share"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
