@@ -50,6 +50,20 @@ def tick_json_dir(spark, tmp_path):
     return str(d)
 
 
+
+def _stamp_dir(d):
+    """Give micro-batch input files strictly increasing mtimes in NAME
+    order: the file stream source orders by modification time, and
+    same-instant writes (filesystem mtime granularity) can replay files
+    out of order — scrambling every state-carrying equivalence test."""
+    import os
+    import time as _t
+
+    base = _t.time() - 120
+    for i, pth in enumerate(sorted(d.glob("*.json"))):
+        os.utime(pth, (base + 2 * i, base + 2 * i))
+
+
 def test_streaming_ingest_normalizes_and_drops(spark, tick_json_dir, tmp_path):
     raw = spark.readStream.format("text").load(tick_json_dir)
     q = ingest.ingest_to_memory(raw.withColumnRenamed("value", "value"),
@@ -156,6 +170,7 @@ def test_stateful_trailing_stops_across_batches(spark, tmp_path):
                                    lines=True)
     pd.DataFrame(rows[3:]).to_json(d / "b2.json", orient="records",
                                    lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, price double")
            .option("maxFilesPerTrigger", 1).load(str(d)))
@@ -192,6 +207,7 @@ def test_stateful_position_tracker(spark, tmp_path):
     d = tmp_path / "fills_in"
     d.mkdir()
     pd.DataFrame(fills).to_json(d / "f.json", orient="records", lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, side string, "
                    "quantity double, price double").load(str(d)))
@@ -245,6 +261,7 @@ def test_watermark_append_finalizes_bars(spark, tmp_path):
         streaming_ohlcv,
     )
 
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, price double, volume double")
            .option("maxFilesPerTrigger", 1).load(str(d)))
@@ -286,6 +303,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         dedup_stream,
     )
 
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, price double, volume double")
            .option("maxFilesPerTrigger", 1).load(str(d)))
@@ -319,6 +337,7 @@ def test_tws_trailing_stops_across_batches(spark, tmp_path):
                                    lines=True)
     pd.DataFrame(rows[3:]).to_json(d / "b2.json", orient="records",
                                    lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, price double")
            .option("maxFilesPerTrigger", 1).load(str(d)))
@@ -353,6 +372,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     d = tmp_path / "dedup_in"
     d.mkdir()
     pd.DataFrame(rows).to_json(d / "r.json", orient="records", lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, seq long").load(str(d)))
     out = stateful.streaming_dedup(src, subset=["symbol", "seq"])
@@ -483,6 +503,7 @@ def test_streaming_order_book_matches_batch(spark, tmp_path):
                                      lines=True)
     pd.DataFrame(events[4:]).to_json(d / "b1.json", orient="records",
                                      lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json").schema(schema)
            .option("maxFilesPerTrigger", 1).load(str(d)))
     out = stateful.streaming_order_book(src, slippage_pct=0.001)
@@ -548,6 +569,7 @@ def test_stream_batch_sessionization_equivalence(spark, tmp_path):
     )
     assert len(expected) == 16  # 4 users x 4 sessions
 
+    _stamp_dir(d)
     src = (spark.readStream.schema(schema).json(str(d))
            .withWatermark("ts", "2 hours"))
     sess = sessions.sessionize(src, gap="30 minutes")
@@ -594,6 +616,7 @@ def test_streaming_backtest_matches_batch(spark, tmp_path):
     for k, lo, hi in [(1, 0, 20), (2, 20, 40), (3, 40, 60)]:
         by_ts.iloc[lo:hi].to_json(d / f"b{k}.json", orient="records",
                                   lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, close double, "
                    "signal double")
@@ -650,6 +673,7 @@ def test_live_pipeline_matches_batch(spark, tmp_path):
                                      lines=True)
     pd.DataFrame(rows[120:]).to_json(d / "b2.json", orient="records",
                                      lines=True)
+    _stamp_dir(d)
     src = (spark.readStream.format("json")
            .schema("ts timestamp, symbol string, price double, "
                    "volume double")
