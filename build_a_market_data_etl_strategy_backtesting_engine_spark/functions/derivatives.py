@@ -378,6 +378,7 @@ def binomial_american(
     n_steps: int = 64,
     call: bool = False,
     view_name: str = "opts_binom_input",
+    n_opts: int | None = None,
 ) -> DataFrame:
     """Run the CRR American backward induction on a Spark DataFrame of
     (id, s, k, t_y, r, sigma). Entirely JVM-side — the value array walks
@@ -386,19 +387,33 @@ def binomial_american(
 
     The recursion materializes (n_steps + 1) rows per option, so Spark's
     default ``cteRecursionRowLimit`` (1M) trips at ~15k options with 64
-    steps (hit at sf0.1, r4). Raise it to fit the actual row budget —
-    a bounded, known iteration count, not an unbounded loop guard."""
-    need = (int(n_steps) + 1) * max(opts.count(), 1) * 2
-    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if need > cur:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
+    steps (hit at sf0.1, r4). When the budget exceeds the current limit,
+    the limit is raised ONLY for the duration of this call: the
+    recursion is executed eagerly inside the raised window (the result
+    is one small (id, price) row per option, so materializing it is
+    cheap relative to the tree walk) and the previous session value is
+    restored in ``finally``. Pass ``n_opts`` when the caller already
+    knows the row count to skip the extra ``count()`` pass over the
+    input plan."""
+    if n_opts is None:
+        n_opts = opts.count()
+    need = (int(n_steps) + 1) * max(int(n_opts), 1) * 2
+    key = "spark.sql.cteRecursionRowLimit"
+    cur = int(spark.conf.get(key, "1000000"))
     opts.createOrReplaceTempView(view_name)
-    return spark.sql(
-        binomial_american_sql(
-            f"SELECT id, s, k, t_y, r, sigma FROM {view_name}",
-            n_steps=n_steps, call=call, dialect="spark",
-        )
+    sql = binomial_american_sql(
+        f"SELECT id, s, k, t_y, r, sigma FROM {view_name}",
+        n_steps=n_steps, call=call, dialect="spark",
     )
+    if need <= cur:
+        return spark.sql(sql)
+    spark.conf.set(key, str(need))
+    try:
+        # The limit is consulted at EXECUTION time, so a lazy return
+        # would see the restored (too-small) value — materialize here.
+        return spark.sql(sql).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, str(cur))
 
 
 # ------------------------------------------------ Monte Carlo pricing

@@ -118,14 +118,26 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     doc_id_col: str = "doc_id",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any full band become candidate
     pairs. Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
 
-    The join is per-band on the band hash — uniform keys, no n^2. At 100TB
-    the band tables are written bucketed by band hash so repeated dedup runs
-    skip the shuffle."""
+    The join is per-band on the band hash — uniform keys, no n^2 ACROSS
+    buckets; but WITHIN one band bucket the pair join is quadratic, so a
+    boilerplate-heavy corpus where thousands of docs share one band value
+    (identical headers/footers dominating the signature) explodes into
+    O(d^2) pairs. ``max_band_df`` is the stop-band cap: band values held
+    by more than that many docs are dropped before the pair join — the
+    exact analogue of ``fingerprint_overlap_pairs``'s stop-fingerprint
+    ``max_df`` (and of CCNet's common-line filter). True near-dup pairs
+    overwhelmingly still meet in their OTHER, rarer bands (recall pinned
+    by test); the frequency dictionary is one map-combinable agg on the
+    same band key the join already shuffles on.
+
+    At 100TB the band tables are written bucketed by band hash so repeated
+    dedup runs skip the shuffle."""
     rows_per_band = num_hashes // bands
     # One explode of a bands-length struct array instead of a bands-way
     # union: the signature expressions are computed once per doc row, not
@@ -143,6 +155,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(doc_id_col).alias("doc"), F.explode(band_structs).alias("_s")
     ).select("doc", F.col("_s.band").alias("band"), F.col("_s.bh").alias("bh"))
+    if max_band_df is not None:
+        bdf = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_df"))
+        banded = (
+            banded.join(bdf.where(F.col("_df") <= max_band_df),
+                        ["band", "bh"])
+            .select("doc", "band", "bh")
+        )
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = (
@@ -186,11 +206,15 @@ def minhash_dedup(
     threshold: float = 0.7,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: signatures -> LSH candidates ->
-    similarity filter. Returns (doc_a, doc_b, est_jaccard) above threshold."""
+    similarity filter. Returns (doc_a, doc_b, est_jaccard) above threshold.
+    ``max_band_df`` passes through to the stop-band cap (see
+    ``lsh_candidate_pairs``)."""
     sigs = minhash_signatures(docs, num_hashes, k, text_col, doc_id_col)
-    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, doc_id_col)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, doc_id_col,
+                                max_band_df=max_band_df)
     sims = minhash_similarity(sigs, pairs, num_hashes, doc_id_col)
     return sims.filter(F.col("est_jaccard") >= threshold)
 

@@ -826,12 +826,21 @@ def hashed_ngram_score(
     # the emission oracles should compare (avg(double)/round can land on
     # a decimal rounding tie and flip the last digit across engines)
     w_sum = F.sum((F.col("w") * 1024).cast("long"))
-    return scored.groupBy(id_col).agg(
+    agged = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_features"),
         w_sum.alias("w_sum_x1024"),
         score.alias("score"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("quality_prob"),
     )
+    # The sigmoid is derived from the EXACT integer representation
+    # (w_sum_x1024 / 1024 / n), not from avg(w): both engines then run
+    # the identical float expression on identical inputs, so the only
+    # divergence left is libm ulp inside one exp() — avg(double) could
+    # differ in summation order and flip a decimal rounding tie.
+    exact_score = (F.col("w_sum_x1024") / F.lit(1024.0)
+                   / F.col("n_features"))
+    return agged.withColumn(
+        "quality_prob",
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-exact_score)))
 
 
 def bucket_features(

@@ -170,12 +170,15 @@ def q01(spark, sf_dir):
     """,
 )
 def q02(spark, sf_dir):
-    """Star join: fact(orders) ⋈ dims — dims broadcast (no fact shuffle for
-    the joins; the only shuffle is the final group-by)."""
+    """Star join: fact(orders) ⋈ dims — constant-size dims (nation,
+    region) carry explicit broadcast hints; customer scales linearly
+    with SF (15B rows at 100 TB) so it is NOT hinted — size stats / AQE
+    pick broadcast at small SF and a shuffle join at scale, where a
+    forced broadcast would OOM by construction."""
     t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]),
+        .join(t["customer"],
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -3291,12 +3294,10 @@ def q71(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     return (
         t["lineitem"]
-        .join(F.broadcast(
-            t["orders"].filter(F.col("o_orderdate") < _ntz(_D_1998))),
-            F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(
-            t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
-            F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["orders"].filter(F.col("o_orderdate") < _ntz(_D_1998)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("l_shipdate") > _ntz(_D_1998))
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
@@ -3335,11 +3336,10 @@ def q72(spark, sf_dir):
     od = F.col("o_orderdate")
     return (
         t["lineitem"].filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(
-            t["orders"].filter((od >= _ntz(_D_1996_Q1_LO))
-                               & (od < _ntz(_D_1996_Q1_HI)))),
-            F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]),
+        .join(t["orders"].filter((od >= _ntz(_D_1996_Q1_LO))
+                                 & (od < _ntz(_D_1996_Q1_HI))),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"],
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -3376,7 +3376,7 @@ def q73(spark, sf_dir):
     return (
         t["lineitem"]
         .filter((sd >= _ntz(_D_1996_Q1_LO)) & (sd < _ntz(_D_1996_Q1_HI)))
-        .join(F.broadcast(t["part"]),
+        .join(t["part"],
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(
@@ -6782,20 +6782,21 @@ def q149(spark, sf_dir):
 )
 def q150(spark, sf_dir):
     """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
-    orders for one market segment. Scale shape: BUILDING customers are
-    1/5 of a dim -> broadcast into orders, the filtered orders key set
-    broadcasts into the lineitem scan (aggregate target), final ranking
-    is TakeOrderedAndProject. lineitem scanned once, never broadcast."""
+    orders for one market segment. Scale shape: customer and orders both
+    scale linearly with SF, so neither carries an explicit broadcast
+    hint — size stats / AQE broadcast them at small SF and fall back to
+    shuffle joins at scale; final ranking is TakeOrderedAndProject.
+    lineitem is scanned once and never broadcast."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING") \
         .select("c_custkey")
     cutoff = "1998-03-15 00:00:00"
     orders = t["orders"].filter(F.col("o_orderdate") < _ntz(cutoff)) \
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")) \
+        .join(cust, F.col("o_custkey") == F.col("c_custkey")) \
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = t["lineitem"].filter(F.col("l_shipdate") > _ntz(cutoff))
     return (
-        li.join(F.broadcast(orders),
+        li.join(orders,
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
@@ -6831,8 +6832,10 @@ def q151(spark, sf_dir):
     """TPC-H Q10 shape (returned items): revenue lost to returns per
     customer over a quarter-window. Returned lines aggregate per
     orderkey FIRST (fact collapses before any join), then the small
-    per-order rows broadcast through orders -> customer -> nation.
-    Fact is scanned once with the returnflag filter pushed down."""
+    per-order rows join through orders -> customer -> nation (only the
+    constant-size nation dim is hint-broadcast; customer scales with SF
+    and is left to stats/AQE). Fact is scanned once with the returnflag
+    filter pushed down."""
     t = load_tables(spark, sf_dir,
                     ["customer", "orders", "lineitem", "nation"])
     li = (t["lineitem"].filter(F.col("l_returnflag") == "R")
@@ -6848,7 +6851,7 @@ def q151(spark, sf_dir):
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_custkey")
         .agg(F.sum("_rev").alias("_rev"), F.sum("_n").alias("_n"))
-        .join(F.broadcast(t["customer"]),
+        .join(t["customer"],
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -6878,7 +6881,8 @@ def q151(spark, sf_dir):
 )
 def q152(spark, sf_dir):
     """TPC-H Q14 shape (promotion effect): promo share of one month's
-    gross revenue. part is the dim -> broadcast; the shipdate month
+    gross revenue. part scales linearly with SF so it is not hinted
+    (stats/AQE broadcast it at small SF); the shipdate month
     filter is pushed to the lineitem scan; ONE global aggregate, no
     shuffle beyond it."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
@@ -6887,7 +6891,7 @@ def q152(spark, sf_dir):
         & (F.col("l_shipdate") < _ntz("1997-02-01 00:00:00")))
     gross = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+        li.join(t["part"].select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
@@ -6921,8 +6925,9 @@ def q153(spark, sf_dir):
     keep the max (ties included). The correlated max-subquery is a 1-row
     aggregate broadcast back onto the supplier-level frame (never a
     partitionless rank window — that would single-partition-sort every
-    supplier at scale) — one fact scan + agg, one scalar broadcast,
-    supplier dim broadcast at the end."""
+    supplier at scale) — one fact scan + agg, one scalar broadcast; the
+    final supplier join is unhinted (AQE broadcasts the tiny `top`
+    side; supplier itself scales with SF)."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
     rev = (
         t["lineitem"].filter(
@@ -6937,7 +6942,7 @@ def q153(spark, sf_dir):
     top = (rev.join(F.broadcast(mx))
            .filter(F.col("total_revenue") == F.col("_mx")).drop("_mx"))
     return (
-        top.join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+        top.join(t["supplier"].select("s_suppkey", "s_name"),
                  F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -6962,7 +6967,8 @@ def q154(spark, sf_dir):
     the part's average quantity, for one brand. The correlated per-part
     average is an aggregate of the fact joined BACK by part key — both
     sides collapse before joining (per-part rows, not line pairs); the
-    brand dim filter broadcasts. One fact scan feeds both branches."""
+    brand key set scales with SF so it is unhinted (stats/AQE broadcast
+    it at small SF). One fact scan feeds both branches."""
     t = load_tables(spark, sf_dir, ["part", "lineitem"])
     li = t["lineitem"]
     pa = li.groupBy("l_partkey").agg(
@@ -6970,7 +6976,7 @@ def q154(spark, sf_dir):
     brand = t["part"].filter(F.col("p_brand") == "Brand#1") \
         .select("p_partkey")
     return (
-        li.join(F.broadcast(brand),
+        li.join(brand,
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(pa.withColumnRenamed("l_partkey", "_pk"),
               F.col("l_partkey") == F.col("_pk"))
@@ -6995,8 +7001,8 @@ def q154(spark, sf_dir):
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY supp_nation, cust_nation, l_year
@@ -7006,14 +7012,16 @@ def q155(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping): bilateral trade revenue by year
     between two nations, reaching BOTH sides of the fact — supplier
     nation via l_suppkey, customer nation via orders. Scale shape: the
-    two nation-filtered key sets (suppliers of FRANCE∪GERMANY; customers
-    of same) broadcast into the fact scan; orders⋈lineitem is the one
-    fact-fact join and runs on the shuffled orderkey (AQE-sized), never
-    broadcast. year() on an NTZ shipdate is tz-independent."""
+    two nation-filtered key sets (suppliers of the nation pair;
+    customers of same) still scale linearly with SF, so neither is
+    hint-broadcast — only the 25-row nation dim is; orders⋈lineitem is
+    the one fact-fact join and runs on the shuffled orderkey
+    (AQE-sized), never broadcast. year() on NTZ shipdate is
+    tz-independent."""
     t = load_tables(spark, sf_dir,
                     ["lineitem", "supplier", "nation", "orders",
                      "customer"])
-    nat = t["nation"].filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_7", "NATION_8"))
     supp = (t["supplier"]
             .join(F.broadcast(nat.select(
                 F.col("n_nationkey").alias("_snk"),
@@ -7027,15 +7035,13 @@ def q155(spark, sf_dir):
                 F.col("c_nationkey") == F.col("_cnk"))
             .select("c_custkey", "cust_nation"))
     orders = (t["orders"]
-              .join(F.broadcast(cust),
-                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
               .select("o_orderkey", "cust_nation"))
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00")))
     return (
-        li.join(F.broadcast(supp),
-                F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
@@ -7066,7 +7072,7 @@ def q155(spark, sf_dir):
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'GERMANY' THEN volume
+           round(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume
                           ELSE 0.0e0 END) / sum(volume), 6) AS mkt_share,
            round(sum(volume), 4) AS total_volume,
            count(*) AS n_lines
@@ -7075,12 +7081,13 @@ def q155(spark, sf_dir):
 )
 def q156(spark, sf_dir):
     """TPC-H Q8 shape (national market share): one supplier nation's
-    share of PROMO-part volume sold into one region, by year. Every
-    non-fact input is a filtered dim and broadcasts (customer keys of
-    the region, PROMO part keys, supplier->nation); the only fact-fact
-    join is lineitem x orders on the shuffled orderkey. The share is a
-    conditional-sum ratio inside ONE aggregation — never a join of two
-    aggregates."""
+    share of PROMO-part volume sold into one region, by year. Only the
+    constant-size nation/region dims carry broadcast hints; the
+    customer-key, PROMO-part-key and supplier->nation inputs all scale
+    linearly with SF and are left to stats/AQE (broadcast at small SF,
+    shuffle at scale). The only fact-fact join is lineitem x orders on
+    the shuffled orderkey. The share is a conditional-sum ratio inside
+    ONE aggregation — never a join of two aggregates."""
     t = load_tables(spark, sf_dir,
                     ["lineitem", "part", "orders", "customer", "nation",
                      "region", "supplier"])
@@ -7096,8 +7103,7 @@ def q156(spark, sf_dir):
     orders = (t["orders"]
               .filter((F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
                       & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00")))
-              .join(F.broadcast(cust),
-                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
               .select("o_orderkey", "o_orderdate"))
     promo = t["part"].filter(F.col("p_type") == "PROMO") \
         .select("p_partkey")
@@ -7110,16 +7116,87 @@ def q156(spark, sf_dir):
     vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
         t["lineitem"]
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "GERMANY", vol)
+                F.sum(F.when(F.col("supp_nation") == "NATION_8", vol)
                       .otherwise(F.lit(0.0))) / F.sum(vol), 6)
             .alias("mkt_share"),
             F.round(F.sum(vol), 4).alias("total_volume"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_register(
+    "q157_lsh_stop_band_cap",
+    f"""
+    WITH {_minhash_bands_sql()},
+    bdf AS (SELECT band, bh, count(*) AS df FROM bands GROUP BY 1, 2),
+    kept AS (SELECT b.doc_id, b.band, b.bh
+             FROM bands b JOIN bdf ON b.band = bdf.band AND b.bh = bdf.bh
+             WHERE bdf.df <= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    agg AS (SELECT count(*) AS n_pairs,
+                   CAST(coalesce(sum(n_shared_bands), 0) AS BIGINT)
+                     AS total_band_hits,
+                   coalesce(min(doc_a), -1) AS min_doc_a
+            FROM pairs),
+    dropped AS (SELECT count(*) AS n_dropped_bands FROM bdf WHERE df > 3)
+    SELECT n_pairs, total_band_hits, min_doc_a, n_dropped_bands
+    FROM agg, dropped
+    """,
+)
+def q157(spark, sf_dir):
+    """LSH candidate generation WITH the stop-band cap
+    (operators/dedup.py lsh_candidate_pairs max_band_df): band values
+    held by > 3 docs are dropped before the pair join — bounding the
+    within-bucket quadratic blow-up a boilerplate-heavy corpus causes
+    (r4 VERDICT watch item; mirrors the winnowing stop-fingerprint cap).
+    The cap is non-vacuous on this corpus: several bands exceed df=3 at
+    every SF, so n_dropped_bands > 0 and the pair set genuinely differs
+    from q29's uncapped one. md5-portable twin of the operator's
+    xxhash64 path; emits the summary + the dropped-band count."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = dedup_ops.char_shingles(d, 5)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}")))).alias(f"m{h}")
+          for h in range(_MINHASH_PERMS)]
+    )
+    bands = mins.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4)])).alias("bh"),
+    ).unionByName(
+        mins.select(
+            "doc_id", F.lit(1).alias("band"),
+            F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4, 8)])).alias("bh"),
+        )
+    )
+    bdf = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("df"))
+    kept = (bands.join(bdf.where(F.col("df") <= 3), ["band", "bh"])
+            .select("doc_id", "band", "bh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("n_shared_bands"), F.lit(0)).cast("bigint")
+        .alias("total_band_hits"),
+        F.coalesce(F.min("doc_a"), F.lit(-1)).alias("min_doc_a"),
+    )
+    dropped = bdf.where(F.col("df") > 3).agg(
+        F.count(F.lit(1)).alias("n_dropped_bands"))
+    return agg.crossJoin(F.broadcast(dropped))

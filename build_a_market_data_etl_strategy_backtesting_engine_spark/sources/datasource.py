@@ -75,9 +75,13 @@ def gen_rows(seq_start: int, seq_end: int, o: dict) -> Iterator[tuple]:
         wiggle = (h / 2.0 ** 64 - 0.5) * 0.02          # +/-1%
         price = round(o["s0"] * (1.0 + wiggle), 6)
         vol = float((h >> 32) % 97 + 1)
+        # Yield the tz-AWARE UTC datetime: PySpark fixes the epoch
+        # instant from it regardless of the session/OS timezone. A
+        # naive datetime would be read in the local zone, shifting the
+        # instant (and any bar bucketing) per-environment.
         ts = epoch + timedelta(
             milliseconds=o["start_ms"] + seq * o["freq_ms"])
-        yield (ts.replace(tzinfo=None), syms[seq % n], price, vol, seq)
+        yield (ts, syms[seq % n], price, vol, seq)
 
 
 class _Range(InputPartition):

@@ -1,10 +1,11 @@
-"""Generate tests/golden_hashes.json — frozen result hashes for the
-newest oracle pairs (q131+), per scale factor.
+"""Generate tests/golden_hashes.json — frozen result hashes for every
+oracle pair outside the driver's audit window (q51+), per scale factor.
 
 Complements the DuckDB sweep: the driver externally audits q01-q50 only,
-so the newest operators rely on the builder's own harness. Freezing
-their canonical result hashes in-repo catches regressions in seconds
-(tests/test_golden_r4.py) without spinning DuckDB or the full sweep.
+so the remaining ~106 pairs rely on the builder's own harness. Freezing
+their canonical result hashes in-repo (3 SFs each) catches regressions
+in seconds (tests/test_golden_r4.py) without spinning DuckDB or the
+full sweep, and shrinks the external-signal concentration risk.
 
 Run:  python tests/gen_golden_hashes.py            (sf0.001 + sf0.01)
 """
@@ -20,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tests.oracle_harness import _rows_to_set  # noqa: E402
 
-GOLDEN_MIN = 131  # q131 onward: the post-r2 operators
+GOLDEN_MIN = 51  # everything outside the driver's q01-q50 audit window
 OUT = Path(__file__).resolve().parent / "golden_hashes.json"
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
