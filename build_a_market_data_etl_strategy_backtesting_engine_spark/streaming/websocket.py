@@ -9,13 +9,14 @@ reconnects`` — ``websocket_client.py:47-52,185-204``).
 
 What is deliberately different, and why:
 
-- **Transport is stdlib** (``socket`` + ``hashlib`` + ``base64`` +
-  ``os.urandom``): no aiohttp in the runtime image, and the subset of
-  RFC 6455 a market-data consumer needs is small — opening handshake,
-  masked client frames, text/ping/pong/close opcodes, 7/16/64-bit
-  lengths, continuation-frame reassembly. No extensions, no TLS
-  (terminate ``wss://`` at a proxy), no server role beyond what the
-  tests need.
+- **Transport is stdlib** (``socket`` + ``ssl`` + ``hashlib`` +
+  ``base64`` + ``os.urandom``): no aiohttp in the runtime image, and the
+  subset of RFC 6455 a market-data consumer needs is small — opening
+  handshake, masked client frames, text/ping/pong/close opcodes,
+  7/16/64-bit lengths, continuation-frame reassembly. ``wss://`` wraps
+  the same socket in ``ssl.SSLContext`` (certificate + hostname
+  verification on by default; pass ``ssl_context`` for a private CA).
+  No extensions, no server role beyond what the tests need.
 - **Delivery across reconnects is stronger than the reference.** The
   reference reconnect (``websocket_client.py:83-90``) just resubscribes,
   losing whatever the feed sent while down. Here the client tracks the
@@ -36,6 +37,7 @@ import hashlib
 import json
 import os
 import socket
+import ssl
 import struct
 import threading
 import time
@@ -119,17 +121,19 @@ def handshake_accept_key(client_key: str) -> str:
     return base64.b64encode(digest).decode()
 
 
-def parse_ws_url(url: str) -> tuple[str, int, str]:
-    """``ws://host[:port][/path]`` -> (host, port, resource). ``wss://``
-    is rejected: TLS termination belongs in front of this client."""
+def parse_ws_url(url: str) -> tuple[str, int, str, bool]:
+    """``ws[s]://host[:port][/path]`` -> (host, port, resource, tls).
+    Default port 80 for ``ws://``, 443 for ``wss://``."""
     if url.startswith("wss://"):
-        raise ValueError("wss:// not supported — terminate TLS upstream")
-    if not url.startswith("ws://"):
-        raise ValueError(f"not a ws:// url: {url}")
-    rest = url[len("ws://"):]
+        rest, tls, default_port = url[len("wss://"):], True, 443
+    elif url.startswith("ws://"):
+        rest, tls, default_port = url[len("ws://"):], False, 80
+    else:
+        raise ValueError(f"not a ws:// or wss:// url: {url}")
     hostport, slash, path = rest.partition("/")
     host, colon, port = hostport.partition(":")
-    return host, int(port) if colon else 80, "/" + path if slash else "/"
+    return (host, int(port) if colon else default_port,
+            "/" + path if slash else "/", tls)
 
 
 # ------------------------------------------------------------ client
@@ -168,13 +172,20 @@ class WebSocketClient:
     ``max_frame_bytes`` bounds the receive buffer: a corrupt or hostile
     header declaring a multi-GB payload raises ``ConnectionError``
     instead of buffering toward OOM (a desynced stream looks exactly
-    like this)."""
+    like this).
+
+    ``wss://`` urls TLS-wrap the socket before the handshake. The
+    default context verifies the peer certificate AND hostname against
+    the system trust store (the safe default for real feeds); tests and
+    private-CA deployments pass their own ``ssl_context``."""
 
     def __init__(self, url: str, connect_timeout: float = 5.0,
                  poll_timeout: float = 0.5,
-                 max_frame_bytes: int = 16 * 1024 * 1024):
+                 max_frame_bytes: int = 16 * 1024 * 1024,
+                 ssl_context: "ssl.SSLContext | None" = None):
         self.url = url
-        self.host, self.port, self.resource = parse_ws_url(url)
+        self.host, self.port, self.resource, self.tls = parse_ws_url(url)
+        self.ssl_context = ssl_context
         self.connect_timeout = connect_timeout
         self.poll_timeout = poll_timeout
         self.max_frame_bytes = int(max_frame_bytes)
@@ -189,6 +200,10 @@ class WebSocketClient:
     def connect(self) -> None:
         self.sock = socket.create_connection(
             (self.host, self.port), timeout=self.connect_timeout)
+        if self.tls:
+            ctx = self.ssl_context or ssl.create_default_context()
+            self.sock = ctx.wrap_socket(
+                self.sock, server_hostname=self.host)
         key = base64.b64encode(os.urandom(16)).decode()
         req = (
             f"GET {self.resource} HTTP/1.1\r\n"
@@ -344,8 +359,10 @@ class LiveWsETL:
         reconnect_delay: float = 0.5,
         heartbeat_interval: float = 30.0,
         max_reconnects: int | None = None,
+        ssl_context: "ssl.SSLContext | None" = None,
     ):
         self.ws_url = ws_url
+        self.ssl_context = ssl_context
         self.symbols = symbols
         self.message_handler = message_handler or (lambda d: d)
         self.queue: deque = deque()
@@ -413,7 +430,7 @@ class LiveWsETL:
                 time.sleep(self.reconnect_delay)
 
     def _connect_and_stream(self, resume: bool) -> None:
-        ws = WebSocketClient(self.ws_url)
+        ws = WebSocketClient(self.ws_url, ssl_context=self.ssl_context)
         ws.connect()
         try:
             sub = {"type": "subscribe", "symbols": self.symbols}

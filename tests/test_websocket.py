@@ -105,14 +105,16 @@ class WsTestServer:
     """Accept loop running ``handler(conn: _WsConn, n: int)`` per
     connection (n = 0-based connection index)."""
 
-    def __init__(self, handler):
+    def __init__(self, handler, ssl_context=None):
         self.handler = handler
+        self.ssl_context = ssl_context
         self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.srv.bind(("127.0.0.1", 0))
         self.srv.listen(4)
         self.port = self.srv.getsockname()[1]
-        self.url = f"ws://127.0.0.1:{self.port}/feed"
+        scheme = "wss" if ssl_context else "ws"
+        self.url = f"{scheme}://127.0.0.1:{self.port}/feed"
         self.errors: list[BaseException] = []
         self._stop = threading.Event()
         self._n = 0
@@ -129,6 +131,9 @@ class WsTestServer:
             except OSError:
                 return
             try:
+                if self.ssl_context is not None:
+                    conn = self.ssl_context.wrap_socket(
+                        conn, server_side=True)
                 self.handler(_WsConn(conn), self._n)
             except (ConnectionError, TimeoutError, OSError):
                 pass
@@ -163,10 +168,10 @@ def test_frame_codec_roundtrip(n, mask):
 
 
 def test_parse_ws_url():
-    assert wsx.parse_ws_url("ws://h:81/a/b") == ("h", 81, "/a/b")
-    assert wsx.parse_ws_url("ws://h") == ("h", 80, "/")
-    with pytest.raises(ValueError):
-        wsx.parse_ws_url("wss://secure")
+    assert wsx.parse_ws_url("ws://h:81/a/b") == ("h", 81, "/a/b", False)
+    assert wsx.parse_ws_url("ws://h") == ("h", 80, "/", False)
+    assert wsx.parse_ws_url("wss://h/x") == ("h", 443, "/x", True)
+    assert wsx.parse_ws_url("wss://h:8443") == ("h", 8443, "/", True)
     with pytest.raises(ValueError):
         wsx.parse_ws_url("http://nope")
 
@@ -453,3 +458,113 @@ def test_bridge_requeues_when_consumer_dies():
     finally:
         bridge.close()
         server.close()
+
+
+# --------------------------------------------------------------- wss:// TLS
+
+
+@pytest.fixture(scope="module")
+def tls_pair(tmp_path_factory):
+    """Self-signed cert for 127.0.0.1 (IP SAN) + the two SSLContexts:
+    a server context serving it and a client context trusting ONLY it
+    (hostname + certificate verification stay ON — the production code
+    path, just with a private CA)."""
+    import ssl
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    crt, key = str(d / "ws.crt"), str(d / "ws.key")
+    try:
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", crt, "-days", "2",
+             "-subj", "/CN=127.0.0.1",
+             "-addext", "subjectAltName=IP:127.0.0.1"],
+            check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError) as e:
+        pytest.skip(f"openssl unavailable: {e}")
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(crt, key)
+    cli_ctx = ssl.create_default_context(cafile=crt)
+    return srv_ctx, cli_ctx
+
+
+def test_wss_handshake_and_echo(tls_pair):
+    srv_ctx, cli_ctx = tls_pair
+
+    def handler(conn, n):
+        sub = conn.recv_subscribe()
+        assert sub["type"] == "subscribe"
+        conn.send_text(json.dumps({"symbol": "TLS", "price": 1.5,
+                                   "volume": 2.0, "timestamp": 1000}))
+
+    srv = WsTestServer(handler, ssl_context=srv_ctx)
+    try:
+        assert srv.url.startswith("wss://")
+        ws = wsx.WebSocketClient(srv.url, ssl_context=cli_ctx)
+        ws.connect()
+        ws.send_text(json.dumps({"type": "subscribe", "symbols": ["TLS"]}))
+        msg = json.loads(ws.recv_text(timeout=5.0))
+        assert msg["symbol"] == "TLS"
+        ws.close()
+    finally:
+        srv.close()
+
+
+def test_wss_default_context_rejects_self_signed(tls_pair):
+    """Without the private CA, the default (system trust store) context
+    must REFUSE the connection — certificate verification is on by
+    default, not opt-in."""
+    import ssl
+
+    srv_ctx, _ = tls_pair
+    srv = WsTestServer(lambda conn, n: None, ssl_context=srv_ctx)
+    try:
+        ws = wsx.WebSocketClient(srv.url)  # default ssl context
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            ws.connect()
+    finally:
+        srv._stop.set()
+        srv.srv.close()
+        srv._t.join(timeout=2)  # skip the error assert: handshake fails
+
+
+def test_wss_live_etl_reconnect_resume(tls_pair):
+    """The r4 kill->resume exactly-once scenario, over TLS: connection 0
+    serves seqs 0..2 then dies mid-stream; connection 1 must receive
+    last_seq=2 in the resubscribe and replay from 3. No dup, no loss."""
+    srv_ctx, cli_ctx = tls_pair
+
+    def tick(seq):
+        return json.dumps({"symbol": "TLS", "price": 100.0 + seq,
+                           "volume": 1.0, "timestamp": 1000 + seq,
+                           "seq": seq})
+
+    def handler(conn, n):
+        sub = conn.recv_subscribe()
+        if n == 0:
+            assert "last_seq" not in sub
+            for seq in range(3):
+                conn.send_text(tick(seq))
+            time.sleep(0.2)
+            conn.kill()
+        else:
+            assert sub.get("last_seq") == 2
+            for seq in range(3, 6):
+                conn.send_text(tick(seq))
+
+    srv = WsTestServer(handler, ssl_context=srv_ctx)
+    etl = wsx.LiveWsETL(srv.url, ["TLS"], reconnect_delay=0.1,
+                        max_reconnects=3, ssl_context=cli_ctx)
+    try:
+        etl.start()
+        deadline = time.monotonic() + 10
+        seen = []
+        while time.monotonic() < deadline and len(seen) < 6:
+            seen += [d["seq"] for d in etl.drain()]
+            time.sleep(0.05)
+        assert seen == list(range(6))
+        assert etl.stats["reconnects"] >= 1
+    finally:
+        etl.stop()
+        srv.close()
