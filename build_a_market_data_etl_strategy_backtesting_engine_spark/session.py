@@ -21,6 +21,10 @@ from pyspark.sql import SparkSession
 # - Broadcast threshold left at default 10MB; dimension tables (region/nation/
 #   symbol metadata) broadcast automatically; big fact-fact joins shuffle.
 _BASE_CONF = {
+    # local[32] with the 1g default heap OOMs on long sessions (hit
+    # generating q51+ goldens at sf0.1); only applies at JVM launch —
+    # a pre-existing session ignores it harmlessly.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

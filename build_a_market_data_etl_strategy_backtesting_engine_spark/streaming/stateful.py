@@ -354,3 +354,106 @@ def streaming_order_book(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+REORDER_STATE_SCHEMA = "ts_us array<long>, vals array<double>"
+
+
+def reorder_within_watermark(
+    rows: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    value_cols: tuple = ("close", "signal"),
+) -> DataFrame:
+    """Ordered-replay gate for sequence-dependent stateful kernels.
+
+    Every state machine here (``streaming_backtest``, the order book,
+    trailing stops) contracts that rows arrive in per-symbol event-time
+    order ACROSS micro-batches — the contract a disordered source (late
+    network frames, multi-producer Kafka topics) breaks. This gate gives
+    the composition DEFINED late-data semantics, the same ones the
+    watermarked OHLCV aggregation has natively:
+
+    - rows later than their event-time slot but **within the watermark**
+      are buffered and re-emitted in exact ``(ts)`` order once the
+      watermark passes them (incorporated, not dropped);
+    - rows arriving **beyond the watermark** (older than the current
+      watermark at arrival) are dropped deterministically — not
+      best-effort like the state-eviction path of an aggregation;
+    - emitted output is therefore totally ordered per symbol, ready for
+      any downstream sequence-dependent kernel.
+
+    State per symbol is the in-flight buffer only: O(rows inside one
+    watermark horizon), the same bound a stream-stream join holds, NOT
+    O(history). Event-time timeout flushes the tail when a symbol goes
+    quiet. Timestamps are compared in epoch µs against
+    ``getCurrentWatermarkMs`` — run under a UTC session timezone (the
+    engine session pins UTC) so Arrow wall-times equal epoch instants.
+
+    Spark allows ONE ``applyInPandasWithState`` per streaming query, so
+    the gate composes with a stateful kernel through an intermediate
+    sink (Kafka topic / files), not in-plan — the two-query topology
+    pinned by tests/test_streaming.py::
+    test_streaming_backtest_behind_gate_matches_batch.
+    """
+    import numpy as np
+
+    n_vals = len(value_cols)
+    out_schema = (f"{symbol_col} string, {ts_col} timestamp, "
+                  + ", ".join(f"{c} double" for c in value_cols))
+    wm = rows.withWatermark(ts_col, watermark)
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            ts_us, vals = state.get
+            ts_us = list(ts_us)
+            vals = list(vals)
+        else:
+            ts_us, vals = [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            arr_us = pdf[ts_col].astype("datetime64[us]").astype(
+                "int64").to_numpy()
+            keep = arr_us >= wm_us  # beyond-watermark arrivals: dropped
+            arr_us = arr_us[keep]
+            vmat = pdf.loc[keep, list(value_cols)].to_numpy(
+                dtype=np.float64)
+            ts_us.extend(int(u) for u in arr_us)
+            vals.extend(float(x) for x in vmat.ravel())
+        # emit everything the watermark has passed, in event-time order
+        if ts_us:
+            order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+            emit = [i for i in order if ts_us[i] <= wm_us]
+            hold = [i for i in order if ts_us[i] > wm_us]
+            if emit:
+                yield pd.DataFrame({
+                    symbol_col: symbol,
+                    ts_col: pd.to_datetime(
+                        [ts_us[i] for i in emit], unit="us"),
+                    **{c: [vals[i * n_vals + j] for i in emit]
+                       for j, c in enumerate(value_cols)},
+                })
+            ts_us = [ts_us[i] for i in hold]
+            vals = [x for i in hold
+                    for x in vals[i * n_vals:(i + 1) * n_vals]]
+        if ts_us:
+            state.update((ts_us, vals))
+            # re-arm: flush the tail when the watermark passes it even
+            # if this symbol never receives another row
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        else:
+            state.remove()
+
+    return wm.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=REORDER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
