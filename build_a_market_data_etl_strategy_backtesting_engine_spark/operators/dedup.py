@@ -138,6 +138,22 @@ def lsh_candidate_pairs(
 
     At 100TB the band tables are written bucketed by band hash so repeated
     dedup runs skip the shuffle."""
+    banded = band_table(signatures, num_hashes, bands, doc_id_col)
+    return lsh_pairs_from_bands(banded, max_band_df=max_band_df)
+
+
+def band_table(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc, band, bh) projection ``lsh_candidate_pairs`` joins on,
+    exposed so repeated dedup runs can persist it ONCE as a bucketed
+    table (``.write.bucketBy(n, "band", "bh").sortBy(...)
+    .saveAsTable(...)``) and every later run joins shuffle-free — the
+    claim is plan-pinned by tests/test_scale_patterns.py::
+    test_lsh_band_table_bucketed_rerun_joins_without_exchange."""
     rows_per_band = num_hashes // bands
     # One explode of a bands-length struct array instead of a bands-way
     # union: the signature expressions are computed once per doc row, not
@@ -152,9 +168,18 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ])
-    banded = signatures.select(
+    return signatures.select(
         F.col(doc_id_col).alias("doc"), F.explode(band_structs).alias("_s")
     ).select("doc", F.col("_s.band").alias("band"), F.col("_s.bh").alias("bh"))
+
+
+def lsh_pairs_from_bands(
+    banded: DataFrame,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Pair-generation half of ``lsh_candidate_pairs``: takes a (doc,
+    band, bh) frame — freshly computed or re-opened from a bucketed
+    table — applies the optional stop-band cap, and joins."""
     if max_band_df is not None:
         bdf = banded.groupBy("band", "bh").agg(
             F.count(F.lit(1)).alias("_df"))

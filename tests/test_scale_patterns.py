@@ -132,3 +132,70 @@ def test_aqe_coalesces_small_shuffles(spark):
     # after execution AQE reports the final (coalesced) plan
     txt = plans.explain_str(df, "simple")
     assert "AdaptiveSparkPlan" in txt
+
+
+def test_lsh_band_table_bucketed_rerun_joins_without_exchange(spark,
+                                                             tmp_path):
+    """The lsh_candidate_pairs docstring claim, exercised: persist the
+    (doc, band, bh) band table ONCE bucketed by the join keys; a later
+    dedup run re-opens it and the self-join plans with NO Exchange under
+    the join — only the final pair aggregation shuffles."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        dedup,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS lshtest "
+              f"LOCATION '{tmp_path}/warehouse'")
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    bt = dedup.band_table(sigs, num_hashes=8, bands=4)
+    (bt.write.bucketBy(8, "band", "bh").sortBy("band", "bh")
+     .mode("overwrite").saveAsTable("lshtest.bands"))
+
+    reopened = spark.table("lshtest.bands")
+    pairs = dedup.lsh_pairs_from_bands(reopened)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # whole pipeline: exactly ONE shuffle (the doc_a/doc_b agg); the
+        # band self-join runs on the bucket layout, exchange-free
+        assert plans.count_shuffles(pairs) == 1, \
+            plans.explain_str(pairs, "simple")
+        # vs the in-memory path, which must shuffle both join inputs
+        fresh = dedup.lsh_pairs_from_bands(bt)
+        assert plans.count_shuffles(fresh) > 1
+        # and the result is identical
+        got = {(r.doc_a, r.doc_b, r.n_shared_bands)
+               for r in pairs.collect()}
+        want = {(r.doc_a, r.doc_b, r.n_shared_bands)
+                for r in fresh.collect()}
+        assert got == want and got
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_index_partitioned_store_prunes_probe_scan(spark, tmp_path):
+    """The ivf_index docstring claim, exercised: persist the index
+    partitionBy(cell); a probe query's scan shows PartitionFilters on
+    cell and returns the same top-k as the in-memory index."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    cents = sim.kmeans_fit(emb, k=4, iterations=3)
+    idx = sim.ivf_index(emb, cents)
+    path = str(tmp_path / "ivf_store")
+    idx.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    reopened = spark.read.parquet(path)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    top = sim.ivf_topk(reopened, cents, qv, k=5, n_probe=2)
+    txt = plans.explain_str(top, "formatted")
+    assert "PartitionFilters" in txt
+    seg = txt.split("PartitionFilters")[1][:200]
+    assert "cell" in seg
+    mem = [(r[0], round(r.cosine, 9)) for r in
+           sim.ivf_topk(idx, cents, qv, k=5, n_probe=2).collect()]
+    stored = [(r[0], round(r.cosine, 9)) for r in top.collect()]
+    assert stored == mem
