@@ -284,22 +284,51 @@ def implied_vol_bisect_sql(
     """
 
 
+def _run_recursive_sql(spark, sql: str, need: int) -> "DataFrame":
+    """Execute a recursive-CTE query whose known row budget is ``need``,
+    raising ``cteRecursionRowLimit`` ONLY for the duration of the call
+    (the limit is consulted at execution time, so the raised window must
+    contain the execution — eager ``localCheckpoint`` — and the previous
+    session value is restored in ``finally``)."""
+    key = "spark.sql.cteRecursionRowLimit"
+    cur = int(spark.conf.get(key, "1000000"))
+    if need <= cur:
+        return spark.sql(sql)
+    spark.conf.set(key, str(need))
+    try:
+        return spark.sql(sql).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, str(cur))
+
+
 def implied_vol(
     spark,
     opts: "DataFrame",
     iters: int = 48,
     call: bool = True,
     view_name: str = "opts_iv_input",
+    n_opts: int | None = None,
 ) -> "DataFrame":
     """Run the recursive-CTE bisection on a Spark DataFrame of
     (id, s, k, t_y, r, price). Entirely JVM-side — the recursion executes
-    as iterative union steps in the engine, no Python in the loop."""
+    as iterative union steps in the engine, no Python in the loop.
+
+    The recursion materializes (iters + 1) rows per option: the row
+    budget is sized from the input (pass ``n_opts`` to skip the count)
+    and the session limit raised only inside this call — the q120-class
+    fix, hit again for this operator at the 10x rehearsal (200k parts x
+    49 steps > the 1M default)."""
+    if n_opts is None:
+        n_opts = opts.count()
+    need = (int(iters) + 1) * max(int(n_opts), 1) * 2
     opts.createOrReplaceTempView(view_name)
-    return spark.sql(
+    return _run_recursive_sql(
+        spark,
         implied_vol_bisect_sql(
             f"SELECT id, s, k, t_y, r, price FROM {view_name}",
             iters=iters, call=call,
-        )
+        ),
+        need,
     )
 
 
@@ -398,22 +427,15 @@ def binomial_american(
     if n_opts is None:
         n_opts = opts.count()
     need = (int(n_steps) + 1) * max(int(n_opts), 1) * 2
-    key = "spark.sql.cteRecursionRowLimit"
-    cur = int(spark.conf.get(key, "1000000"))
     opts.createOrReplaceTempView(view_name)
-    sql = binomial_american_sql(
-        f"SELECT id, s, k, t_y, r, sigma FROM {view_name}",
-        n_steps=n_steps, call=call, dialect="spark",
+    return _run_recursive_sql(
+        spark,
+        binomial_american_sql(
+            f"SELECT id, s, k, t_y, r, sigma FROM {view_name}",
+            n_steps=n_steps, call=call, dialect="spark",
+        ),
+        need,
     )
-    if need <= cur:
-        return spark.sql(sql)
-    spark.conf.set(key, str(need))
-    try:
-        # The limit is consulted at EXECUTION time, so a lazy return
-        # would see the restored (too-small) value — materialize here.
-        return spark.sql(sql).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(key, str(cur))
 
 
 # ------------------------------------------------ Monte Carlo pricing

@@ -120,14 +120,21 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)), 2)
-             AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                 AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1.0e0 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1.0e0 - l_discount)
+                              * (1.0e0 + l_tax)
+                 AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                 AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -136,22 +143,37 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q01(spark, sf_dir):
     """TPC-H Q1-shaped scan+filter+hash-agg: predicate pushed to parquet,
-    map-side partial aggregation, no window. (SURVEY §2.3 group-agg row.)"""
+    map-side partial aggregation, no window. (SURVEY §2.3 group-agg row.)
+
+    The money sums run in DECIMAL(28,10): each row's double expression is
+    cast once (deterministic per-row, identical in both engines — binary
+    doubles from this data can't sit on a scale-10 decimal midpoint, so
+    cast rounding can't tie) and the aggregation is EXACT and order-free.
+    Double sums diverged between engines in the last rounded digit at the
+    10x rehearsal (6M rows, sums ~4e10 — associativity noise crosses the
+    2-decimal budget); averages derive from the same exact sums."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    dec = "decimal(28,10)"
+    qty = F.col("l_quantity").cast(dec)
+    base = F.col("l_extendedprice").cast(dec)
+    disc_price = (F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              * (F.lit(1.0) + F.col("l_tax"))).cast(dec)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2)
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(base).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2)
             .alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                      * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(base).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(dec)).cast("double") / n,
+                    6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1159,6 +1181,52 @@ def _minhash_bands_sql() -> str:
     """
 
 
+def _banded_same_source_cand(d):
+    """Bounded candidate generation for the near-dup verify/cluster
+    pipelines (q80/q135/q139/q146): a pair is a candidate iff the docs
+    share >= 1 md5 minhash band (the q29 LSH path) AND a source. The
+    r4-era per-source all-pairs join was quadratic within a source group
+    — the 10x rehearsal hung on it (10k docs/source -> 50M pairs per
+    source); band buckets are uniform hashes, so the candidate set stays
+    near-linear and the verify stage touches candidates only, matching
+    the candidates->verify architecture the engine ships everywhere
+    else. md5-portable, so the DuckDB twins build the identical set."""
+    sh_ = dedup_ops.char_shingles(d, 5)
+    mins = sh_.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}")))).alias(f"m{h}")
+          for h in range(_MINHASH_PERMS)]
+    )
+    bands = mins.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4)])).alias("bh"),
+    ).unionByName(
+        mins.select(
+            "doc_id", F.lit(1).alias("band"),
+            F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4, 8)]))
+            .alias("bh"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    src = d.select("doc_id", "source")
+    return (
+        pairs
+        .join(src.select(F.col("doc_id").alias("doc_a"),
+                         F.col("source").alias("_sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("_sb")), "doc_b")
+        .filter(F.col("_sa") == F.col("_sb"))
+        .select("doc_a", "doc_b", F.col("_sa").alias("source"))
+    )
+
+
 @_register(
     "q29_lsh_candidate_pairs",
     f"""
@@ -1724,6 +1792,21 @@ _GOLDENS: dict[str, tuple[list[str], dict[int, list[tuple]] | list[tuple]]] = {
 }
 
 
+def _load_golden_extra() -> dict:
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "golden_scales.json")
+    if _os.path.exists(path):
+        with open(path) as fh:
+            return _json.load(fh)
+    return {}
+
+
+_GOLDEN_EXTRA = _load_golden_extra()
+
+
 def _golden_sql(key: str) -> str:
     """Render a pinned golden result as oracle SQL.
 
@@ -1735,8 +1818,17 @@ def _golden_sql(key: str) -> str:
     on ``(SELECT count(*) FROM events)`` so the same SQL verifies at the
     pytest tier (sf0.001) and the driver tier (sf0.01); input-independent
     goldens (q39 seeded generator, q40 synthetic media) are a single set.
+
+    Rehearsal scales beyond the driver's three SF dirs add their row-sets
+    via ``golden_scales.json`` next to this module (generated by
+    ``tools/gen_golden_scales.py`` from a green same-session run) — the
+    gate stays the events row count, so unknown scales still fail loud
+    (empty oracle) rather than silently passing.
     """
     cols, data = _GOLDENS[key]
+    if isinstance(data, dict) and key in _GOLDEN_EXTRA:
+        data = {**data, **{int(k): [tuple(r) for r in rows]
+                           for k, rows in _GOLDEN_EXTRA[key].items()}}
 
     def _lit(v):
         if v is None:
@@ -2465,8 +2557,20 @@ def q53(spark, sf_dir):
 def q54(spark, sf_dir):
     """SLSQP-parity efficient frontier (portfolio_optimization.py:182-235):
     Spark computes returns/covariance, the driver solves each frontier
-    point's constrained min-vol QP exactly by support enumeration."""
+    point's constrained min-vol QP exactly by support enumeration.
+
+    The enumeration is O(2^k) by design (documented "fine through
+    k ~ 15"), so the optimization universe is BOUNDED: the top-8 symbols
+    by total traded volume (deterministic tiebreak by symbol). At the
+    driver scales the data has 5 symbols, so the bound is inert there;
+    at the 10x rehearsal (50 symbols) it is what keeps the driver-side
+    solve tractable — exactly how a real desk bounds a frontier run."""
     ticks = _ticks(spark, sf_dir)
+    universe = (ticks.groupBy("symbol")
+                .agg(F.sum("volume").alias("_v"))
+                .orderBy(F.col("_v").desc(), "symbol").limit(8)
+                .select("symbol"))
+    ticks = ticks.join(F.broadcast(universe), "symbol")
     b = bars.ticks_to_ohlcv(ticks, "1H")
     px = b.withColumn("close", F.lit(100.0) + F.col("close") / F.lit(10.0))
     r = signals.simple_returns(px, price_col="close", out_col="ret").select(
@@ -3596,10 +3700,26 @@ def q79(spark, sf_dir):
                    generate_series(1, greatest(len(t) - 2, 1)),
                    i -> array_to_string(t[i:i+2], ' '))) AS grams
           FROM toks),
-    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-           FROM g a JOIN g b
-             ON a.source = b.source AND a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.grams, b.grams))
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, min(md5(sh || '|0')) AS m0, min(md5(sh || '|1')) AS m1, min(md5(sh || '|2')) AS m2, min(md5(sh || '|3')) AS m3, min(md5(sh || '|4')) AS m4, min(md5(sh || '|5')) AS m5, min(md5(sh || '|6')) AS m6, min(md5(sh || '|7')) AS m7 FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS bh FROM m
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS bh FROM m),
+    cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands ba JOIN bands bb
+               ON ba.band = bb.band AND ba.bh = bb.bh
+              AND ba.doc_id < bb.doc_id),
+    e0 AS (SELECT c.doc_a AS src, c.doc_b AS dst
+           FROM cand c
+           JOIN g a ON a.doc_id = c.doc_a
+           JOIN g b ON b.doc_id = c.doc_b
+           WHERE a.source = b.source
+             AND len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams)
                     - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
     edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -3619,12 +3739,7 @@ def q80(spark, sf_dir):
     reachability — a genuinely independent formulation of the same
     fixpoint."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = (
-        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
-        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
-              "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    cand = _banded_same_source_cand(d)
     j = dedup_ops.ngram_jaccard_pairs(
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
@@ -5968,10 +6083,26 @@ def q134(spark, sf_dir):
                    generate_series(1, greatest(len(t) - 2, 1)),
                    i -> array_to_string(t[i:i+2], ' '))) AS grams
           FROM toks),
-    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-           FROM g a JOIN g b
-             ON a.source = b.source AND a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.grams, b.grams))
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, min(md5(sh || '|0')) AS m0, min(md5(sh || '|1')) AS m1, min(md5(sh || '|2')) AS m2, min(md5(sh || '|3')) AS m3, min(md5(sh || '|4')) AS m4, min(md5(sh || '|5')) AS m5, min(md5(sh || '|6')) AS m6, min(md5(sh || '|7')) AS m7 FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS bh FROM m
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS bh FROM m),
+    cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands ba JOIN bands bb
+               ON ba.band = bb.band AND ba.bh = bb.bh
+              AND ba.doc_id < bb.doc_id),
+    e0 AS (SELECT c.doc_a AS src, c.doc_b AS dst
+           FROM cand c
+           JOIN g a ON a.doc_id = c.doc_a
+           JOIN g b ON b.doc_id = c.doc_b
+           WHERE a.source = b.source
+             AND len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams)
                     - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
     edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -6001,12 +6132,7 @@ def q135(spark, sf_dir):
     candidates -> verify -> cluster -> keep-list pipeline a corpus dedup
     actually ships, with the drop set auditable via is_canonical = 0."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = (
-        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
-        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
-              "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    cand = _banded_same_source_cand(d)
     jac = dedup_ops.ngram_jaccard_pairs(
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
@@ -6222,10 +6348,26 @@ def q138(spark, sf_dir):
                    generate_series(1, greatest(len(t) - 2, 1)),
                    i -> array_to_string(t[i:i+2], ' '))) AS grams
           FROM toks),
-    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-           FROM g a JOIN g b
-             ON a.source = b.source AND a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.grams, b.grams))
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, min(md5(sh || '|0')) AS m0, min(md5(sh || '|1')) AS m1, min(md5(sh || '|2')) AS m2, min(md5(sh || '|3')) AS m3, min(md5(sh || '|4')) AS m4, min(md5(sh || '|5')) AS m5, min(md5(sh || '|6')) AS m6, min(md5(sh || '|7')) AS m7 FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS bh FROM m
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS bh FROM m),
+    cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands ba JOIN bands bb
+               ON ba.band = bb.band AND ba.bh = bb.bh
+              AND ba.doc_id < bb.doc_id),
+    e0 AS (SELECT c.doc_a AS src, c.doc_b AS dst
+           FROM cand c
+           JOIN g a ON a.doc_id = c.doc_a
+           JOIN g b ON b.doc_id = c.doc_b
+           WHERE a.source = b.source
+             AND len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams)
                     - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
     edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -6258,12 +6400,7 @@ def q139(spark, sf_dir):
     are worth re-crawling. Same cluster/election pipeline, one extra
     map-combinable agg."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = (
-        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
-        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
-              "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    cand = _banded_same_source_cand(d)
     jac = dedup_ops.ngram_jaccard_pairs(
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
@@ -6607,10 +6744,26 @@ def q145(spark, sf_dir):
                    generate_series(1, greatest(len(t) - 2, 1)),
                    i -> array_to_string(t[i:i+2], ' '))) AS grams
           FROM toks),
-    e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-           FROM g a JOIN g b
-             ON a.source = b.source AND a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.grams, b.grams))
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, min(md5(sh || '|0')) AS m0, min(md5(sh || '|1')) AS m1, min(md5(sh || '|2')) AS m2, min(md5(sh || '|3')) AS m3, min(md5(sh || '|4')) AS m4, min(md5(sh || '|5')) AS m5, min(md5(sh || '|6')) AS m6, min(md5(sh || '|7')) AS m7 FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS bh FROM m
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS bh FROM m),
+    cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM bands ba JOIN bands bb
+               ON ba.band = bb.band AND ba.bh = bb.bh
+              AND ba.doc_id < bb.doc_id),
+    e0 AS (SELECT c.doc_a AS src, c.doc_b AS dst
+           FROM cand c
+           JOIN g a ON a.doc_id = c.doc_a
+           JOIN g b ON b.doc_id = c.doc_b
+           WHERE a.source = b.source
+             AND len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams)
                     - len(list_intersect(a.grams, b.grams))) >= 5.0e-2),
     edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -6630,12 +6783,7 @@ def q146(spark, sf_dir):
     100 TB-adversarial-graph path. Same recursive-CTE reachability
     oracle — both implementations must land on the identical fixpoint."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = (
-        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
-        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("source")),
-              "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    cand = _banded_same_source_cand(d)
     j = dedup_ops.ngram_jaccard_pairs(
         d, cand.select("source", "doc_a", "doc_b"), n=3)
     edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
