@@ -101,6 +101,7 @@ def pairs_screen(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
     close_col: str = "close",
+    degenerate_eps: float = 1e-6,
 ) -> DataFrame:
     """Pairs-trading screen over a symbol universe: for every symbol pair
     (a < b) with >= ``min_obs`` aligned bars, the return correlation, the
@@ -108,6 +109,14 @@ def pairs_screen(
     volatility ``sqrt(var(r_a) - cov^2/var(r_b))`` of the spread
     ``r_a - beta * r_b`` — low residual vol + high corr = cointegration
     candidate for a mean-reversion book.
+
+    ``degenerate_eps``: residual variance below ``var(r_a) *
+    degenerate_eps`` snaps to exactly 0. At |corr| -> 1 (duplicate return
+    series — listings of the same instrument, or the scale rehearsal's
+    symbol copies) the subtraction cancels catastrophically and the
+    leftover is pure moment-aggregation float noise whose value depends on
+    partition merge order; a pair with genuine 1 - corr^2 < 1e-6 carries
+    no tradeable residual anyway.
     """
     r = bar_returns(bars, symbol_col, ts_col, close_col).where(
         F.col("r").isNotNull()
@@ -133,12 +142,10 @@ def pairs_screen(
         F.var_samp("r_a").alias("_vara"),
     )
     beta = F.when(F.col("_varb") > 0, F.col("_cov") / F.col("_varb"))
-    resid = F.sqrt(
-        F.greatest(
-            F.col("_vara") - F.pow(F.col("_cov"), 2) / F.col("_varb"),
-            F.lit(0.0),
-        )
-    )
+    resid_var = F.col("_vara") - F.pow(F.col("_cov"), 2) / F.col("_varb")
+    resid = F.when(
+        resid_var < F.col("_vara") * F.lit(degenerate_eps), F.lit(0.0)
+    ).otherwise(F.sqrt(F.greatest(resid_var, F.lit(0.0))))
     return (
         g.where(F.col("n_obs") >= min_obs)
         .select(

@@ -1129,35 +1129,99 @@ def q27(spark, sf_dir):
                    generate_series(1, greatest(len(t) - 2, 1)),
                    i -> array_to_string(t[i:i+2], ' '))) AS grams
           FROM toks),
-    p AS (SELECT a.source AS source,
-                 len(list_intersect(a.grams, b.grams)) AS ni,
-                 len(a.grams) AS na, len(b.grams) AS nb
-          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
-    SELECT source, count(*) AS n_pairs,
-           CAST(sum(CASE WHEN ni / (na + nb - ni) >= 5.0e-2 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_similar,
-           round(avg(ni / (na + nb - ni)), 6) AS avg_jaccard,
-           round(max(ni / (na + nb - ni)), 6) AS max_jaccard
-    FROM p GROUP BY source
+    -- all-pairs-per-source SEMANTICS via the inverted index: pairs with
+    -- zero shared grams contribute jaccard 0 to every statistic, so only
+    -- intersecting pairs are generated and the per-source aggregates
+    -- close over C(n_docs, 2)
+    ex AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM g),
+    inter AS (SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+                     count(*) AS ni
+              FROM ex a JOIN ex b
+                ON a.gram = b.gram AND a.source = b.source
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3),
+    jac AS (SELECT i.source, i.ni / (sa.ng + sb.ng - i.ni) AS j
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                         JOIN sizes sb ON sb.doc_id = i.db),
+    per AS (SELECT source,
+                   CAST(sum(CASE WHEN j >= 5.0e-2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_similar,
+                   sum(j) AS sum_j, max(j) AS max_j
+            FROM jac GROUP BY source),
+    tot AS (SELECT source, count(*) AS n_docs,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM g GROUP BY source HAVING count(*) >= 2)
+    SELECT t.source, t.n_pairs,
+           coalesce(p.n_similar, 0) AS n_similar,
+           round(coalesce(p.sum_j, 0.0e0) / t.n_pairs, 6) AS avg_jaccard,
+           round(coalesce(p.max_j, 0.0e0), 6) AS max_jaccard
+    FROM tot t LEFT JOIN per p ON p.source = t.source
     """,
 )
 def q28(spark, sf_dir):
     """Exact word-3-gram Jaccard over same-source candidate pairs
-    (the verify stage of a near-dup pipeline), aggregated per source."""
+    (the verify stage of a near-dup pipeline), aggregated per source.
+
+    SEMANTICS are the all-pairs-per-source aggregate (frozen; the oracle
+    SQL states it literally). The IMPLEMENTATION never materializes the
+    quadratic pair set: zero-intersection pairs contribute jaccard 0 to
+    every statistic, so only pairs sharing >= 1 gram are generated — via
+    the gram-level self-join (cost ~ sum of per-gram df^2, the standard
+    inverted-index verify shape) — and the per-source aggregates are
+    closed over C(n_s, 2): n_pairs from the doc count, avg as
+    sum(jaccard)/C(n_s,2), max floored at 0.0. Identical output; the 10x
+    rehearsal hung on the materialized 62M-pair version."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = (
-        d.select(F.col("doc_id").alias("doc_a"), F.col("source"))
-        .join(d.select(F.col("doc_id").alias("doc_b"),
-                       F.col("source")), "source")
+    grams = dedup_ops.word_ngrams(d, 3).distinct()
+    src = d.select("doc_id", "source")
+    grams = grams.join(src, "doc_id")
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram",
+                     F.col("source").alias("_s"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram",
+                     F.col("source").alias("_s"))
+    inter = (
+        a.join(b, ["gram", "_s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("_s", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    j = dedup_ops.ngram_jaccard_pairs(d, cand.select("source", "doc_a", "doc_b"), n=3)
-    return j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+    jac = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_grams").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_grams").alias("nb")), "doc_b")
+        .select(F.col("_s").alias("source"),
+                (F.col("n_inter")
+                 / (F.col("na") + F.col("nb") - F.col("n_inter")))
+                .alias("jaccard"))
+    )
+    per_src = jac.groupBy("source").agg(
         F.sum((F.col("jaccard") >= 0.05).cast("int")).cast("bigint")
         .alias("n_similar"),
-        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
-        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        F.sum("jaccard").alias("_sum_j"),
+        F.max("jaccard").alias("_max_j"),
+    )
+    totals = (src.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("_n_docs"))
+              .filter(F.col("_n_docs") >= 2)
+              .withColumn("n_pairs",
+                          (F.col("_n_docs") * (F.col("_n_docs") - 1) / 2)
+                          .cast("long")))
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source", "n_pairs",
+            F.coalesce("n_similar", F.lit(0)).cast("bigint")
+            .alias("n_similar"),
+            F.round(F.coalesce("_sum_j", F.lit(0.0)) / F.col("n_pairs"), 6)
+            .alias("avg_jaccard"),
+            F.round(F.coalesce("_max_j", F.lit(0.0)), 6)
+            .alias("max_jaccard"),
+        )
     )
 
 
@@ -2153,7 +2217,9 @@ from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import 
                        WHEN z > {_dlit(1.5)} THEN -1 ELSE 0 END AS signal
            FROM zs),
     k1 AS (SELECT symbol, bts, p AS price, signal,
-                  CAST(signal AS DOUBLE) * {_dlit(1.0 / 5.0)} AS position
+                  CAST(signal AS DOUBLE)
+                    * (1.0e0 / (SELECT CAST(count(DISTINCT symbol) AS DOUBLE)
+                                FROM bars)) AS position
            FROM sg),
     k2 AS (SELECT *,
                   position - coalesce(lag(position) OVER w, 0.0e0) AS trade,
@@ -2313,15 +2379,26 @@ def q48(spark, sf_dir):
 def q49(spark, sf_dir):
     """IVF index queried with n_probe = all cells must equal brute force —
     the exactness contract of the coarse-quantization path (oracle = plain
-    brute-force top-k in SQL)."""
+    brute-force top-k in SQL).
+
+    The final cut re-ranks a 64-deep candidate buffer on the ROUNDED
+    cosine with a vec_id tiebreak — the same total order the oracle's
+    ORDER BY round(...), vec_id uses. The 10x rehearsal exposed why: its
+    embedding copies are per-copy scalar multiples, cosine is
+    scale-invariant, so the top of the list is a tie plateau at 1.0 and a
+    raw-float ordering picks an engine-dependent representative."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qv = [float(x) for x in
           e.filter(F.col("vec_id") == 7).first()["embedding"]]
     n_cells = 8
     cents = sim_ops.kmeans_centroids(e, n_cells=n_cells, iterations=2)
     index = sim_ops.ivf_index(e, cents).filter(F.col("vec_id") != 7)
-    out = sim_ops.ivf_topk(index, cents, qv, k=5, n_probe=n_cells)
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    out = sim_ops.ivf_topk(index, cents, qv, k=64, n_probe=n_cells)
+    return (
+        out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
 
 
 @_register(
@@ -2860,8 +2937,11 @@ def q58(spark, sf_dir):
     SELECT count(*) AS n_rows,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc
+           CAST(sum(CAST(round(l_extendedprice * 100.0e0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100.0e0) AS BIGINT)
+                    * CAST(round(100.0e0 - l_discount * 100.0e0) AS BIGINT))
+                AS BIGINT) AS sum_disc_x10k
     FROM lineitem
     """,
 )
@@ -2870,20 +2950,29 @@ def q59(spark, sf_dir):
     writes lineitem to a header'd CSV, reads it back with the same schema,
     and aggregates. The oracle aggregates the original parquet directly, so
     a hash match proves the round-trip is lossless (Spark's shortest-repr
-    double formatting round-trips exactly)."""
+    double formatting round-trips exactly).
+
+    The money sums are emitted in the exact integer domain (cents /
+    cents-x-discount-bps): prices and discounts are 2-decimal quantities,
+    so per-row terms are exact BIGINTs and the sum is order-independent.
+    The 10x rehearsal caught the float version: round(sum(double), 2) at
+    ~3e11 magnitude flipped the last cent between engines because a 6M-row
+    float sum's value depends on partition order (NOTES digit-budget rule;
+    sum_qty stays float-summed — integer-valued doubles sum exactly)."""
     t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     sub = t.select("l_orderkey", "l_quantity", "l_extendedprice",
                    "l_discount")
     path = _scratch(sf_dir, "lineitem_csv")
     io_mod.write_csv(sub, path)
     back = io_mod.read_ticks_csv(spark, path, schema=sub.schema)
+    cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    disc_c = F.round(100.0 - F.col("l_discount") * 100.0).cast("long")
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2).alias("sum_disc"),
+        F.sum(cents).cast("bigint").alias("sum_price_cents"),
+        F.sum(cents * disc_c).cast("bigint").alias("sum_disc_x10k"),
     )
 
 
@@ -4356,8 +4445,14 @@ def q96(spark, sf_dir):
     SELECT sym_a, sym_b, n_obs, round(corr, 6) AS corr,
            round(CASE WHEN varb > 0 THEN cov / varb END, 6)
              AS hedge_ratio,
-           round(CASE WHEN varb > 0
-                 THEN sqrt(greatest(vara - cov ^ 2 / varb, 0.0e0)) END, 6)
+           -- degenerate snap (|corr| -> 1): residual variance below
+           -- vara * 1e-6 is cancellation noise -> exactly 0 (see
+           -- operators/factors.py pairs_screen degenerate_eps)
+           round(CASE WHEN varb > 0 THEN
+                   CASE WHEN vara - cov ^ 2 / varb < vara * 1.0e-6
+                        THEN 0.0e0
+                        ELSE sqrt(greatest(vara - cov ^ 2 / varb, 0.0e0))
+                   END END, 6)
              AS resid_vol
     FROM g WHERE n_obs >= 20
     """,
