@@ -7443,3 +7443,229 @@ def q157(spark, sf_dir):
     dropped = bdf.where(F.col("df") > 3).agg(
         F.count(F.lit(1)).alias("n_dropped_bands"))
     return agg.crossJoin(F.broadcast(dropped))
+
+
+# =================== round-5 relational surface: TPC-H Q13/Q18/Q21/Q22/Q20
+
+
+@_register(
+    "q158_order_count_distribution",
+    """
+    WITH oc AS (SELECT o_custkey, count(*) AS n
+                FROM orders WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey),
+    percust AS (SELECT c.c_custkey, coalesce(oc.n, 0) AS c_count
+                FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM percust GROUP BY c_count
+    """,
+)
+def q158(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N non-urgent orders, including N = 0 via the
+    left join. Aggregate-then-join: orders collapse to (custkey, n)
+    map-combinably BEFORE meeting customer, so the join carries one row
+    per customer per side; both sides scale with SF -> unhinted
+    sort-merge (AQE may broadcast at small SF). The distribution agg is
+    over counts (tiny domain). All-integer output — fully deterministic
+    at any scale."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    oc = (t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+          .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")))
+    percust = (
+        t["customer"].select("c_custkey")
+        .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+    )
+    return percust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q159_large_quantity_orders",
+    """
+    WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING sum(l_quantity) > 300.0e0)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           round(b.total_qty, 1) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def q159(spark, sf_dir):
+    """TPC-H Q18 shape (large-quantity orders): orders whose line
+    quantities sum past 300, joined back to order + customer, top-20 by
+    order value. The HAVING collapses lineitem to qualifying orderkeys
+    map-combinably before any join; the surviving set is small but grows
+    with SF, so both joins are unhinted (AQE broadcasts it at small SF).
+    The final cut is a distributed TakeOrderedAndProject with an
+    orderkey tiebreak. Quantities are integer-valued doubles — the sum
+    is exact at any scale."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_tq"))
+           .filter(F.col("_tq") > 300.0))
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                F.round("_tq", 1).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q160_sole_blocking_supplier",
+    """
+    WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    l AS (SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem JOIN f ON o_orderkey = l_orderkey),
+    os AS (SELECT l_orderkey,
+                  count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                      THEN l_suppkey END) AS n_ret
+           FROM l GROUP BY l_orderkey),
+    ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l
+            WHERE l_returnflag = 'R')
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM ret r
+    JOIN os ON os.l_orderkey = r.l_orderkey
+             AND os.n_supp > 1 AND os.n_ret = 1
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey LIMIT 20
+    """,
+)
+def q160(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone blocked an order): in
+    finalized multi-supplier orders, the supplier with a returned line
+    where NO other supplier's line was returned. Q21's correlated
+    EXISTS / NOT EXISTS pair is re-expressed as per-order supplier
+    counts — one aggregate pass instead of two correlated fact re-scans
+    (the literal exists-formulation re-reads lineitem twice per probe
+    row; the count formulation is the standard scalable rewrite and
+    states the identical predicate: n_supp > 1 ∧ n_ret = 1). One
+    orderkey shuffle feeds both branches; supplier join is unhinted
+    (scales with SF)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "supplier"])
+    f = t["orders"].filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    li = (t["lineitem"]
+          .join(f, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey", "l_returnflag"))
+    os_ = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    ret = (li.filter(F.col("l_returnflag") == "R")
+           .select("l_orderkey", "l_suppkey").distinct())
+    return (
+        ret.join(os_.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)),
+                 "l_orderkey")
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q161_idle_rich_customers",
+    """
+    WITH avgbal AS (SELECT avg(c_acctbal) AS ab FROM customer
+                    WHERE c_acctbal > 0.0e0),
+    urgent AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100.0e0) AS BIGINT))
+                AS BIGINT) AS total_acctbal_cents
+    FROM customer c, avgbal
+    WHERE c.c_acctbal > avgbal.ab
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM urgent)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q161(spark, sf_dir):
+    """TPC-H Q22 shape (well-funded customers with no urgent activity):
+    account balance above the positive-balance average, no '1-URGENT'
+    order ever, grouped by market segment. The scalar average is a 1-row
+    aggregate broadcast back (never a window); the no-urgent-orders
+    predicate is a LEFT ANTI join against the DISTINCT urgent custkey
+    set (collapsed map-combinably before the join, which is unhinted —
+    it scales with SF). Balances are 2-decimal — summed in exact integer
+    cents, deterministic at any scale."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    avgbal = (t["customer"].filter(F.col("c_acctbal") > 0.0)
+              .agg(F.avg("c_acctbal").alias("_ab")))
+    urgent = (t["orders"]
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    return (
+        t["customer"].join(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+              "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long"))
+            .cast("bigint").alias("total_acctbal_cents"),
+        )
+    )
+
+
+@_register(
+    "q162_concentrated_suppliers",
+    """
+    WITH sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#2'
+                GROUP BY l_suppkey, l_partkey),
+    pa AS (SELECT l_partkey, 1.5e0 * avg(q) AS thr FROM sp
+           GROUP BY l_partkey),
+    hot AS (SELECT DISTINCT sp.l_suppkey
+            FROM sp JOIN pa ON sp.l_partkey = pa.l_partkey
+            WHERE sp.q > pa.thr)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN hot ON hot.l_suppkey = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def q162(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers concentrating a part's flow): suppliers
+    who shipped > 1.5x the per-supplier average quantity of some
+    Brand#2 part — Q20's nested semi-join on an aggregated subquery,
+    with the relative threshold standing in for the absent partsupp
+    availability (and staying scale-free: both q and avg(q) grow with
+    SF together). Both aggregation levels collapse map-combinably off
+    ONE fact scan; the per-part average joins back at (partkey) — part
+    rows, not line rows; the supplier probe is a semi join on the tiny
+    qualifying set (unhinted). Quantities are integer-exact, and the
+    threshold compare divides two exact sums — deterministic at any
+    scale."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    b2 = t["part"].filter(F.col("p_brand") == "Brand#2") \
+        .select("p_partkey")
+    sp = (t["lineitem"]
+          .join(b2, F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum("l_quantity").alias("q")))
+    pa = sp.groupBy("l_partkey").agg(
+        (F.lit(1.5) * F.avg("q")).alias("thr"))
+    hot = (sp.join(pa.withColumnRenamed("l_partkey", "_pk"),
+                   F.col("l_partkey") == F.col("_pk"))
+           .filter(F.col("q") > F.col("thr"))
+           .select("l_suppkey").distinct())
+    return (
+        t["supplier"].join(hot, F.col("s_suppkey") == F.col("l_suppkey"),
+                           "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
