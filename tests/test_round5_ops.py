@@ -165,3 +165,127 @@ def test_hashed_ngram_score_sigmoid_from_integer_sum(spark):
         z = r.w_sum_x1024 / 1024.0 / r.n_features
         assert r.quality_prob == pytest.approx(
             1.0 / (1.0 + math.exp(-z)), abs=0.0)
+
+
+# --------------------------------------- stream-stream quote enrichment
+
+def _write_rows(path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows).to_json(path, orient="records", lines=True)
+
+
+def _stamp(d):
+    import os
+    import time as _t
+
+    base = _t.time() - 120
+    for i, pth in enumerate(sorted(d.glob("*.json"))):
+        os.utime(pth, (base + 2 * i, base + 2 * i))
+
+
+def _enrich_fixture(tmp_path):
+    """Trades/quotes across 3 micro-batch files each; the decisive quote
+    for trade seq=2 arrives one BATCH LATER than the trade (within
+    watermark) — the cross-batch case only a stream-stream join handles.
+    ZZZ sentinels in the last files advance both watermarks so append
+    mode flushes everything real."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def tr(sym, m, s, price, seq):
+        return {"ts": (t0 + pd.Timedelta(minutes=m, seconds=s)).isoformat(),
+                "symbol": sym, "price": price, "volume": 1.0, "seq": seq}
+
+    def qt(sym, m, s, bid, ask):
+        return {"ts": (t0 + pd.Timedelta(minutes=m, seconds=s)).isoformat(),
+                "symbol": sym, "bid": bid, "ask": ask}
+
+    td = tmp_path / "trades"
+    qd = tmp_path / "quotes"
+    td.mkdir()
+    qd.mkdir()
+    _write_rows(td / "b1.json", [tr("A", 0, 10, 100.0, 1),
+                                 tr("A", 2, 30, 101.0, 2),
+                                 tr("B", 1, 0, 50.0, 3)])
+    _write_rows(qd / "b1.json", [qt("A", 0, 5, 99.0, 101.0),
+                                 qt("B", 0, 59, 49.0, 51.0),
+                                 qt("A", 2, 0, 100.0, 101.0)])
+    # trade with NO quote inside its 5-minute tolerance
+    _write_rows(td / "b2.json", [tr("A", 30, 0, 102.0, 4)])
+    # the late cross-batch quote that must win for seq=2
+    _write_rows(qd / "b2.json", [qt("A", 2, 20, 100.5, 101.5)])
+    _write_rows(td / "b3.json", [tr("ZZZ", 240, 0, 1.0, 99)])
+    _write_rows(qd / "b3.json", [qt("ZZZ", 239, 59, 1.0, 1.0)])
+    _stamp(td)
+    _stamp(qd)
+    return str(td), str(qd)
+
+
+TRADE_SCHEMA = "ts timestamp, symbol string, price double, volume double, seq long"
+QUOTE_SCHEMA = "ts timestamp, symbol string, bid double, ask double"
+
+
+def test_streaming_quote_enrich_cross_batch_and_batch_equivalence(
+        spark, tmp_path):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (
+        streaming_quote_enrich,
+    )
+
+    td, qd = _enrich_fixture(tmp_path)
+    ts = (spark.readStream.format("json").schema(TRADE_SCHEMA)
+          .option("maxFilesPerTrigger", 1).load(td))
+    qs = (spark.readStream.format("json").schema(QUOTE_SCHEMA)
+          .option("maxFilesPerTrigger", 1).load(qd))
+    out = streaming_quote_enrich(
+        ts, qs, tolerance="5 minutes", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("enrich_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.seq: r for r in
+           spark.sql("SELECT * FROM enrich_mem WHERE symbol <> 'ZZZ'")
+           .collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].bid == 99.0 and got[1].ask == 101.0
+    # seq=2: the 02:20 quote arrived a micro-batch AFTER the trade and
+    # still beats the 02:00 quote delivered alongside it
+    assert got[2].bid == 100.5 and got[2].quote_age_us == 10_000_000
+    assert got[3].bid == 49.0
+    # seq=4: nothing within tolerance -> null passthrough
+    assert got[4].bid is None and got[4].mid is None
+
+    # batch == stream: the same function over batch frames
+    tb = spark.read.format("json").schema(TRADE_SCHEMA).load(td)
+    qb = spark.read.format("json").schema(QUOTE_SCHEMA).load(qd)
+    bres = {r.seq: r for r in streaming_quote_enrich(
+        tb, qb, tolerance="5 minutes").collect() if r.symbol != "ZZZ"}
+    assert set(bres) == set(got)
+    for s in got:
+        for c in ("bid", "ask", "mid", "spread", "quote_age_us"):
+            assert getattr(bres[s], c) == getattr(got[s], c), (s, c)
+
+
+def test_streaming_quote_enrich_matches_batch_asof(spark, tmp_path):
+    """Semantic pin: the stream-stream election == the batch as-of join
+    (backward, same tolerance) on the same data."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        joins,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (
+        streaming_quote_enrich,
+    )
+
+    td, qd = _enrich_fixture(tmp_path)
+    tb = spark.read.format("json").schema(TRADE_SCHEMA).load(td)
+    qb = spark.read.format("json").schema(QUOTE_SCHEMA).load(qd)
+    enriched = {r.seq: r for r in streaming_quote_enrich(
+        tb, qb, tolerance="5 minutes").collect()}
+    asof = {r.seq: r for r in joins.asof_join(
+        tb, qb.withColumnRenamed("ts", "ts"),
+        on="ts", by="symbol", value_cols=["bid", "ask"],
+        tolerance="5 minutes", direction="backward").collect()}
+    assert set(enriched) == set(asof)
+    for s in enriched:
+        assert enriched[s].bid == asof[s].bid, s
+        assert enriched[s].ask == asof[s].ask, s
