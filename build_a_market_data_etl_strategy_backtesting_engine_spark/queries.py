@@ -7669,3 +7669,75 @@ def q162(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@_register(
+    "q163_stream_join_batch_twin",
+    f"""
+    WITH {TICKS_CTE},
+    ck AS (SELECT * FROM ticks WHERE symbol = 'click'),
+    tr AS (SELECT symbol, ts, seq, price, volume FROM ck
+           WHERE seq % 10 = 0),
+    qt AS (SELECT symbol, ts - INTERVAL 30 SECONDS AS ts,
+                  max(price) - 1.0e-2 AS bid,
+                  max(price) + 1.0e-2 AS ask
+           FROM ck GROUP BY symbol, ts),
+    j AS (SELECT t.symbol, t.ts, t.seq, t.price, t.volume,
+                 q.ts AS q_ts, q.bid, q.ask
+          FROM tr t ASOF LEFT JOIN qt q
+            ON t.symbol = q.symbol AND q.ts <= t.ts),
+    tol AS (SELECT symbol, ts, seq, price, volume,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN q_ts END AS q_ts,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN bid END AS bid,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN ask END AS ask
+            FROM j)
+    SELECT symbol, epoch_us(ts) AS ts_us, seq, price, volume, bid, ask,
+           round((bid + ask) / 2.0e0, 8) AS mid,
+           round(ask - bid, 8) AS spread,
+           epoch_us(ts) - epoch_us(q_ts) AS quote_age_us
+    FROM tol
+    """,
+)
+def q163(spark, sf_dir):
+    """Batch twin of the stream-stream quote enrichment
+    (streaming/joins.py streaming_quote_enrich): the SAME interval-join +
+    latest-quote election code path, run on batch frames, against a
+    DuckDB ASOF-LEFT-JOIN oracle with the tolerance nulled afterwards
+    (equivalent: if the overall-latest quote is out of tolerance, every
+    earlier one is too). Quotes are derived from the same tick stream
+    (30 s shift, per-(symbol, ts) collapsed so the election has a unique
+    winner). Scoped to ONE symbol with a seq-sampled trade side: the
+    scale-rehearsal generator grows the corpus by ADDING symbols, so the
+    unoptimized batch interval join stays bounded at every rehearsal
+    scale (the streaming path bounds itself via watermark state; a batch
+    backfill at fact scale uses operators/joins.asof_join or the
+    bucketed range join instead — documented trade-off)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (
+        streaming_quote_enrich,
+    )
+
+    ck = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    trades = ck.filter(F.col("seq") % 10 == 0)
+    quotes = (
+        ck.groupBy("symbol", "ts")
+        .agg(F.max("price").alias("_p"))
+        .select(
+            "symbol",
+            (F.col("ts") - F.expr("INTERVAL 30 SECONDS")).alias("ts"),
+            # additive spread, NO construction rounding: price is
+            # 2-decimal, so both engines produce bit-identical doubles
+            # (a multiplicative 0.999 spread creates 5-ending 5-decimal
+            # values whose round-to-4 TIES break differently — the NOTES
+            # digit-budget rule, re-learned here)
+            (F.col("_p") - 0.01).alias("bid"),
+            (F.col("_p") + 0.01).alias("ask"),
+        )
+    )
+    out = streaming_quote_enrich(trades, quotes, tolerance="2 minutes")
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
+        "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
+    )
