@@ -182,7 +182,9 @@ def q01(spark, sf_dir):
 @_register(
     "q02_revenue_by_nation",
     """
-    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                 AS DOUBLE), 2) AS revenue,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -207,7 +209,8 @@ def q02(spark, sf_dir):
         .join(F.broadcast(t["region"]),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+                     .cast("double"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
     )
 
@@ -354,7 +357,9 @@ def q07(spark, sf_dir):
     WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
                       quantile_cont(l_extendedprice, 0.75) AS q3
                FROM lineitem)
-    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+    SELECT count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                 AS DOUBLE), 2) AS sum_price,
            min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
     FROM lineitem, q
     WHERE l_extendedprice BETWEEN q1 - 1.5e0 * (q3 - q1)
@@ -363,12 +368,17 @@ def q07(spark, sf_dir):
 )
 def q08(spark, sf_dir):
     """IQR outlier filter, exact interpolated quartiles (cleaner.py:39-47;
-    percentile NOT percentile_approx per SURVEY §7.7.8)."""
+    percentile NOT percentile_approx per SURVEY §7.7.8). sum_price runs
+    in DECIMAL(28,10) like q01's money sums: the double sum at 10x scale
+    (~3e11 over 6M rows) straddles a cent boundary, so round(sum, 2)
+    flips with partition order — the sf1 sweep caught it landing on
+    different cents in different runs."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     kept = cleaner.remove_outliers_iqr(li, "l_extendedprice", k=1.5)
     return kept.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                .cast("double"), 2).alias("sum_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
@@ -378,7 +388,9 @@ def q08(spark, sf_dir):
     "q09_outliers_zscore",
     """
     WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
-    SELECT count(*) AS n, round(sum(value), 4) AS sum_value
+    SELECT count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS sum_value
     FROM events, s
     WHERE abs(value - mu) / sd < 2.0e0
     """,
@@ -389,7 +401,8 @@ def q09(spark, sf_dir):
     kept = cleaner.remove_outliers_zscore(ev, "value", k=2.0)
     return kept.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double"), 4).alias("sum_value"),
     )
 
 
@@ -6518,7 +6531,8 @@ def q139(spark, sf_dir):
 @_register(
     "q140_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -6545,7 +6559,8 @@ def q140(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+                F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                      .cast("decimal(28,10)")).cast("double"), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
