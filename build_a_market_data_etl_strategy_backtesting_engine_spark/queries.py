@@ -7250,8 +7250,8 @@ def q154(spark, sf_dir):
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           round(sum(l.l_extendedprice * (1.0e0 - l.l_discount)), 4)
-             AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0e0 - l.l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -7304,8 +7304,9 @@ def q155(spark, sf_dir):
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (F.lit(1.0) - F.col("l_discount"))), 4)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")))
+                           .cast("decimal(28,10)")).cast("double"), 4)
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
@@ -7330,9 +7331,14 @@ def q155(spark, sf_dir):
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume
-                          ELSE 0.0e0 END) / sum(volume), 6) AS mkt_share,
-           round(sum(volume), 4) AS total_volume,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_8'
+                          THEN CAST(volume AS DECIMAL(28,10))
+                          ELSE CAST(0.0e0 AS DECIMAL(28,10)) END)
+                      AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS mkt_share,
+           round(CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS total_volume,
            count(*) AS n_lines
     FROM vol GROUP BY o_year
     """,
@@ -7381,9 +7387,12 @@ def q156(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_8", vol)
-                      .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+                      .otherwise(F.lit(0.0)).cast("decimal(28,10)"))
+                .cast("double")
+                / F.sum(vol.cast("decimal(28,10)")).cast("double"), 6)
             .alias("mkt_share"),
-            F.round(F.sum(vol), 4).alias("total_volume"),
+            F.round(F.sum(vol.cast("decimal(28,10)")).cast("double"), 4)
+            .alias("total_volume"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
