@@ -7765,3 +7765,345 @@ def q163(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
         "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
     )
+
+
+# ------------------------------------------------- classic shapes, part 2
+# (TPC-H Q4/Q12/Q9/Q11/Q16/Q19/Q2 re-expressed on the available columns:
+#  no partsupp/commitdate/receiptdate/shipmode in the synthetic schema,
+#  so lateness derives from shipdate-vs-orderdate, unit cost from
+#  observed lineitem price, and the partsupp bridge from DISTINCT
+#  (partkey, suppkey) shipments. Reference: backtesting/portfolio.py has
+#  no relational layer — these pin the engine's join/agg planner.)
+
+
+@_register(
+    "q164_priority_late_orders",
+    """
+    WITH w AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00')
+    SELECT w.o_orderpriority, count(*) AS order_count
+    FROM w
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = w.o_orderkey
+                    AND l.l_shipdate > w.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY w.o_orderpriority
+    """,
+)
+def q164(spark, sf_dir):
+    """TPC-H Q4 shape (priority distribution of late orders): one
+    quarter's orders having at least one line shipped > 60 days after
+    the order date (standing in for commitdate < receiptdate), counted
+    by priority. The EXISTS is a LEFT SEMI join whose non-equi lateness
+    predicate rides the join condition — the quarter filter prunes the
+    probe side BEFORE the shuffle, and the semi join short-circuits per
+    orderkey (no DISTINCT materialization). All-integer output,
+    deterministic at any scale."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    w = (t["orders"]
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1997-04-01"))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = w.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "q165_returnflag_priority_mix",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q165(spark, sf_dir):
+    """TPC-H Q12 shape (priority mix per shipping class): lines shipped
+    in 1998 within 120 days of their order, split high/low priority per
+    return flag (standing in for shipmode) in ONE conditional-sum pass —
+    Q12's signature both-branches-in-one-aggregation. The year filter
+    prunes the fact scan (pushed to parquet); the within-120-days
+    predicate needs the other fact side so it rides the join. Counts
+    only — deterministic at any scale."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= "1998-01-01")
+                  & (F.col("l_shipdate") < "1999-01-01"))
+          .select("l_orderkey", "l_shipdate", "l_returnflag"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"].select("o_orderkey", "o_orderdate",
+                                   "o_orderpriority"),
+                (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate")
+                   <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+@_register(
+    "q166_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0e0 - l.l_discount)
+                               - 6.0e-1 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(28,10))) AS DOUBLE), 4) AS profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, o_year
+    """,
+)
+def q166(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year):
+    profit = revenue minus a 60%-of-retail cost proxy (no partsupp
+    supplycost in the schema), over parts whose name contains 'red'.
+    The LIKE prunes part BEFORE its join (selective dim first), supplier
+    and nation are dim joins AQE broadcasts at small SF (unhinted —
+    supplier scales with SF), and the per-line profit expression is
+    IEEE-identical on both engines, accumulated exactly in
+    DECIMAL(28,10) so the 4-decimal round is tie-free at any scale."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "part", "supplier", "nation"])
+    red = t["part"].filter(F.col("p_name").like("%red%")) \
+        .select("p_partkey", "p_retailprice")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(red, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit.cast("decimal(28,10)"))
+                     .cast("double"), 4).alias("profit"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@_register(
+    "q167_important_parts",
+    """
+    WITH pv AS (SELECT l.l_partkey,
+                       CAST(sum(CAST(round(l.l_extendedprice * 1.0e2)
+                                     AS BIGINT)
+                                * CAST(round(1.0e2 - l.l_discount * 1.0e2)
+                                       AS BIGINT)) AS BIGINT)
+                         AS value_x10000
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_regionkey = 3
+                GROUP BY l.l_partkey),
+    tot AS (SELECT CAST(sum(value_x10000) AS BIGINT) AS t,
+                   count(*) AS n FROM pv)
+    SELECT pv.l_partkey AS p_partkey, pv.value_x10000
+    FROM pv, tot
+    WHERE pv.value_x10000 * tot.n * 2 > 3 * tot.t
+    """,
+)
+def q167(spark, sf_dir):
+    """TPC-H Q11 shape (disproportionately valuable parts): per-part
+    shipped value through region-3 suppliers, keeping parts above 1.5x
+    the per-part average — the HAVING-against-a-global-scalar shape.
+    Q11's fixed fraction goes vacuous as the part table grows, so the
+    threshold is relative (2 * value * n_parts > 3 * total, i.e. 1.5x
+    the mean — 2x sits exactly at the ceiling of the uniform quantity
+    distribution and returns nothing at the smallest SF), scale-free by
+    construction. The scalar is a 1-row aggregate OF the already-
+    aggregated pv (two map-combinable passes over one shuffle output,
+    never a window), broadcast back. Per-line value is exact integer
+    cents x discount-percent — BIGINT throughout (~1e13 * n at the
+    compare, far under 2^63 at any rehearsed scale), zero FP."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    r3supp = (t["supplier"]
+              .join(t["nation"].filter(F.col("n_regionkey") == 3),
+                    F.col("n_nationkey") == F.col("s_nationkey"),
+                    "left_semi")
+              .select("s_suppkey"))
+    val = (F.round(F.col("l_extendedprice") * 100.0).cast("long")
+           * F.round(F.lit(100.0) - F.col("l_discount") * 100.0)
+           .cast("long"))
+    pv = (t["lineitem"]
+          .join(r3supp, F.col("s_suppkey") == F.col("l_suppkey"))
+          .groupBy(F.col("l_partkey").alias("p_partkey"))
+          .agg(F.sum(val).cast("bigint").alias("value_x10000")))
+    tot = pv.agg(F.sum("value_x10000").cast("bigint").alias("_t"),
+                 F.count(F.lit(1)).alias("_n"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_x10000") * F.col("_n") * 2
+                > 3 * F.col("_t"))
+        .select("p_partkey", "value_x10000")
+    )
+
+
+@_register(
+    "q168_parts_supplier_counts",
+    """
+    WITH excl AS (SELECT s_suppkey FROM supplier
+                  WHERE s_acctbal < 1.0e3),
+    bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+               WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT b.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN bridge b ON b.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q168(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part class): distinct
+    suppliers observed shipping each (brand, type, size), excluding
+    low-balance suppliers via NOT IN (a LEFT ANTI join — s_suppkey is
+    never NULL so the semantics coincide) and filtered part classes.
+    The DISTINCT (partkey, suppkey) bridge collapses the fact table
+    map-combinably to partsupp cardinality BEFORE the part join; the
+    exclusion list is a dim-sized anti join. All-integer output."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    excl = t["supplier"].filter(F.col("s_acctbal") < 1000.0) \
+        .select("s_suppkey")
+    bridge = (t["lineitem"].select("l_partkey", "l_suppkey")
+              .join(excl, F.col("s_suppkey") == F.col("l_suppkey"),
+                    "left_anti")
+              .distinct())
+    keep = t["part"].filter((F.col("p_brand") != "Brand#5")
+                            & (F.col("p_type") != "PROMO"))
+    return (
+        keep.join(bridge, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q169_disjunctive_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1.0e0 - l.l_discount)
+                          AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q169(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
+    brand/size/quantity windows straddling BOTH join sides. Catalyst
+    extracts the per-side common factors — the brand-membership
+    disjunct prunes the part scan and the quantity envelope prunes the
+    fact scan (both visible as PushedFilters) — while the full
+    cross-side residual evaluates post-join. Single global row:
+    DECIMAL-exact revenue (tie-free 4-decimal round) + line count."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    leg = [
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15),
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 25),
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 35),
+    ]
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(leg[0] | leg[1] | leg[2])
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")))
+                           .cast("decimal(28,10)")).cast("double"), 4)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@_register(
+    "q170_min_cost_supplier",
+    """
+    WITH cost AS (SELECT l_partkey, l_suppkey,
+                         min(l_extendedprice / l_quantity) AS unit_cost
+                  FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+                        s.s_name, s.s_acctbal, n.n_name
+                 FROM cost c
+                 JOIN supplier s ON s.s_suppkey = c.l_suppkey
+                 JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 WHERE n.n_regionkey = 3),
+    best AS (SELECT l_partkey, min(unit_cost) AS best_cost
+             FROM eligible GROUP BY l_partkey)
+    SELECT p.p_partkey, e.s_name, e.n_name AS nation, e.s_acctbal,
+           e.unit_cost
+    FROM eligible e
+    JOIN best b ON b.l_partkey = e.l_partkey
+                AND e.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    """,
+)
+def q170(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier per part): for STANDARD
+    small parts, the region-3 supplier(s) with the lowest observed unit
+    price (min(extendedprice/quantity) standing in for partsupp
+    supplycost). The correlated MIN subquery is a per-part aggregate
+    joined back on (partkey, cost) — cost values are IEEE-identical
+    divisions MIN-selected, so the double equality join is exact and
+    ties keep ALL best suppliers (no arbitrary pick; the compare is
+    order-insensitive, so no LIMIT is needed and every emitted column
+    is raw or bit-exact — zero rounding). The part filter prunes the
+    probe to ~3% of parts before the join-back."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "part", "supplier", "nation"])
+    cost = (t["lineitem"]
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+    eligible = (
+        cost
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"].filter(F.col("n_regionkey") == 3),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"))
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("_pk")) \
+        .agg(F.min("unit_cost").alias("_best"))
+    keep = t["part"].filter((F.col("p_type") == "STANDARD")
+                            & (F.col("p_size") <= 10)) \
+        .select("p_partkey")
+    return (
+        eligible
+        .join(best, (F.col("l_partkey") == F.col("_pk"))
+              & (F.col("unit_cost") == F.col("_best")))
+        .join(keep, F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "s_name", "nation", "s_acctbal", "unit_cost")
+    )

@@ -545,3 +545,54 @@ def test_r4_image_decode_shuffle_free(spark):
     df = q.spark_queries()["q145_image_decode_features"](spark, SF)
     assert plans.count_shuffles(df) == 0
     assert "MapInPandas" in plans.explain_str(df, "formatted")
+
+
+def test_q4_shape_semi_join_with_lateness_predicate(spark):
+    """q164: the EXISTS is a LEFT SEMI join (no DISTINCT
+    materialization of late orderkeys) whose probe side is pruned by
+    the pushed quarter filter; the lateness predicate rides the join
+    condition. Zero Python stages."""
+    df = q.spark_queries()["q164_priority_late_orders"](spark, SF)
+    txt = plans.explain_str(df, "formatted")
+    assert "LeftSemi" in txt
+    plans.assert_pushed_filters(df, ["o_orderdate"])
+    assert "ArrowEvalPython" not in txt
+    assert "FlatMapGroupsInPandas" not in txt
+
+
+def test_q19_shape_disjunction_pushes_both_sides(spark):
+    """q169: Catalyst must extract per-side envelopes from the OR'd
+    brand/size/quantity legs — a disjunctive filter reaches BOTH parquet
+    scans (quantity on lineitem, brand/size on part) instead of
+    evaluating only post-join. One shuffle (the global agg) at this SF."""
+    df = q.spark_queries()["q169_disjunctive_revenue"](spark, SF)
+    txt = plans.explain_str(df, "formatted")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", txt)
+    assert sum("Or(" in p for p in pushed) >= 2, pushed
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_q11_shape_scalar_threshold_reuses_fact_exchange(spark):
+    """q167: the global-scalar HAVING must be a 1-row aggregate joined
+    back (never a window over the whole pv set), and at execution AQE
+    must reuse the pv exchange — the fact table is shuffled ONCE for
+    both the total and the probe side."""
+    df = q.spark_queries()["q167_important_parts"](spark, SF)
+    txt = plans.explain_str(df, "formatted")
+    assert "Window" not in txt
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_q2_shape_min_cost_join_back_reuses_exchange(spark):
+    """q170: the correlated-min is a per-part aggregate joined back on
+    (partkey, cost); at execution the eligible exchange is reused, the
+    part filter is pushed, and no Python stage appears."""
+    df = q.spark_queries()["q170_min_cost_supplier"](spark, SF)
+    plans.assert_pushed_filters(df, ["p_type", "p_size"])
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
