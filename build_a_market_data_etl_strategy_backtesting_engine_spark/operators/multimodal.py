@@ -6,14 +6,16 @@ Beyond-reference operators (SURVEY §7.6): images/audio/video ride as
 resize / frame-sample run as mapInPandas stages so each Arrow batch crosses
 the Python boundary once.
 
-Decode status (r4): **uncompressed image formats decode for real** with
-pure numpy — BMP (24/32-bit BI_RGB, bottom-up or top-down) and binary
-PPM/PGM (P6/P5) — exactly the way the audio path decodes raw PCM16. The
+Decode status (r5): **uncompressed image formats AND baseline JPEG decode
+for real** with pure numpy — BMP (24/32-bit BI_RGB, bottom-up or
+top-down), binary PPM/PGM (P6/P5), and baseline sequential JFIF
+(operators/jpeg.py: arbitrary DQT/DHT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling,
+restart markers; progressive/12-bit raise and fall through). The
 :func:`image_features` / :func:`resize_images` real paths need no PIL for
-those formats; compressed formats (PNG/JPEG) still route to PIL when
-importable and raise ``NotImplementedError`` otherwise (no installs in
-this container). On a real cluster the same UDF bodies pick up Pillow
-automatically.
+those formats; remaining compressed formats (PNG, progressive JPEG)
+route to PIL when importable and raise ``NotImplementedError`` otherwise
+(no installs in this container). On a real cluster the same UDF bodies
+pick up Pillow automatically.
 """
 
 from __future__ import annotations
@@ -154,13 +156,24 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_image_array(content: bytes) -> np.ndarray:
-    """Dispatch decode: BMP / binary PPM / PGM natively (pure numpy);
-    anything else via PIL when importable, else ``NotImplementedError``."""
+    """Dispatch decode: BMP / binary PPM / PGM / baseline JPEG natively
+    (pure numpy — see operators/jpeg.py); anything else (PNG,
+    progressive JPEG, ...) via PIL when importable, else
+    ``NotImplementedError``."""
     head = bytes(content[:2])
     if head == b"BM":
         return decode_bmp(bytes(content))
     if head in (b"P6", b"P5"):
         return decode_ppm(bytes(content))
+    if head == b"\xff\xd8":
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+            jpeg,
+        )
+
+        try:
+            return jpeg.decode_jpeg(bytes(content))
+        except NotImplementedError:
+            pass  # progressive / 12-bit -> PIL fallback below
     img = decode_image(bytes(content))  # PIL path (raises w/o PIL)
     return np.asarray(img.convert("RGB"))
 
@@ -439,4 +452,43 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         MEDIA_SCHEMA,
     )
 
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_images(spark, n: int = 10) -> DataFrame:
+    """Deterministic REAL JPEG table: seeded gradient rasters encoded by
+    the pure-numpy baseline encoder (operators/jpeg.py) across the
+    sampling/quality/restart matrix — 4:4:4, 4:2:0, 4:2:2, 4:4:0,
+    grayscale, and a restart-interval variant. Every payload decodes
+    through the same ``decode_image_array`` dispatch the corpus pipeline
+    uses; encode is bit-deterministic so the feature outputs golden-pin."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        jpeg,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    variants = [
+        (90, False, 0), (85, True, 0), (85, "422", 0),
+        (85, "440", 0), (75, True, 3), (95, False, 1),
+    ]
+    rows = []
+    for i in range(n):
+        w = 17 + (i * 11) % 24
+        h = 11 + (i * 7) % 18
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+        g = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+        b = (((xx * 2 + yy * 3 + i) % 32) * 8).astype(np.uint8)
+        q, sub, ri = variants[i % len(variants)]
+        if i % 7 == 6:  # grayscale leg
+            payload = jpeg.encode_jpeg(r, quality=q,
+                                       restart_interval=ri)
+        else:
+            arr = np.stack([r, g, b], axis=-1)
+            payload = jpeg.encode_jpeg(arr, quality=q, subsample=sub,
+                                       restart_interval=ri)
+        rows.append((i, "image", bytearray(payload), "synth/jpeg",
+                     w, h, None, {"q": str(q), "sub": str(sub)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
