@@ -6,15 +6,15 @@ Beyond-reference operators (SURVEY §7.6): images/audio/video ride as
 resize / frame-sample run as mapInPandas stages so each Arrow batch crosses
 the Python boundary once.
 
-Decode status (r5): **uncompressed image formats AND baseline JPEG decode
-for real** with pure numpy — BMP (24/32-bit BI_RGB, bottom-up or
-top-down), binary PPM/PGM (P6/P5), and baseline sequential JFIF
-(operators/jpeg.py: arbitrary DQT/DHT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling,
-restart markers; progressive/12-bit raise and fall through). The
-:func:`image_features` / :func:`resize_images` real paths need no PIL for
-those formats; remaining compressed formats (PNG, progressive JPEG)
-route to PIL when importable and raise ``NotImplementedError`` otherwise
-(no installs in this container). On a real cluster the same UDF bodies
+Decode status (r5): **every common web image format decodes for real**
+with pure numpy/stdlib — BMP (24/32-bit BI_RGB, bottom-up or top-down),
+binary PPM/PGM (P6/P5), baseline sequential JFIF (operators/jpeg.py:
+arbitrary DQT/DHT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling, restart markers),
+and PNG (operators/png.py: all 5 filters, grey/RGB/palette/alpha color
+types, tRNS, multi-IDAT). The :func:`image_features` /
+:func:`resize_images` real paths need no PIL for those; the residual
+exotic variants (progressive JPEG, 12/16-bit, Adam7) raise and fall
+through to PIL when importable. On a real cluster the same UDF bodies
 pick up Pillow automatically.
 """
 
@@ -156,9 +156,9 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_image_array(content: bytes) -> np.ndarray:
-    """Dispatch decode: BMP / binary PPM / PGM / baseline JPEG natively
-    (pure numpy — see operators/jpeg.py); anything else (PNG,
-    progressive JPEG, ...) via PIL when importable, else
+    """Dispatch decode: BMP / binary PPM / PGM / baseline JPEG / PNG
+    natively (pure numpy — see operators/jpeg.py, operators/png.py);
+    residual exotic variants via PIL when importable, else
     ``NotImplementedError``."""
     head = bytes(content[:2])
     if head == b"BM":
@@ -174,6 +174,15 @@ def decode_image_array(content: bytes) -> np.ndarray:
             return jpeg.decode_jpeg(bytes(content))
         except NotImplementedError:
             pass  # progressive / 12-bit -> PIL fallback below
+    if bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+            png,
+        )
+
+        try:
+            return png.decode_png(bytes(content))
+        except NotImplementedError:
+            pass  # 16-bit / Adam7 -> PIL fallback below
     img = decode_image(bytes(content))  # PIL path (raises w/o PIL)
     return np.asarray(img.convert("RGB"))
 
@@ -491,4 +500,68 @@ def synthetic_jpeg_images(spark, n: int = 10) -> DataFrame:
                                        restart_interval=ri)
         rows.append((i, "image", bytearray(payload), "synth/jpeg",
                      w, h, None, {"q": str(q), "sub": str(sub)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_png_images(spark, n: int = 8) -> DataFrame:
+    """Deterministic REAL PNG table (lossless twin of the JPEG fixture):
+    RGB and grayscale rasters from the pure-stdlib encoder, plus
+    hand-assembled palette and RGBA payloads exercising the PLTE/tRNS
+    and alpha-compositing decode paths through the same dispatch."""
+    import struct
+    import zlib
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        png,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    def chunk(tag, pl):
+        return (struct.pack(">I", len(pl)) + tag + pl
+                + struct.pack(">I", zlib.crc32(tag + pl) & 0xFFFFFFFF))
+
+    rows = []
+    for i in range(n):
+        w = 15 + (i * 9) % 22
+        h = 10 + (i * 6) % 15
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = ((xx * 13 + i) % 256).astype(np.uint8)
+        g = ((yy * 19) % 256).astype(np.uint8)
+        b = ((xx + yy * 2) % 256).astype(np.uint8)
+        leg = i % 4
+        if leg == 0:  # RGB
+            payload = png.encode_png(np.stack([r, g, b], axis=-1))
+        elif leg == 1:  # grayscale
+            payload = png.encode_png(r)
+        elif leg == 2:  # palette (4 colors, no alpha)
+            pal = np.array([[250, 10, 10], [10, 250, 10],
+                            [10, 10, 250], [120, 120, 120]],
+                           dtype=np.uint8)
+            idx = ((xx + yy + i) % 4).astype(np.uint8)
+            raw = bytearray()
+            for row in idx:
+                raw.append(0)
+                raw += row.tobytes()
+            payload = (b"\x89PNG\r\n\x1a\n"
+                       + chunk(b"IHDR", struct.pack(
+                           ">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+                       + chunk(b"PLTE", pal.tobytes())
+                       + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                       + chunk(b"IEND", b""))
+        else:  # RGBA with a deterministic alpha ramp
+            a = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+            px = np.stack([r, g, b, a], axis=-1)
+            raw = bytearray()
+            for row in px:
+                raw.append(0)
+                raw += row.tobytes()
+            payload = (b"\x89PNG\r\n\x1a\n"
+                       + chunk(b"IHDR", struct.pack(
+                           ">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+                       + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                       + chunk(b"IEND", b""))
+        rows.append((i, "image", bytearray(payload), "synth/png",
+                     w, h, None, {"leg": str(leg)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

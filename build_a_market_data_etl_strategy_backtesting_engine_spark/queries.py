@@ -8153,3 +8153,45 @@ def q171(spark, sf_dir):
         F.round("std_gray", 6).alias("std_gray"),
         F.col("decode_ok").cast("int").alias("decode_ok"),
     )
+
+
+_GOLDENS['q172'] = (
+    ['media_id', 'width', 'height', 'n_channels',
+     'mean_r', 'mean_g', 'mean_b', 'std_gray', 'decode_ok'],
+    [
+        (0, 15, 10, 3, 91.0, 85.5, 16.0, 28.473997, 1),
+        (1, 24, 16, 3, 107.833333, 107.833333, 107.833333, 78.146053, 1),
+        (2, 33, 22, 3, 97.410468, 97.410468, 97.741047, 13.002288, 1),
+        (3, 20, 13, 3, 213.65, 184.842308, 140.419231, 41.124612, 1),
+        (4, 29, 19, 3, 106.551724, 103.631579, 32.0, 35.951679, 1),
+        (5, 16, 10, 3, 102.5, 102.5, 102.5, 59.927039, 1),
+        (6, 25, 16, 3, 97.5, 97.5, 97.5, 12.990381, 1),
+        (7, 34, 22, 3, 191.794118, 180.945187, 149.541444, 50.802565, 1),
+    ])
+
+
+@_register("q172_png_decode_features", _golden_sql("q172"))
+def q172(spark, sf_dir):
+    """REAL PNG decode end-to-end — the lossless twin of q171: RGB and
+    grayscale payloads from the pure-stdlib encoder plus hand-assembled
+    palette (PLTE) and RGBA (alpha-over-white) payloads, decoded through
+    the SAME decode_image_array dispatch + image_features mapInPandas
+    stage. With JPEG (q171) this covers both formats that dominate web
+    image corpora, zero image libraries required; goldens are exact
+    because PNG is lossless (legs 1/2 show the equal-channel and
+    palette-uniform signatures)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
+    media = mm_ops.synthetic_png_images(spark, 8)
+    feats = mm_ops.image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
