@@ -358,8 +358,8 @@ def q07(spark, sf_dir):
                       quantile_cont(l_extendedprice, 0.75) AS q3
                FROM lineitem)
     SELECT count(*) AS n,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
-                 AS DOUBLE), 2) AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 1.0e2) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
            min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
     FROM lineitem, q
     WHERE l_extendedprice BETWEEN q1 - 1.5e0 * (q3 - q1)
@@ -368,17 +368,19 @@ def q07(spark, sf_dir):
 )
 def q08(spark, sf_dir):
     """IQR outlier filter, exact interpolated quartiles (cleaner.py:39-47;
-    percentile NOT percentile_approx per SURVEY §7.7.8). sum_price runs
-    in DECIMAL(28,10) like q01's money sums: the double sum at 10x scale
-    (~3e11 over 6M rows) straddles a cent boundary, so round(sum, 2)
-    flips with partition order — the sf1 sweep caught it landing on
-    different cents in different runs."""
+    percentile NOT percentile_approx per SURVEY §7.7.8). The whole-table
+    money sum is emitted in EXACT INTEGER CENTS: the r5 DECIMAL
+    accumulation fixed partition-order noise, but at 1000x (sf100) the
+    exact sum reaches 3.2e13 and round(double, 2) needs 15.5 significant
+    digits — past the double budget, so the SAME double rounds to
+    different cents in the two engines. Integer cents stay exact to
+    ~9e16 dollars (another 1000x of headroom) and hash identically."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     kept = cleaner.remove_outliers_iqr(li, "l_extendedprice", k=1.5)
     return kept.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
-                .cast("double"), 2).alias("sum_price"),
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("bigint").alias("sum_price_cents"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
