@@ -7214,7 +7214,9 @@ def q153(spark, sf_dir):
     """
     WITH pa AS (SELECT l_partkey, 0.5e0 * avg(l_quantity) AS half_avg
                 FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l.l_extendedprice) / 7.0e0, 4) AS avg_yearly,
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 1.0e2)
+                              AS BIGINT)) AS DOUBLE) / 7.0e2, 4)
+             AS avg_yearly,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -7228,7 +7230,14 @@ def q154(spark, sf_dir):
     average is an aggregate of the fact joined BACK by part key — both
     sides collapse before joining (per-part rows, not line pairs); the
     brand key set scales with SF so it is unhinted (stats/AQE broadcast
-    it at small SF). One fact scan feeds both branches."""
+    it at small SF). One fact scan feeds both branches.
+
+    The revenue sum accumulates in exact integer cents (sf100 caught the
+    plain double sum drifting 8e-14 relative — past the 4-decimal budget
+    at 4.2e10); the /700 division then divides IDENTICAL doubles in both
+    engines, and a cents/700 quotient can never sit exactly on the 1e-4
+    rounding grid's midpoint (the reduced denominator keeps a factor 5^5
+    or 7 — not a power of two), so the round is tie-free at any scale."""
     t = load_tables(spark, sf_dir, ["part", "lineitem"])
     li = t["lineitem"]
     pa = li.groupBy("l_partkey").agg(
@@ -7241,7 +7250,9 @@ def q154(spark, sf_dir):
         .join(pa.withColumnRenamed("l_partkey", "_pk"),
               F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4)
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100.0)
+                           .cast("long")).cast("double")
+                     / F.lit(700.0), 4)
              .alias("avg_yearly"),
              F.count(F.lit(1)).alias("n_lines"))
     )
