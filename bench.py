@@ -65,13 +65,19 @@ def bench_backtest_metrics(spark, sf_dir):
 
 def bench_minhash_production(spark, sf_dir):
     """Near-dup candidate pipeline on the PRODUCTION hash path (xxhash64
-    signatures -> LSH banding): the 100TB dedup route; the md5 twin only
-    exists for cross-engine oracle checks."""
+    signatures -> LSH banding) WITH the stop-band cap — the 100TB dedup
+    route always caps hot bands (the scale-rehearsal corpus is hot-banded
+    by construction: every doc has ~10 near-copies per chained decade, so
+    the uncapped within-band pair join is quadratic in the copy count —
+    215 s vs 31 s at sf10). The md5 twin only exists for cross-engine
+    oracle checks; uncapped pair semantics are oracle-checked by q29,
+    cap semantics by q157."""
     from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import dedup
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     sigs = dedup.minhash_signatures(docs, num_hashes=16, k=5)
-    _materialize(dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4))
+    _materialize(dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4,
+                                           max_band_df=200))
 
 
 def bench_event_driven(spark, sf_dir):

@@ -119,25 +119,30 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q01_pricing_summary",
     """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100.0e0) AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS cents,
+             CAST(round(100.0e0 - l_discount * 100.0e0) AS BIGINT) AS disc_c,
+             CAST(round(100.0e0 + l_tax * 100.0e0) AS BIGINT) AS tax_c,
+             CAST(round(l_discount * 100.0e0) AS BIGINT) AS disc_b
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00')
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2)
-             AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
-                 AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1.0e0 - l_discount)
-                 AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice * (1.0e0 - l_discount)
-                              * (1.0e0 + l_tax)
-                 AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
-                 / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
-                 AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
-                 / count(*), 6) AS avg_disc,
+           round(CAST(sum(qty_c) AS DOUBLE) / 1.0e2, 2) AS sum_qty,
+           round(CAST(sum(cents) AS DOUBLE) / 1.0e2, 2) AS sum_base_price,
+           round(CAST(sum(cents * disc_c) AS DOUBLE) / 1.0e4, 2)
+             AS sum_disc_price,
+           round(CAST(sum(cents * disc_c * tax_c) AS DOUBLE) / 1.0e6, 2)
+             AS sum_charge,
+           round(CAST(sum(qty_c) AS DOUBLE) / 1.0e2 / count(*), 6)
+             AS avg_qty,
+           round(CAST(sum(cents) AS DOUBLE) / 1.0e2 / count(*), 6)
+             AS avg_price,
+           round(CAST(sum(disc_b) AS DOUBLE) / 1.0e2 / count(*), 6)
+             AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -145,35 +150,46 @@ def q01(spark, sf_dir):
     """TPC-H Q1-shaped scan+filter+hash-agg: predicate pushed to parquet,
     map-side partial aggregation, no window. (SURVEY §2.3 group-agg row.)
 
-    The money sums run in DECIMAL(28,10): each row's double expression is
-    cast once (deterministic per-row, identical in both engines — binary
-    doubles from this data can't sit on a scale-10 decimal midpoint, so
-    cast rounding can't tie) and the aggregation is EXACT and order-free.
-    Double sums diverged between engines in the last rounded digit at the
-    10x rehearsal (6M rows, sums ~4e10 — associativity noise crosses the
-    2-decimal budget); averages derive from the same exact sums."""
+    The money sums run in the exact INTEGER domain (cents / cents x
+    discount-bps / cents x disc x tax): quantity, price, discount and tax
+    are 2-decimal grid quantities, so every per-row term is an exact
+    BIGINT and the sums are order-free and bit-identical across engines
+    at any scale — no float-sum associativity noise (which flipped the
+    last rounded digit at the 10x rehearsal) and ~3x faster than the
+    earlier DECIMAL(28,10) accumulation (long-backed codegen vs
+    BigDecimal boxing; 1.29 s -> 0.40 s warm at sf0.1). The one term
+    that could outgrow BIGINT is the triple product (~3.6e10/row avg:
+    overflow only past ~sf1000 per group) — it alone accumulates in
+    decimal(38,0); DuckDB's BIGINT sum is HUGEINT (128-bit) so the
+    oracle is exact throughout, and a 128-bit exact integer -> double
+    conversion rounds-to-nearest identically in both engines. Averages
+    derive from the same exact sums with divisions spelled in the same
+    order on both sides."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    dec = "decimal(28,10)"
-    qty = F.col("l_quantity").cast(dec)
-    base = F.col("l_extendedprice").cast(dec)
-    disc_price = (F.col("l_extendedprice")
-                  * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
-    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-              * (F.lit(1.0) + F.col("l_tax"))).cast(dec)
+    qty_c = F.round(F.col("l_quantity") * 100.0).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    disc_c = F.round(100.0 - F.col("l_discount") * 100.0).cast("long")
+    tax_c = F.round(100.0 + F.col("l_tax") * 100.0).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100.0).cast("long")
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(base).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2)
+            F.round(F.sum(qty_c).cast("double") / F.lit(100.0), 2)
+            .alias("sum_qty"),
+            F.round(F.sum(cents).cast("double") / F.lit(100.0), 2)
+            .alias("sum_base_price"),
+            F.round(F.sum(cents * disc_c).cast("double") / F.lit(1e4), 2)
             .alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
-            F.round(F.sum(base).cast("double") / n, 6).alias("avg_price"),
-            F.round(F.sum(F.col("l_discount").cast(dec)).cast("double") / n,
-                    6).alias("avg_disc"),
+            F.round(F.sum((cents * disc_c * tax_c).cast("decimal(38,0)"))
+                    .cast("double") / F.lit(1e6), 2).alias("sum_charge"),
+            F.round(F.sum(qty_c).cast("double") / F.lit(100.0) / n, 6)
+            .alias("avg_qty"),
+            F.round(F.sum(cents).cast("double") / F.lit(100.0) / n, 6)
+            .alias("avg_price"),
+            F.round(F.sum(disc_b).cast("double") / F.lit(100.0) / n, 6)
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -8207,4 +8223,80 @@ def q172(spark, sf_dir):
         F.round("mean_b", 6).alias("mean_b"),
         F.round("std_gray", 6).alias("std_gray"),
         F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
+
+
+@_register(
+    "q173_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100.0e0) AS BIGINT)
+                    * CAST(round(100.0e0 - l.l_discount * 100.0e0)
+                           AS BIGINT)) AS BIGINT) AS revenue_x10k,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q173(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue by nation for
+    orders where the customer and the line's supplier share a nation
+    inside one region and order-year (backtesting/portfolio.py-era
+    regional aggregation re-expressed as the classic 6-table join).
+    Completes the 22-shape classic set (Q1..Q22 all covered).
+
+    Scale shape: only the constant-size dims are hint-broadcast (region
+    5 rows, nation 25 rows). customer and supplier scale linearly with
+    SF so both stay unhinted — AQE broadcasts them at small SF and
+    shuffles at scale. The same-nation constraint rides the supplier
+    join as a second equi-key (s_suppkey, s_nationkey) so no extra
+    shuffle or post-filter pass is needed; orders(date-filtered) ⋈
+    lineitem is the single fact-fact shuffle. Revenue accumulates in
+    the exact integer cents x discount-bps domain (BIGINT, order-free
+    — the q59/q08 sf100 lesson): no float sum, no rounding tie at any
+    scale."""
+    t = load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "supplier",
+                     "nation", "region"])
+    asia = (t["nation"]
+            .join(F.broadcast(
+                t["region"].filter(F.col("r_name") == "ASIA")
+                .select("r_regionkey")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+    cust = (t["customer"]
+            .join(F.broadcast(asia.select("n_nationkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"))
+    orders = (t["orders"]
+              .filter((F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+                      & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00")))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "c_nationkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(asia),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    disc_c = F.round(100.0 - F.col("l_discount") * 100.0).cast("long")
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", cents.alias("_cents"),
+                disc_c.alias("_disc_c"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("_cents") * F.col("_disc_c"))
+             .cast("bigint").alias("revenue_x10k"),
+             F.count(F.lit(1)).alias("n_lines"))
     )

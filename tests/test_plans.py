@@ -596,3 +596,33 @@ def test_q2_shape_min_cost_join_back_reuses_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_q5_shape_same_nation_rides_supplier_join(spark):
+    """q173: the Q5 same-nation constraint must ride the supplier join
+    as a second equi-key — one join on (l_suppkey, c_nationkey), no
+    post-join Filter pass and no Python stage; the order-date window is
+    pushed to the orders scan. With broadcasts disabled the only
+    broadcast left must be the constant-size dims (nation/region hints
+    survive; customer/supplier must NOT appear on a broadcast build
+    side — at 100TB they scale linearly)."""
+    df = q.spark_queries()["q173_local_supplier_volume"](spark, SF)
+    plans.assert_pushed_filters(df, ["o_orderdate"])
+    txt = plans.explain_str(df, "formatted")
+    assert "ArrowEvalPython" not in txt
+    assert "FlatMapGroupsInPandas" not in txt
+    # both equi-keys in one join: the supplier-side join condition carries
+    # s_nationkey = c_nationkey, so no standalone same-nation Filter node
+    # survives below the aggregate.
+    assert "s_nationkey" in txt and "c_nationkey" in txt
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = q.spark_queries()["q173_local_supplier_volume"](spark, SF)
+        # no broadcast hint on customer or supplier survives in the
+        # optimized logical plan (nation/region hints may):
+        opt = df2._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if "ResolvedHint" in line or "broadcast" in line.lower():
+                assert "c_custkey" not in line and "s_suppkey" not in line, line
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
