@@ -151,6 +151,98 @@ def idempotent_parquet_sink(sink_path: str,
     return _write
 
 
+def idempotent_jdbc_sink(url: str, table: str,
+                         properties: dict[str, str] | None = None,
+                         batch_size: int = 1000,
+                         column_types: str | None = None,
+                         ledger_table: str | None = None):
+    """Exactly-once ``foreachBatch`` JDBC writer — the database twin of
+    :func:`idempotent_parquet_sink`, closing the reference's streaming →
+    Postgres path (etl/pipeline.py:62-82 feeding database_writer.py:110-163,
+    which is only at-least-once: its failed-flush re-buffer can duplicate).
+
+    Epoch-ledger commit protocol, keyed by Spark's micro-batch id:
+
+    1. ledger hit → no-op (replayed epoch after checkpoint recovery —
+       already durable).
+    2. ``DELETE FROM target WHERE batch_id = ?`` — erases any half-written
+       rows from a crashed attempt of THIS epoch (idempotent).
+    3. executor-parallel batched INSERT of the rows tagged with
+       ``batch_id`` (Spark's JDBC writer, reference-parity 1000-row
+       batches).
+    4. driver inserts ``batch_id`` into the ledger — the single atomic
+       commit point. A crash anywhere before (4) leaves the epoch
+       uncommitted and step (2) of the replay makes its partial rows
+       invisible.
+
+    At-least-once delivery + idempotent commit = exactly-once table
+    contents. Scale shape: the data path stays executor-parallel; the
+    driver only ever touches the 1-row ledger. The target table carries
+    one extra BIGINT ``batch_id`` column (also the natural partition
+    column for :func:`~..sources.io.read_jdbc` back-reads)."""
+    props = dict(properties or {})
+    ledger = ledger_table or f"{table}_epochs"
+
+    def _connect(jvm):
+        if "driver" in props:
+            jvm.java.lang.Class.forName(props["driver"])
+        if "user" in props:
+            return jvm.java.sql.DriverManager.getConnection(
+                url, props["user"], props.get("password", ""))
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def _exec(conn, sql, ignore_states=()):
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+            return True
+        except Exception as exc:  # py4j wraps SQLException
+            if any(s in str(exc) for s in ignore_states):
+                return False
+            raise
+        finally:
+            st.close()
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.io import (
+            write_jdbc,
+        )
+
+        bid = int(batch_id)
+        jvm = batch_df.sparkSession._jvm
+        conn = _connect(jvm)
+        try:
+            # ledger table: create on first use (Derby/Postgres lack a
+            # portable IF NOT EXISTS here — 'already exists' is benign)
+            _exec(conn,
+                  f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)",
+                  ignore_states=("already exists", "X0Y32", "42P07"))
+            st = conn.createStatement()
+            rs = st.executeQuery(
+                f"SELECT batch_id FROM {ledger} WHERE batch_id = {bid}")
+            seen = rs.next()
+            rs.close()
+            st.close()
+            if seen:
+                return  # replayed epoch: already durable
+            # crashed-attempt cleanup; target may not exist yet. Spark's
+            # JDBC writer passes the TABLE name through verbatim but
+            # QUOTES every column at CREATE (case-sensitive 'batch_id'),
+            # so the driver-side SQL must spell them the same way.
+            _exec(conn, f'DELETE FROM {table} WHERE "batch_id" = {bid}',
+                  ignore_states=("does not exist", "42X05", "42P01"))
+            tagged = batch_df.withColumn("batch_id", F.lit(bid))
+            write_jdbc(tagged, url, table, properties=props,
+                       batch_size=batch_size, mode="append",
+                       column_types=column_types)
+            # the commit point: only now does the epoch count
+            _exec(conn, f"INSERT INTO {ledger} VALUES ({bid})")
+        finally:
+            conn.close()
+
+    return _write
+
+
 def ingest_stream_exactly_once(
     raw: DataFrame,
     sink_path: str,
@@ -165,6 +257,29 @@ def ingest_stream_exactly_once(
     return (
         ticks.writeStream
         .foreachBatch(idempotent_parquet_sink(sink_path, partition_by))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def ingest_stream_exactly_once_jdbc(
+    raw: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+    trigger_seconds: int = 5,
+    column_types: str | None = None,
+):
+    """``ingest_stream`` into a database with the epoch-ledger sink: the
+    streaming twin of the reference's pipeline→Postgres path, upgraded
+    from its at-least-once re-buffer to exactly-once."""
+    ticks = normalize_trades(raw)
+    return (
+        ticks.writeStream
+        .foreachBatch(idempotent_jdbc_sink(
+            url, table, properties=properties, column_types=column_types))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
