@@ -219,51 +219,6 @@ def ewma_volatility(
     )
 
 
-def garch_variance_expr(
-    value_col: str,
-    alpha: float,
-    beta: float,
-    vbar_col: str,
-    w: Window,
-) -> Column:
-    """GARCH(1,1) conditional variance (Bollerslev 1986) as a closed-form
-    window expression — the recursion
-
-        h_1 = vbar;  h_t = omega + alpha * r_{t-1}^2 + beta * h_{t-1}
-
-    with ``omega = vbar * (1 - alpha - beta)`` (unconditional-variance
-    targeting), unrolled exactly like :func:`ewma_variance_expr`:
-
-        h_i = omega * (1 - beta^i) / (1 - beta)
-              + beta^i * vbar
-              + alpha * beta^(i-1) * sum_{j<i} beta^(-j) r_j^2
-
-    (0-based ``i``; the sum is an UNBOUNDED-to-1-PRECEDING running sum,
-    coalesced to 0 at i = 0 where the formula collapses to vbar). Same
-    numeric envelope as the EWMA unroll: valid while ``beta^(-n)`` is in
-    double range (~6,700 rows/partition at beta=0.9); chunk beyond.
-    ``vbar_col`` is the per-key sample variance joined alongside."""
-    if not 0.0 < float(beta) < 1.0:
-        raise ValueError(
-            f"beta={beta}: the closed-form unroll needs 0 < beta < 1 "
-            "(IGARCH beta=1 has no stationary unroll) — use "
-            "engine='pandas' (the recursion) there")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    i = (F.row_number().over(w) - 1).cast("double")
-    r2 = F.col(value_col) * F.col(value_col)
-    s = F.coalesce(
-        F.sum(F.pow(F.lit(1.0 / beta), (F.row_number().over(w) - 1)
-                    .cast("double")) * r2).over(w_prev),
-        F.lit(0.0),
-    )
-    omega = F.col(vbar_col) * F.lit(1.0 - alpha - beta)
-    return (
-        omega * (F.lit(1.0) - F.pow(F.lit(beta), i)) / F.lit(1.0 - beta)
-        + F.pow(F.lit(beta), i) * F.col(vbar_col)
-        + F.lit(alpha) * F.pow(F.lit(beta), i - 1) * s
-    )
-
-
 def garch_volatility(
     bars: DataFrame,
     alpha: float = 0.08,
@@ -289,8 +244,25 @@ def garch_volatility(
     prev = F.lag(close_col).over(w)
     r = F.when(prev > 0, F.col(close_col) / prev - 1.0)
     with_r = bars.withColumn("r", r).where(F.col("r").isNotNull())
-    vbar = with_r.groupBy(symbol_col).agg(
-        F.var_samp("r").alias("vbar"))
+    # vbar via ORDERED cumulative sums, not var_samp: a float var_samp is
+    # a partial aggregate whose merge ORDER is nondeterministic (task
+    # completion order), so its last ~2 ulps differ run-to-run AND
+    # engine-to-engine — a scale sweep caught h flipping a rounding
+    # boundary at sf1 on one run and not the next. Cumulative sums over
+    # (symbol, ts) are computed sequentially in row order by every
+    # engine's streaming window path, so s1/s2 — and everything derived
+    # from them by +,*,/ — are bit-stable and oracle-replayable.
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w)
+    cs = (with_r
+          .withColumn("_cs1", F.sum("r").over(w_cum))
+          .withColumn("_cs2", F.sum(F.col("r") * F.col("r")).over(w_cum))
+          .withColumn("_rn", rn))
+    n = F.count(F.lit(1))
+    s1 = F.max_by("_cs1", "_rn")
+    s2 = F.max_by("_cs2", "_rn")
+    vbar = cs.groupBy(symbol_col).agg(
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("vbar"))
     j = with_r.join(F.broadcast(vbar), symbol_col)
     if engine == "auto":
         engine = ("expr" if _max_rows_per_key(with_r, symbol_col)
@@ -321,8 +293,53 @@ def garch_volatility(
             F.sqrt(F.col("garch_var") * F.lit(ppy))
             .alias("garch_vol_ann"),
         )
-    h = garch_variance_expr("r", alpha, beta, "vbar", w)
-    return j.select(
+    # Closed-form unroll of the Bollerslev (1986) recursion
+    #     h_1 = vbar;  h_t = omega + alpha * r_{t-1}^2 + beta * h_{t-1}
+    # with omega = vbar * (1 - alpha - beta) (variance targeting):
+    #     h_i = omega * (1 - beta^i) / (1 - beta)
+    #           + beta^i * vbar
+    #           + alpha * (beta^i / beta) * sum_{j<i} beta^(-j) r_j^2
+    # (0-based i; the sum is an UNBOUNDED-to-1-PRECEDING running sum,
+    # coalesced to 0 at i = 0 where the formula collapses to vbar; valid
+    # while beta^(-n) stays in double range — the unroll_row_bound gate).
+    #
+    # beta^i / beta^-i come from a driver-built repeated-multiplication
+    # table (bounded by the unroll's own validity envelope), NOT from
+    # pow(). libm pow differs by ulps
+    # across engines (JVM vs DuckDB vs libc) and a 10x scale step showed
+    # one ulp of skew crossing a rounding boundary on large-variance
+    # symbols; repeated float multiplication is IEEE-deterministic, so a
+    # differential oracle can replay it bit-for-bit with a recursive CTE
+    # (the q137 Kalman lesson: +,*,/ sequences are engine-exact, libm is
+    # not). The join is a broadcast of a few-thousand-row literal dim.
+    if not 0.0 < float(beta) < 1.0:
+        raise ValueError(
+            f"beta={beta}: the closed-form unroll needs 0 < beta < 1 "
+            "(IGARCH beta=1 has no stationary unroll) — use "
+            "engine='pandas' (the recursion) there")
+    spark = bars.sparkSession
+    cap = int(unroll_row_bound(beta)) + 2
+    inv = 1.0 / float(beta)
+    pw_rows, bp, ip = [], 1.0, 1.0
+    for k in range(cap):
+        pw_rows.append((k, bp, ip))
+        bp *= float(beta)
+        ip *= inv
+    pw = spark.createDataFrame(pw_rows, "i int, bpow double, ipow double")
+    i = (F.row_number().over(w) - 1).cast("int")
+    r2 = F.col("r") * F.col("r")
+    ji = j.withColumn("_i", i).join(
+        F.broadcast(pw), F.col("_i") == F.col("i"), "left")
+    w_prev = (Window.partitionBy(symbol_col).orderBy(ts_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    s = F.coalesce(F.sum(F.col("ipow") * r2).over(w_prev), F.lit(0.0))
+    omega = F.col("vbar") * F.lit(1.0 - float(alpha) - float(beta))
+    h = (
+        omega * (F.lit(1.0) - F.col("bpow")) / F.lit(1.0 - float(beta))
+        + F.col("bpow") * F.col("vbar")
+        + F.lit(float(alpha)) * (F.col("bpow") * F.lit(inv)) * s
+    )
+    return ji.select(
         symbol_col, ts_col, "r",
         h.alias("garch_var"),
         F.sqrt(h * F.lit(float(periods_per_year))).alias("garch_vol_ann"),

@@ -6640,30 +6640,46 @@ def q141(spark, sf_dir):
 @_register(
     "q142_garch_volatility",
     f"""
-    WITH {TICKS_CTE},
+    WITH RECURSIVE
+    {TICKS_CTE},
     {_bars_cte(1440)},
+    pw AS (SELECT 0 AS i, 1.0e0 AS bpow, 1.0e0 AS ipow
+           UNION ALL
+           SELECT i + 1, bpow * {_dlit(0.90)},
+                  ipow * {_dlit(1.0 / 0.90)}
+           FROM pw WHERE i < {ewm_fns.unroll_row_bound(0.90) + 1}),
     r0 AS (SELECT symbol, bts,
                   close / lag(close) OVER
                     (PARTITION BY symbol ORDER BY bts) - 1 AS r
            FROM bars),
     rr AS (SELECT symbol, bts, r,
-                  CAST(row_number() OVER
-                    (PARTITION BY symbol ORDER BY bts) - 1 AS DOUBLE) AS i
+                  row_number() OVER
+                    (PARTITION BY symbol ORDER BY bts) - 1 AS i
            FROM r0 WHERE r IS NOT NULL),
-    v AS (SELECT symbol, var_samp(r) AS vbar FROM rr GROUP BY symbol),
-    s AS (SELECT rr.symbol, rr.bts, rr.r, rr.i, v.vbar,
-                 coalesce(sum(power({_dlit(1.0 / 0.90)}, rr.i)
-                              * rr.r * rr.r)
+    cs AS (SELECT symbol, bts, r, i,
+                  sum(r) OVER (PARTITION BY symbol ORDER BY bts
+                               ROWS UNBOUNDED PRECEDING) AS cs1,
+                  sum(r * r) OVER (PARTITION BY symbol ORDER BY bts
+                                   ROWS UNBOUNDED PRECEDING) AS cs2
+           FROM rr),
+    v AS (SELECT symbol,
+                 (arg_max(cs2, i) - arg_max(cs1, i) * arg_max(cs1, i)
+                    / count(*))
+                 / (count(*) - 1) AS vbar
+          FROM cs GROUP BY symbol),
+    s AS (SELECT rr.symbol, rr.bts, rr.r, v.vbar, pw.bpow,
+                 coalesce(sum(pw.ipow * (rr.r * rr.r))
                    OVER (PARTITION BY rr.symbol ORDER BY rr.bts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0.0e0) AS acc
-          FROM rr JOIN v ON rr.symbol = v.symbol),
+          FROM rr JOIN v ON rr.symbol = v.symbol
+                  JOIN pw ON rr.i = pw.i),
     h AS (SELECT symbol, bts, r,
                  (vbar * {_dlit(1.0 - 0.08 - 0.90)})
-                   * (1.0e0 - power({_dlit(0.90)}, i))
+                   * (1.0e0 - bpow)
                    / {_dlit(1.0 - 0.90)}
-                 + power({_dlit(0.90)}, i) * vbar
-                 + {_dlit(0.08)} * power({_dlit(0.90)}, i - 1.0e0) * acc
+                 + bpow * vbar
+                 + {_dlit(0.08)} * (bpow * {_dlit(1.0 / 0.90)}) * acc
                    AS h
           FROM s)
     SELECT symbol, epoch_us(bts) AS bar_us, round(r, 8) AS r,
@@ -6678,7 +6694,16 @@ def q142(spark, sf_dir):
     the mean-reverting vol filter one rung above q113's RiskMetrics EWMA
     (its alpha+beta=1 boundary), unrolled to the same closed-form window
     expression — fully JVM-side, one window sort + one per-symbol
-    variance agg. power() libm skew absorbed by edge rounding."""
+    variance agg. The 10x rehearsal caught libm pow() skew (JVM vs
+    DuckDB differ by an ulp; one large-variance row crossed the round-10
+    grid at sf1), so beta^i / beta^-i now come from an exact
+    repeated-multiplication powers table on BOTH sides (Spark: driver
+    literal dim + broadcast join; oracle: recursive CTE). The same sweep
+    then caught var_samp's partial-merge ORDER nondeterminism (vbar's
+    last ulps differ run-to-run under load), so vbar derives from
+    ORDERED cumulative sums instead — every remaining op is +,*,/,sqrt,
+    which are IEEE-identical across engines, making h bit-exact and
+    run-stable at any scale."""
     ticks = _ticks(spark, sf_dir)
     b = bars.ticks_to_ohlcv(ticks, "1d")
     out = ewm_fns.garch_volatility(b, alpha=0.08, beta=0.90)
