@@ -349,13 +349,19 @@ def q06(spark, sf_dir):
     WITH {TICKS_CTE}
     SELECT CASE WHEN price >= 1.0e0 AND price <= 400.0e0
                 THEN 'valid' ELSE 'invalid' END AS status,
-           count(*) AS n, round(sum(price), 4) AS sum_price
+           count(*) AS n,
+           CAST(sum(CAST(round(price * 1.0e2) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
     FROM ticks GROUP BY 1
     """,
 )
 def q07(spark, sf_dir):
     """validate_prices split (cleaner.py:199-228): both branches from one
-    scan (Catalyst shares it), union with a status tag."""
+    scan (Catalyst shares it), union with a status tag. The price sum is
+    emitted in exact integer cents (tick prices live on the 2-decimal
+    grid): the 1000x sweep caught round(sum(double), 4) flipping its
+    last digit at 5e9 magnitude over 98M rows — float-sum association
+    noise past the digit budget, the q08/q59 class."""
     ticks = _ticks(spark, sf_dir)
     valid, invalid = cleaner.validate_prices(ticks, "price", 1.0, 400.0)
     tagged = valid.withColumn("status", F.lit("valid")).unionByName(
@@ -363,7 +369,8 @@ def q07(spark, sf_dir):
     )
     return tagged.groupBy("status").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("price"), 4).alias("sum_price"),
+        F.sum(F.round(F.col("price") * 100.0).cast("long"))
+        .cast("bigint").alias("sum_price_cents"),
     )
 
 
