@@ -277,11 +277,19 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tie_decimals: int | None = None,
 ) -> DataFrame:
     """IVF query: rank cells by centroid distance (driver-side, k cells are
     tiny), scan only the n_probe nearest cells, exact cosine within them.
     The cell filter prunes partitions when the index is stored
-    partitionBy(cell)."""
+    partitionBy(cell).
+
+    ``tie_decimals``: cut the top-k on ``(round(cosine, d), id)`` instead
+    of the raw float — the deterministic total order for corpora with
+    cosine-tie plateaus (scaled duplicates of one vector cosine-tie at
+    1.0 up to float noise, and a raw-float cut keeps an engine-dependent
+    subset once the plateau outgrows k — the 1000x sweep caught exactly
+    that). The emitted ``cosine`` stays exact."""
     import numpy as np
 
     q = np.array(query_vec, dtype=float)
@@ -289,12 +297,13 @@ def ivf_topk(
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _as_double(F.col(vec_col))
-    return (
+    scored = (
         index.filter(F.col("cell").isin(probe))
         .select(F.col(id_col), cosine(v, qarr).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
     )
+    rank = (F.round(F.col("cosine"), tie_decimals)
+            if tie_decimals is not None else F.col("cosine"))
+    return scored.orderBy(rank.desc(), F.col(id_col)).limit(k)
 
 
 def quantize_embeddings(

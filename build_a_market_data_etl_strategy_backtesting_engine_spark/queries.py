@@ -2419,19 +2419,24 @@ def q49(spark, sf_dir):
     the exactness contract of the coarse-quantization path (oracle = plain
     brute-force top-k in SQL).
 
-    The final cut re-ranks a 64-deep candidate buffer on the ROUNDED
-    cosine with a vec_id tiebreak — the same total order the oracle's
-    ORDER BY round(...), vec_id uses. The 10x rehearsal exposed why: its
-    embedding copies are per-copy scalar multiples, cosine is
-    scale-invariant, so the top of the list is a tie plateau at 1.0 and a
-    raw-float ordering picks an engine-dependent representative."""
+    The candidate cut AND the final cut both use the ROUNDED cosine
+    with a vec_id tiebreak — the same total order the oracle's ORDER BY
+    round(...), vec_id uses. The 10x rehearsal exposed why rounding is
+    needed: its embedding copies are per-copy scalar multiples, cosine
+    is scale-invariant, so the top of the list is a tie plateau at 1.0
+    and a raw-float ordering picks an engine-dependent representative.
+    The 1000x sweep then exposed why the CUT must use it too
+    (tie_decimals): once the plateau outgrows the 64-deep buffer, a
+    raw-float cut keeps an arbitrary subset and the plateau's
+    min-vec_id representative may not survive to the re-rank."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qv = [float(x) for x in
           e.filter(F.col("vec_id") == 7).first()["embedding"]]
     n_cells = 8
     cents = sim_ops.kmeans_centroids(e, n_cells=n_cells, iterations=2)
     index = sim_ops.ivf_index(e, cents).filter(F.col("vec_id") != 7)
-    out = sim_ops.ivf_topk(index, cents, qv, k=64, n_probe=n_cells)
+    out = sim_ops.ivf_topk(index, cents, qv, k=64, n_probe=n_cells,
+                           tie_decimals=6)
     return (
         out.select("vec_id", F.round("cosine", 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -2463,14 +2468,23 @@ def q49(spark, sf_dir):
                    ELSE spot END AS unit_value
           FROM j)
     SELECT kind, count(*) AS n,
-           round(sum(quantity * unit_value), 2) AS total_value
+           CAST(sum(CAST(round(quantity * unit_value) AS BIGINT))
+                AS BIGINT) AS total_value_usd
     FROM v GROUP BY kind
     """,
 )
 def q50(spark, sf_dir):
     """Derivatives portfolio mark-to-market (derivatives.py:523-566): the
     reference's valuation loop as broadcast-join + one pricing projection;
-    brand-level spot = max retail price as the quote table."""
+    brand-level spot = max retail price as the quote table.
+
+    The portfolio total marks each position to the INTEGER DOLLAR and
+    sums exactly (BIGINT): option values come out of erf/exp (libm, a
+    few ulps apart across engines) so no exact grid exists, and the
+    1000x sweep caught the float total's last cents flipping at 1.7e11
+    over 6.5M positions (association noise). Per-row dollar rounding
+    puts the cross-engine skew ~1e-11 of the half-grid (tie-safe past
+    sf1000) and the sum is then order-free."""
     p = load_tables(spark, sf_dir, ["part"])["part"]
     positions = p.select(
         "p_partkey", F.col("p_brand").alias("symbol"),
@@ -2486,7 +2500,8 @@ def q50(spark, sf_dir):
     mtm = deriv.mark_to_market(positions, prices)
     return mtm.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.round(F.col("value")).cast("long"))
+        .cast("bigint").alias("total_value_usd"),
     )
 
 
