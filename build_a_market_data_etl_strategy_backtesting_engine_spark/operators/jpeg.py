@@ -175,8 +175,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:  # stuffed
                 self.pos += 2
@@ -211,8 +215,10 @@ class _BitReader:
         self.marker = None
         d = self.data
         p = self.pos
-        while d[p] != 0xFF or d[p + 1] == 0x00:
+        while p + 1 < len(d) and (d[p] != 0xFF or d[p + 1] == 0x00):
             p += 1
+        if p + 1 >= len(d):
+            raise ValueError("truncated JPEG entropy stream (no RST/EOI)")
         if 0xD0 <= d[p + 1] <= 0xD7:
             self.pos = p + 2
         else:  # EOI or other — leave for the segment parser
@@ -414,7 +420,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if d[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(d):
+            break
         marker = d[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -450,6 +461,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
+            if nf not in (1, 3):
+                # 4-component frames (Adobe CMYK/YCCK) need the APP14
+                # transform to convert correctly — route to PIL fallback
+                # rather than mis-decode the first 3 planes as YCbCr
+                raise NotImplementedError(
+                    f"{nf}-component JPEG (CMYK/YCCK)")
             comps = []
             for ci in range(nf):
                 cid, hv, tq = struct.unpack_from(

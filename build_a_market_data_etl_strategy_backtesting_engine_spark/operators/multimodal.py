@@ -173,7 +173,9 @@ def decode_image_array(content: bytes) -> np.ndarray:
         try:
             return jpeg.decode_jpeg(bytes(content))
         except NotImplementedError:
-            pass  # progressive / 12-bit -> PIL fallback below
+            pass  # progressive / 12-bit / CMYK -> PIL fallback below
+        except (ValueError, IndexError, struct.error):
+            pass  # truncated/corrupt entropy stream -> let PIL try
     if bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
         from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
             png,

@@ -24,6 +24,60 @@ from pyspark.sql import functions as F
 __all__ = ["salted_join", "salted_agg", "ensure_parallelism"]
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap lower-bound estimate of ``df``'s scan parallelism from the
+    plan's input files — avoids ``df.rdd.getNumPartitions()``, which
+    forces a full logical-plan→RDD conversion (a re-plan that also
+    bypasses AQE's view) on every call (r5 ADVICE). For local files the
+    estimate counts maxPartitionBytes-sized splits per file, which is
+    exactly how FilePartition sizing seeds the scan; for remote
+    filesystems or non-file sources it returns None and the caller falls
+    back to the RDD count once.
+
+    The estimate intentionally ignores upstream exchanges (inputFiles()
+    reflects leaf scans only): underestimating merely triggers a
+    repartition of a frame that already had enough partitions — mild and
+    only in the small-input regime this helper exists for."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        s = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        ).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s[: -len(suf)], m
+                break
+        max_bytes = max(1, int(s) * mult)
+    except (TypeError, ValueError):
+        max_bytes = 128 << 20
+    import os
+
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = f[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return None
+            total += max(1, -(-size // max_bytes))
+        else:  # hdfs/s3/... — no cheap local stat
+            return None
+    return total
+
+
 def ensure_parallelism(
     df: DataFrame, *key_cols: str, target: int | None = None
 ) -> DataFrame:
@@ -49,7 +103,10 @@ def ensure_parallelism(
         return df
     sc = df.sparkSession.sparkContext
     goal = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= goal:
+    n = _estimated_scan_partitions(df)
+    if n is None:  # non-file source / remote fs: pay the RDD count once
+        n = df.rdd.getNumPartitions()
+    if n >= goal:
         return df
     return df.repartition(goal, *[F.col(c) for c in key_cols])
 

@@ -84,6 +84,22 @@ def _dlit(x: float) -> str:
     return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
 
 
+def _exact_long_sum(prod):
+    """Order-free EXACT sum of a non-negative integer-valued long column
+    whose per-row values stay below 2^53, immune to int64 wrap: split
+    each row into hi = prod div 1e6 / lo = prod mod 1e6 (both exact in
+    long whole-stage codegen — prod < 2^53 makes floor(prod/1e6)
+    float-exact), sum the halves as plain longs, reconstruct
+    hi*1e6 + lo in decimal(38,0) ONCE per group. Ceiling: sum(lo)
+    wraps only past ~9e12 rows/group, sum(hi) even later — vs the bare
+    long sum's silent wrap in the sf1000s (r5 ADVICE). Costs two long
+    sums instead of one; avoids per-row BigDecimal entirely."""
+    hi = F.floor(prod / F.lit(1000000)).cast("long")
+    lo = (prod % F.lit(1000000)).cast("long")
+    return (F.sum(hi).cast("decimal(38,0)") * F.lit(1000000)
+            + F.sum(lo).cast("decimal(38,0)"))
+
+
 # shared constants (Python-computed once, injected verbatim into both engines)
 COMMISSION = 0.001
 SLIPPAGE = 0.0005
@@ -157,14 +173,19 @@ def q01(spark, sf_dir):
     at any scale — no float-sum associativity noise (which flipped the
     last rounded digit at the 10x rehearsal) and ~3x faster than the
     earlier DECIMAL(28,10) accumulation (long-backed codegen vs
-    BigDecimal boxing; 1.29 s -> 0.40 s warm at sf0.1). The one term
-    that could outgrow BIGINT is the triple product (~3.6e10/row avg:
-    overflow only past ~sf1000 per group) — it alone accumulates in
-    decimal(38,0); DuckDB's BIGINT sum is HUGEINT (128-bit) so the
-    oracle is exact throughout, and a 128-bit exact integer -> double
-    conversion rounds-to-nearest identically in both engines. Averages
-    derive from the same exact sums with divisions spelled in the same
-    order on both sides."""
+    BigDecimal boxing; 1.29 s -> 0.40 s warm at sf0.1). The product
+    terms (2-factor ~3.6e8/row, 3-factor ~3.6e10/row) would outgrow a
+    bare BIGINT accumulator in the sf1000s (a SILENT wrap in non-ANSI
+    Spark — r5 ADVICE), so both accumulate via an exact hi/lo split:
+    per-row hi = prod div 1e6 / lo = prod mod 1e6 (exact in long
+    codegen — prod < 2^53 so the floor-divide is float-exact), two
+    plain long sums, then ONE group-level decimal(38,0) reconstruction
+    hi*1e6+lo. That pushes the overflow ceiling past sf~1e6 per group
+    with zero per-row decimal boxing. DuckDB's BIGINT sum is HUGEINT
+    (128-bit) so the oracle is exact throughout, and a 128-bit exact
+    integer -> double conversion rounds-to-nearest identically in both
+    engines. Averages derive from the same exact sums with divisions
+    spelled in the same order on both sides."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     qty_c = F.round(F.col("l_quantity") * 100.0).cast("long")
     cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
@@ -180,10 +201,10 @@ def q01(spark, sf_dir):
             .alias("sum_qty"),
             F.round(F.sum(cents).cast("double") / F.lit(100.0), 2)
             .alias("sum_base_price"),
-            F.round(F.sum(cents * disc_c).cast("double") / F.lit(1e4), 2)
-            .alias("sum_disc_price"),
-            F.round(F.sum((cents * disc_c * tax_c).cast("decimal(38,0)"))
-                    .cast("double") / F.lit(1e6), 2).alias("sum_charge"),
+            F.round(_exact_long_sum(cents * disc_c).cast("double")
+                    / F.lit(1e4), 2).alias("sum_disc_price"),
+            F.round(_exact_long_sum(cents * disc_c * tax_c).cast("double")
+                    / F.lit(1e6), 2).alias("sum_charge"),
             F.round(F.sum(qty_c).cast("double") / F.lit(100.0) / n, 6)
             .alias("avg_qty"),
             F.round(F.sum(cents).cast("double") / F.lit(100.0) / n, 6)
@@ -3011,7 +3032,13 @@ def q59(spark, sf_dir):
     The 10x rehearsal caught the float version: round(sum(double), 2) at
     ~3e11 magnitude flipped the last cent between engines because a 6M-row
     float sum's value depends on partition order (NOTES digit-budget rule;
-    sum_qty stays float-summed — integer-valued doubles sum exactly)."""
+    sum_qty stays float-summed — integer-valued doubles sum exactly).
+
+    Scale ceiling (pinned, r5 ADVICE): sum_disc_x10k is DECLARED BIGINT
+    in both engines, so its ceiling is intrinsic to the output type, not
+    the accumulator — ~3.6e8/row x 6e9 rows = 2.2e18 at sf1000, int64
+    wrap near sf~4000. Supported range sf <= 1000 (rehearsed); beyond
+    that the column itself would need a wider declared type."""
     t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     sub = t.select("l_orderkey", "l_quantity", "l_extendedprice",
                    "l_discount")
@@ -6627,16 +6654,18 @@ def q140(spark, sf_dir):
 def q141(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     self-aggregation of the fact table used as a semi-join key set, then
-    the dim joins and top-k. The big-order key set is orders-of-magnitude
-    smaller than lineitem (aggregate-then-join, never join-then-filter)
-    and broadcasts; final ranking is TakeOrderedAndProject."""
+    the dim joins and top-k. The HAVING threshold of 150 keeps ~20% of
+    ALL orders (measured at sf0.01/sf0.1) — the surviving set is smaller
+    than lineitem but grows linearly with SF, so BOTH joins are left
+    unhinted: AQE picks broadcast at small SF and falls back to shuffle
+    joins at fact scale, where a forced broadcast would OOM by
+    construction (cf. q159, threshold 300 → 0.3%, same discipline)."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     li, orders, cust = t["lineitem"], t["orders"], t["customer"]
     # ONE lineitem pass: the per-order sum that feeds the HAVING filter IS
     # total_qty (grouping by orderkey covers every line of the order), so
     # the filtered aggregate carries the answer and nothing fact-scale is
-    # ever re-scanned or broadcast. Only the HAVING-filtered key set (and
-    # the orders rows it selects) ride broadcast joins.
+    # ever re-scanned. Joins stay unhinted — the key set is linear in SF.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
@@ -6644,10 +6673,10 @@ def q141(spark, sf_dir):
         .select("l_orderkey", F.round("_q", 4).alias("total_qty"))
     )
     bigorders = orders.join(
-        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        big, F.col("o_orderkey") == F.col("l_orderkey")
     ).drop("l_orderkey")
     return (
-        cust.join(F.broadcast(bigorders),
+        cust.join(bigorders,
                   F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "o_custkey", "o_orderkey",
@@ -8012,7 +8041,12 @@ def q167(spark, sf_dir):
     aggregated pv (two map-combinable passes over one shuffle output,
     never a window), broadcast back. Per-line value is exact integer
     cents x discount-percent — BIGINT throughout (~1e13 * n at the
-    compare, far under 2^63 at any rehearsed scale), zero FP."""
+    compare, far under 2^63 at any rehearsed scale), zero FP.
+
+    Scale ceiling (pinned, r5 ADVICE): the global scalar tot._t is a
+    DECLARED BIGINT on both sides (~2.2e18 at sf1000, int64 wrap near
+    sf~4000). Supported range sf <= 1000; past that, widen _t to
+    decimal(38,0) in BOTH engines (DuckDB side already sums HUGEINT)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     r3supp = (t["supplier"]
               .join(t["nation"].filter(F.col("n_regionkey") == 3),

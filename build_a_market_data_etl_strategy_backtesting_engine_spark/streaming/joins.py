@@ -80,8 +80,14 @@ def streaming_quote_enrich(
         "leftOuter",
     )
 
+    # ordering key is struct(q_ts, bid, ask): latest quote wins, and two
+    # quotes sharing an identical q_ts within tolerance resolve by the
+    # lexicographic (bid, ask) tie-break instead of engine/run order —
+    # the election is deterministic without requiring callers to
+    # pre-dedupe quotes per (symbol, ts) (r5 ADVICE)
     best = F.max_by(
-        F.struct("bid", "ask", "q_ts"), F.col("q_ts")
+        F.struct("bid", "ask", "q_ts"),
+        F.struct(F.col("q_ts"), F.col("bid"), F.col("ask")),
     ).alias("_q")
     # the trade instant rides through the aggregate as a PLAIN long
     # (unix micros): only window(t_ts) may remain an event-time column in

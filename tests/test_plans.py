@@ -511,19 +511,21 @@ def test_q6_shape_pushes_all_predicates(spark):
 def test_q18_aggregates_before_joining(spark):
     """TPC-H Q18 shape (q141): the big-order set must come from an
     aggregate of lineitem alone (aggregate-then-join), lineitem must be
-    scanned exactly ONCE, and only the HAVING-filtered set rides a
-    broadcast — never a bare fact table. A shuffle join of fact-scale
-    inputs is allowed in principle (that is the scalable fallback), so
-    SortMergeJoin is NOT banned; what is pinned is that no unfiltered
-    fact frame is the build side of a broadcast."""
+    scanned exactly ONCE, and — because the HAVING set is a measured
+    ~20% of ALL orders, linear in SF — NO explicit broadcast hint may
+    appear in the logical plan (r5 verdict weak). AQE is free to choose
+    broadcast at test SF from runtime stats; what is pinned is that the
+    choice is AQE's, not a hard-coded hint that would OOM at 100 TB."""
     df = q.spark_queries()["q141_large_volume_customers"](spark, SF)
     txt = plans.explain_str(df, "formatted")
     assert txt.count("lineitem.parquet") == 1, "lineitem re-scanned"
-    assert "Broadcast" in txt
-    # every BroadcastExchange in this plan sits above the HAVING
-    # aggregate (big) or the big-filtered orders join — both key-set
-    # sized; the raw lineitem scan must not feed one directly
     assert "HashAggregate" in txt
+    # no hard-coded broadcast hint: the analyzed logical plan must not
+    # carry ResolvedHint/UnresolvedHint nodes (AQE-chosen broadcast in
+    # the physical plan is fine and expected at test SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, "q141 carries a broadcast hint"
+    assert "UnresolvedHint" not in logical
 
 
 def test_r4_asof_directions_two_shuffles_no_python(spark):
