@@ -8,18 +8,24 @@ decode the overwhelmingly dominant JPEG variant on the web and to encode
 deterministic fixtures for tests and goldens.
 
 Decoder (:func:`decode_jpeg`)
-    Parses SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS, reads quant + Huffman
+    Parses SOI/APPn/COM/DQT/SOF0/SOF2/DHT/DRI/SOS, reads quant + Huffman
     tables FROM THE FILE (arbitrary baseline DHT/DQT, 8 or 16-bit Qk),
     supports 1- or 3-component scans with per-component sampling factors
     (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart markers, byte stuffing, and the
-    JFIF BT.601 YCbCr -> RGB transform. Progressive (SOF2), arithmetic
-    coding, and 12-bit precision raise ``NotImplementedError`` with the
-    marker named — the caller's PIL fallback (if importable) handles
-    those.
+    JFIF BT.601 YCbCr -> RGB transform. Progressive (SOF2, Annex G
+    Huffman: spectral selection + successive approximation, all four
+    scan kernels, EOBRUN, per-scan restarts) decodes natively — closing
+    the r5 "what's missing #2" (large sites serve progressive).
+    Arithmetic coding and 12-bit precision raise ``NotImplementedError``
+    with the marker named — the caller's PIL fallback (if importable)
+    handles those.
 
-Encoder (:func:`encode_jpeg`)
+Encoder (:func:`encode_jpeg`, :func:`encode_jpeg_progressive`)
     Baseline interleaved scan, quality-scaled Annex-K-style quantization,
-    optional 2x2 chroma subsampling. Entropy tables are CONSTRUCTED
+    optional 2x2 chroma subsampling; the progressive twin emits the IJG
+    default 10-scan script (or a caller script) from the SAME quantized
+    coefficients, so progressive and baseline decodes of one image are
+    bit-identical — the property the roundtrip tests pin. Entropy tables are CONSTRUCTED
     (fixed-length canonical codes: 4-bit DC categories, 9-bit AC symbols)
     and written into DHT — every spec-compliant decoder reads tables from
     the stream, so interoperability is unaffected; the trade is a few %
@@ -416,6 +422,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    stores = None  # progressive coefficient accumulators (per component)
     while pos < len(d):
         if d[pos] != 0xFF:
             pos += 1
@@ -427,6 +434,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             pos += 1
             continue
         pos += 2
+        if marker == 0x00:
+            # FF00 is a stuffed data byte, not a marker — reachable when
+            # a progressive scan's entropy data ends on a stuffed 0xFF
+            # padding byte and the parser resumes right on it
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -457,7 +469,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 values = list(seg[i + 17:i + 17 + n])
                 huff[(tc, th)] = build_canonical(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -473,8 +485,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     ">BBB", seg, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})")
@@ -487,12 +500,32 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
+                ci, comp = next(
+                    (i, c) for i, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
+                scan.append((ci, comp, tt >> 4, tt & 0x0F))
             data_start = pos + seglen
-            return _decode_scan(d, data_start, frame, scan, qt, huff,
-                                restart)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    d, data_start, frame,
+                    [(c, td, ta) for _, c, td, ta in scan], qt, huff,
+                    restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if stores is None:
+                _, _, _, _, geo = _prog_geometry(frame)
+                stores = [
+                    np.zeros((g["pbh"], g["pbw"], 64), dtype=np.int32)
+                    for g in geo
+                ]
+            pos = _decode_progressive_scan(
+                d, data_start, frame, scan, huff, restart,
+                ss, se, ahal >> 4, ahal & 0x0F, stores)
+            continue
         pos += seglen
+    if frame is not None and frame["progressive"] and stores is not None:
+        return _reconstruct_progressive(frame, stores, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -568,3 +601,534 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------ progressive (SOF2)
+#
+# Spectral selection + successive approximation per ITU-T T.81 Annex G
+# (the Huffman process; arithmetic coding stays NotImplementedError).
+# Coefficients accumulate across scans in per-component int32 stores in
+# zigzag order; dequantization + IDCT happen once, after the last scan.
+# The control flow mirrors the public-domain IJG decoder's four scan
+# kernels (jdphuff.c): DC-first, DC-refine, AC-first (EOBRUN), and
+# AC-refine (correction bits), which is the de-facto conformance
+# reference for Annex G.
+
+
+def _prog_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y, per-comp geometry). ``bw``/``bh`` are
+    the real block counts (non-interleaved scan order); ``pbw``/``pbh``
+    the MCU-padded store dimensions (interleaved DC scans write there)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-(frame["w"] * c["h"]) // hmax)
+        ch = -(-(frame["h"] * c["v"]) // vmax)
+        geo.append({"bw": -(-cw // 8), "bh": -(-ch // 8),
+                    "pbw": mcus_x * c["h"], "pbh": mcus_y * c["v"]})
+    return hmax, vmax, mcus_x, mcus_y, geo
+
+
+def _decode_progressive_scan(d, pos, frame, scan, huff, restart,
+                             ss, se, ah, al, stores):
+    """Decode ONE progressive scan into ``stores``; returns the byte
+    position where the entropy data ended (the caller's segment parser
+    resumes there)."""
+    br = _BitReader(d, pos)
+    _, _, mcus_x, mcus_y, geo = _prog_geometry(frame)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        _dc_scan(br, scan, stores, huff, mcus_y, mcus_x, ah, al,
+                 restart, geo)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be one component")
+        ci, comp, _, ta = scan[0]
+        g = geo[ci]
+        if ah == 0:
+            _ac_first_scan(br, stores[ci], g["bh"], g["bw"],
+                           huff[(1, ta)], ss, se, al, restart)
+        else:
+            _ac_refine_scan(br, stores[ci], g["bh"], g["bw"],
+                            huff[(1, ta)], ss, se, al, restart)
+    return br.pos
+
+def _dc_scan(br, scan, stores, huff, mcus_y, mcus_x, ah, al, restart,
+             geo):
+    """DC band scan (Ss=Se=0): first pass (Ah=0) Huffman-decodes point-
+    transformed diffs; refinement (Ah>0) appends one raw bit per block.
+    Interleaved scans walk the MCU grid into the padded stores; a single-
+    component scan walks its real block grid in raster order."""
+    pred = [0] * len(scan)
+    units = 0
+
+    def one(si, td, blk):
+        if ah == 0:
+            size = _decode_huff(br, huff[(0, td)])
+            diff = _extend(br.receive(size), size) if size else 0
+            pred[si] += diff
+            blk[0] = pred[si] << al
+        elif br.read_bit():  # refinement: raw bit appends bit Al
+            blk[0] |= (1 << al)
+
+    if len(scan) > 1:  # interleaved: MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and units and units % restart == 0:
+                    br.align_restart()
+                    pred[:] = [0] * len(scan)
+                units += 1
+                for si, (ci, comp, td, _) in enumerate(scan):
+                    st = stores[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            one(si, td, st[my * comp["v"] + by,
+                                           mx * comp["h"] + bx])
+    else:  # non-interleaved: the component's real block raster
+        ci, comp, td, _ = scan[0]
+        st = stores[ci]
+        bh, bw = geo[ci]["bh"], geo[ci]["bw"]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and units and units % restart == 0:
+                    br.align_restart()
+                    pred[:] = [0]
+                units += 1
+                one(0, td, st[by, bx])
+
+
+
+def _ac_first_scan(br, st, bh, bw, act, ss, se, al, restart):
+    """AC band scan, first pass (Ah=0): T.81 G.2.2 with EOBRUN."""
+    eobrun = 0
+    units = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and units and units % restart == 0:
+                br.align_restart()
+                eobrun = 0
+            units += 1
+            blk = st[by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: skip 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # current block counts as one
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient outside scan band")
+                blk[k] = _extend(br.receive(s), s) << al
+                k += 1
+
+
+def _ac_refine_scan(br, st, bh, bw, act, ss, se, al, restart):
+    """AC band refinement (Ah>0): T.81 G.2.3 — newly-significant
+    coefficients arrive as ±(1<<Al); every already-nonzero coefficient
+    visited consumes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    units = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and units and units % restart == 0:
+                br.align_restart()
+                eobrun = 0
+            units += 1
+            blk = st[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn: run of (1<<r)+ext blocks
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        val = 0  # ZRL: 16 zero-history skips
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement size must be 1")
+                        val = p1 if br.read_bit() else m1
+                    # advance past r zero-history coefficients,
+                    # correcting the nonzero-history ones on the way
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                # rest of the band: correction bits only
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c > 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, stores, qt):
+    """Dequantize + IDCT the accumulated coefficient stores (vectorized
+    over all blocks at once) and finish with the shared upsample +
+    YCbCr->RGB tail."""
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax, _, _, _ = _prog_geometry(frame)
+    up = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qt[comp["tq"]]
+        st = stores[ci].astype(np.float64)
+        qvec = q.reshape(-1)[ZIGZAG]
+        coef = (st * qvec)[..., UNZIGZAG].reshape(
+            st.shape[0], st.shape[1], 8, 8)
+        blocks = np.einsum("ji,abjk,kl->abil", DCT_M, coef, DCT_M)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(
+            st.shape[0] * 8, st.shape[1] * 8) + 128.0
+        sh, sv = hmax // comp["h"], vmax // comp["v"]
+        if sh > 1 or sv > 1:
+            plane = np.repeat(np.repeat(plane, sv, axis=0), sh, axis=1)
+        up.append(plane[:fh, :fw])
+    if len(up) == 1:
+        g = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# Progressive AC tables additionally need the EOBn symbols ((r<<4)|0 for
+# r 1..14) that baseline never emits.
+_AC_SYMBOLS_PROG = sorted(set(
+    _AC_SYMBOLS + [(r << 4) for r in range(15)]
+))
+
+
+def _ac_tables_prog():
+    bits = [0] * 16
+    bits[9 - 1] = len(_AC_SYMBOLS_PROG)  # 176/512: Kraft ok at 9 bits
+    enc = {}
+    code = 0
+    for v in _AC_SYMBOLS_PROG:
+        enc[v] = (code, 9)
+        code += 1
+    return bits, list(_AC_SYMBOLS_PROG), enc
+
+
+# IJG's default 10-scan progression for YCbCr (jcparam.c) — the scan
+# script virtually every progressive JPEG on the web uses: DC with one
+# bit of successive approximation, luma AC split into two bands at two
+# precision levels, chroma AC whole-band, then the refinement passes.
+_SCAN_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_SCAN_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = True,
+                            restart_interval: int = 0,
+                            scans=None) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) -> progressive (SOF2) JFIF
+    bytes, IJG default scan script. Exercises all four Annex-G scan
+    kernels (DC/AC x first/refine), so a decode of these bytes must
+    bit-match a decode of ``encode_jpeg``'s baseline bytes built from
+    the same quantized coefficients. Deterministic, like encode_jpeg."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    # --- color transform + quantized coefficient stores (zigzag int32)
+    if gray:
+        comps = [arr.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        fy, fx = {False: (1, 1), True: (2, 2), "420": (2, 2),
+                  "422": (1, 2), "440": (2, 1)}[subsample]
+        if (fy, fx) == (1, 1):
+            comps = [y - 128.0, cb - 128.0, cr - 128.0]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        else:
+            comps = [y - 128.0, _downsample(cb, fy, fx) - 128.0,
+                     _downsample(cr, fy, fx) - 128.0]
+            samps = [(fx, fy), (1, 1), (1, 1)]
+
+    qs = [_quality_scale(QT_LUMA, quality)]
+    if not gray:
+        qs.append(_quality_scale(QT_CHROMA, quality))
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    stores = []
+    geo = []
+    for ci, comp in enumerate(comps):
+        hs, vs = samps[ci]
+        pbw, pbh = mcus_x * hs, mcus_y * vs
+        p = _pad_replicate(comp, pbh * 8, pbw * 8)
+        q = qs[0 if ci == 0 else min(1, len(qs) - 1)]
+        blocks = p.reshape(pbh, 8, pbw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", DCT_M, blocks, DCT_M)
+        qc = np.round(coef / q).astype(np.int32)
+        stores.append(qc.reshape(pbh, pbw, 64)[..., ZIGZAG])
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        geo.append({"bw": -(-cw // 8), "bh": -(-ch // 8),
+                    "pbw": pbw, "pbh": pbh})
+
+    dc_bits, dc_vals, dc_enc = _encode_tables(12, 4)
+    ac_bits, ac_vals, ac_enc = _ac_tables_prog()
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in enumerate(qs):
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    nf = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for ci in range(nf):
+        hs, vs = samps[ci]
+        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs,
+                           0 if ci == 0 else 1)
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                             (1, (ac_bits, ac_vals))):
+        payload = bytes([tc << 4 | 0]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    script = scans or (_SCAN_SCRIPT_GRAY if gray else _SCAN_SCRIPT_COLOR)
+    for comp_idx, ss, se, ah, al in script:
+        cs = [c for c in comp_idx if c < nf]
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cs), len(cs))
+        for ci in cs:
+            out += struct.pack(">BB", ci + 1, 0x00)
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += _encode_prog_scan(
+            stores, samps, geo, cs, ss, se, ah, al,
+            mcus_y, mcus_x, dc_enc, ac_enc, restart_interval)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _ProgAcState:
+    """EOBRUN + buffered-correction-bit state shared across blocks of
+    one AC scan (the refine pass must interleave EOBn symbols with the
+    correction bits of the blocks the run covers — IJG jcphuff.c)."""
+
+    def __init__(self, bw, ac_enc):
+        self.bw = bw
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_enc[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        self.flush_bits()
+
+    def flush_bits(self):
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+
+def _encode_prog_scan(stores, samps, geo, cs, ss, se, ah, al,
+                      mcus_y, mcus_x, dc_enc, ac_enc, restart):
+    bw = _BitWriter()
+    rst = 0
+    units = 0
+    pred = [0] * len(cs)
+    state = _ProgAcState(bw, ac_enc)
+
+    def do_restart():
+        nonlocal rst
+        state.emit_eobrun()
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + rst])
+        rst = (rst + 1) & 7
+        pred[:] = [0] * len(cs)
+
+    if ss == 0:  # DC scan
+        def dc_block(si, blk):
+            dc = int(blk[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+            if ah == 0:
+                diff = dc - pred[si]
+                pred[si] = dc
+                size = _category(diff)
+                code, ln = dc_enc[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << size) - 1, size)
+            else:
+                bw.write(dc & 1, 1)
+
+        if len(cs) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and units and units % restart == 0:
+                        do_restart()
+                    units += 1
+                    for si, ci in enumerate(cs):
+                        hs, vs = samps[ci]
+                        st = stores[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(si, st[my * vs + by,
+                                                mx * hs + bx])
+        else:
+            ci = cs[0]
+            g = geo[ci]
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart and units and units % restart == 0:
+                        do_restart()
+                    units += 1
+                    dc_block(0, stores[ci][by, bx])
+    else:  # AC scan: single component, raster block order
+        ci = cs[0]
+        g = geo[ci]
+        st = stores[ci]
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if restart and units and units % restart == 0:
+                    do_restart()
+                units += 1
+                blk = st[by, bx]
+                if ah == 0:
+                    _enc_ac_first(bw, state, blk, ss, se, al, ac_enc)
+                else:
+                    _enc_ac_refine(bw, state, blk, ss, se, al, ac_enc)
+    state.emit_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_ac_first(bw, state, blk, ss, se, al, ac_enc):
+    """T.81 G.1.2.2 / IJG encode_mcu_AC_first."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al  # point transform on magnitude
+        if mag == 0:
+            r += 1
+            continue
+        state.emit_eobrun()
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        size = mag.bit_length()
+        code, ln = ac_enc[(r << 4) | size]
+        bw.write(code, ln)
+        sv = mag if v >= 0 else -mag
+        bw.write(sv if sv >= 0 else sv + (1 << size) - 1, size)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.emit_eobrun()
+
+
+def _enc_ac_refine(bw, state, blk, ss, se, al, ac_enc):
+    """T.81 G.1.2.3 / IJG encode_mcu_AC_refine: newly-significant
+    coefficients emit (run,1)+sign; already-nonzero ones buffer a
+    correction bit that rides behind the next emitted symbol."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al
+        absv.append(mag)
+        if mag == 1:
+            eob = k
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        mag = absv[k - ss]
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            state.emit_eobrun()
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if mag > 1:  # history: buffer the correction bit
+            pending.append(mag & 1)
+            continue
+        state.emit_eobrun()
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(blk[k]) < 0 else 1, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        state.eobrun += 1
+        state.bits.extend(pending)
+        if state.eobrun == 0x7FFF or len(state.bits) > 937:
+            state.emit_eobrun()

@@ -59,6 +59,189 @@ def _rows_to_set(cols, rows):
     )
 
 
+# ---------------------------------------------------------------------------
+# Digest mode: order-free differential compare WITHOUT a driver collect.
+#
+# For fact-scale outputs (q41 as-of at sf100 emits 600M rows) the collect
+# path above is the harness's own bottleneck — the engines agree but the
+# driver can't hold either side. Digest mode reduces each result to three
+# scalars computed INSIDE each engine:
+#
+#     (row_count, sum(h1), sum(h2))     h1/h2 = two independent 48-bit
+#                                       integers from md5 of the row's
+#                                       canonical string
+#
+# and compares the scalars. The sum is order-free and multiset-exact
+# (duplicate rows add twice); faking both 48-bit sums simultaneously by
+# accident is ~2^-96. Canonicalization is bit-exact on both sides:
+#
+#   * doubles/floats/decimals → C99 '%a' hex-float of the double value —
+#     the one float format both engines print EXACTLY (Spark's
+#     format_string('%.17e') zero-pads Java's shortest repr and does NOT
+#     match C printf; '%a' prints the raw mantissa bits). Cosmetic
+#     normalization: C emits 'p+13' and trims '0x1p'; Java emits 'p13'
+#     and always keeps a '.', so the DuckDB side rewrites 'p+'→'p' and
+#     inserts '.0' when no point is present. NaN/±Inf/±0 are CASE-mapped
+#     to fixed literals before formatting (Java prints 'NaN', C 'nan').
+#   * timestamps → unix micros (integer, session-tz-free on both sides).
+#   * dates → days since 1970-01-01.
+#   * exact ints / booleans / strings → plain decimal / 1|0 / identity.
+#   * arrays of the above → '[' + ','-joined element canon + ']'.
+#   * NULL (any type, incl. array elements) → 'N'.
+#
+# Columns are sorted by name (same as _rows_to_set) and joined with the
+# \x1f unit separator. h1 = first 12 md5 hex chars, h2 = chars 13..24 —
+# both < 2^48, so the sums accumulate in decimal(38,0) on the Spark side
+# (a bare long sum wraps past just 2^15 rows — ANSI mode caught exactly
+# that on q101) and HUGEINT on the DuckDB side; both are exact past
+# 3e23 rows.
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"
+
+
+def _spark_canon_col(c, dt):
+    """Canonical-string Column for one field (nullable; caller coalesces)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        d = c.cast("double")
+        # format_string renders a NULL arg as the string 'null' (Java
+        # Formatter semantics), so NULL must short-circuit to 'N' here
+        return (
+            F.when(d.isNull(), F.lit("N"))
+            .when(F.isnan(d), F.lit("NaN"))
+            .when(d == F.lit(float("inf")), F.lit("Inf"))
+            .when(d == F.lit(float("-inf")), F.lit("-Inf"))
+            .when(d == F.lit(0.0), F.lit("0"))  # also normalizes -0.0
+            .otherwise(F.format_string("%a", d))
+        )
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(c).cast("string")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("string")
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int").cast("string")
+    if isinstance(dt, T.ArrayType):
+        elem = dt.elementType
+        return F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    c, lambda x: F.coalesce(
+                        _spark_canon_col(x, elem), F.lit("N"))
+                ),
+            ),
+            F.lit("]"),
+        )
+    if isinstance(
+        dt, (T.StringType, T.ByteType, T.ShortType,
+             T.IntegerType, T.LongType)
+    ):
+        return c.cast("string")
+    raise NotImplementedError(f"digest canon for Spark type {dt}")
+
+
+def spark_digest(sdf):
+    """(count, hashsum1, hashsum2) of ``sdf`` computed distributed —
+    nothing larger than one 3-column row reaches the driver."""
+    from pyspark.sql import functions as F
+
+    exprs = [
+        F.coalesce(_spark_canon_col(F.col(f.name), f.dataType), F.lit("N"))
+        for f in sorted(sdf.schema.fields, key=lambda f: f.name)
+    ]
+    s = F.concat_ws(_SEP, *exprs)
+    m = F.md5(s)
+    h1 = F.conv(F.substring(m, 1, 12), 16, 10).cast("decimal(38,0)")
+    h2 = F.conv(F.substring(m, 13, 12), 16, 10).cast("decimal(38,0)")
+    row = sdf.select(h1.alias("h1"), h2.alias("h2")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h1").alias("s1"),
+        F.sum("h2").alias("s2"),
+    ).collect()[0]
+    return (int(row.n), int(row.s1 or 0), int(row.s2 or 0))
+
+
+def _duck_canon_expr(col, t):
+    """Canonical-string SQL expression for one DuckDB result column."""
+    t = t.upper()
+    q = f'"{col}"'
+    if (t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL")
+            or t.startswith("FLOAT")):
+        d = f"CAST({q} AS DOUBLE)"
+        p0 = f"replace(printf('%a', {d}), 'p+', 'p')"
+        norm = (f"(CASE WHEN strpos({p0}, '.') > 0 THEN {p0} "
+                f"ELSE replace({p0}, 'p', '.0p') END)")
+        return (f"(CASE WHEN {q} IS NULL THEN 'N' "
+                f"WHEN isnan({d}) THEN 'NaN' "
+                f"WHEN {d} = 'infinity'::DOUBLE THEN 'Inf' "
+                f"WHEN {d} = '-infinity'::DOUBLE THEN '-Inf' "
+                f"WHEN {d} = 0 THEN '0' ELSE {norm} END)")
+    if t.startswith("TIMESTAMP"):
+        return f"CAST(epoch_us({q}) AS VARCHAR)"
+    if t == "DATE":
+        return f"CAST(({q} - DATE '1970-01-01') AS VARCHAR)"
+    if t == "BOOLEAN":
+        return (f"(CASE WHEN {q} IS NULL THEN NULL "
+                f"WHEN {q} THEN '1' ELSE '0' END)")
+    if t.endswith("[]"):
+        elem = _duck_canon_expr("__x__", t[:-2]).replace('"__x__"', "x")
+        return (f"('[' || coalesce(array_to_string(list_transform({q}, "
+                f"x -> coalesce({elem}, 'N')), ','), '') || ']')")
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "VARCHAR"):
+        return f"CAST({q} AS VARCHAR)"
+    raise NotImplementedError(f"digest canon for DuckDB type {t}")
+
+
+def duck_digest(con, sql):
+    """(count, hashsum1, hashsum2) of the oracle SQL, computed in DuckDB."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    cols = sorted((r[0], r[1]) for r in desc)
+    parts = []
+    for name, t in cols:
+        parts.append(f"coalesce({_duck_canon_expr(name, t)}, 'N')")
+    joined = f" || chr(31) || ".join(parts) if len(parts) > 1 else parts[0]
+    h = f"md5({joined})"
+    agg = (
+        f"SELECT count(*), "
+        f"sum(('0x' || substr({h}, 1, 12))::BIGINT), "
+        f"sum(('0x' || substr({h}, 13, 12))::BIGINT) "
+        f"FROM ({sql})"
+    )
+    n, s1, s2 = con.execute(agg).fetchone()
+    return (int(n), int(s1 or 0), int(s2 or 0))
+
+
+def compare_query_digest(spark, con, fn, sql, name="", sf_dir=None):
+    """Digest-mode twin of compare_query: scalars only, any scale."""
+    report = {"name": name, "ok": True, "errors": [], "mode": "digest"}
+    sdf = fn(spark, sf_dir)
+    duck_cols = [r[0] for r in
+                 con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()]
+    if sorted(sdf.columns) != sorted(duck_cols):
+        report["ok"] = False
+        report["errors"].append(
+            f"columns differ: spark={sorted(sdf.columns)} "
+            f"duck={sorted(duck_cols)}")
+        return report
+    dd = duck_digest(con, sql)
+    sd = spark_digest(sdf)
+    if sd[0] != dd[0]:
+        report["ok"] = False
+        report["errors"].append(
+            f"row count differs: spark={sd[0]} duck={dd[0]}")
+    if sd[1:] != dd[1:]:
+        report["ok"] = False
+        report["errors"].append(
+            f"value digest differs: spark={sd[1:]} duck={dd[1:]}")
+    report["digest"] = {"spark": sd, "duck": dd}
+    return report
+
+
 def compare_query(spark, con, fn, sql, name="", sf_dir=None):
     sdf = fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -94,7 +277,7 @@ def compare_query(spark, con, fn, sql, name="", sf_dir=None):
     return report
 
 
-def run_all(sf_dir: str, names=None):
+def run_all(sf_dir: str, names=None, digest: bool = False):
     from build_a_market_data_etl_strategy_backtesting_engine_spark import (
         get_spark,
         queries,
@@ -114,7 +297,8 @@ def run_all(sf_dir: str, names=None):
                             "errors": ["no oracle (rows-only)"]})
             continue
         try:
-            rep = compare_query(spark, con, fn, oracleq[name], name, sf_dir)
+            cmp_fn = compare_query_digest if digest else compare_query
+            rep = cmp_fn(spark, con, fn, oracleq[name], name, sf_dir)
         except Exception as exc:  # surface, keep going
             rep = {"name": name, "ok": False,
                    "errors": [f"EXCEPTION: {type(exc).__name__}: {exc}"]}
@@ -127,9 +311,11 @@ def run_all(sf_dir: str, names=None):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = set(sys.argv[2:]) or None
-    res = run_all(sf, names)
+    argv = [a for a in sys.argv[1:] if a != "--digest"]
+    digest = "--digest" in sys.argv[1:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    names = set(argv[1:]) or None
+    res = run_all(sf, names, digest=digest)
     n_fail = sum(1 for r in res if r["ok"] is False)
     print(f"\n{sum(1 for r in res if r['ok'])} pass, {n_fail} fail, "
           f"{sum(1 for r in res if r['ok'] is None)} skip")

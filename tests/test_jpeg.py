@@ -101,12 +101,93 @@ def test_16bit_dqt_parses_identically():
     assert np.array_equal(jpeg.decode_jpeg(e16), jpeg.decode_jpeg(e8))
 
 
-def test_progressive_sof2_raises_not_implemented():
+def test_sof2_with_baseline_scan_header_rejected():
+    """Rewriting SOF0->SOF2 on baseline bytes yields a progressive frame
+    whose single scan claims Ss=0..Se=63 — illegal per Annex G (a
+    progressive scan may carry DC or AC, never both)."""
     e = bytearray(jpeg.encode_jpeg(_gradient(16, 16), 85, True))
     i = bytes(e).find(b"\xff\xc0")
-    e[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="0xc2"):
+    e[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC and AC"):
         jpeg.decode_jpeg(bytes(e))
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """Progressive and baseline encodes share the quantized coefficient
+    stores, so their decodes must be bit-identical — this pins all four
+    Annex-G scan kernels (DC/AC x first/refine) and EOBRUN."""
+    rng = np.random.default_rng(42)
+    for shape, sub in [((40, 56, 3), True), ((17, 23, 3), True),
+                       ((24, 24, 3), "422"), ((33, 9, 3), "440"),
+                       ((16, 16, 3), False)]:
+        base = rng.integers(0, 256, (4, 4, 3))
+        img = np.kron(base, np.ones((shape[0] // 4 + 1,
+                                     shape[1] // 4 + 1, 1)))
+        img = (img[:shape[0], :shape[1]] +
+               rng.normal(0, 12, shape)).clip(0, 255).astype(np.uint8)
+        for q in (60, 85, 95):
+            d_base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, sub))
+            d_prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(img, q, sub))
+            assert np.array_equal(d_base, d_prog), (shape, sub, q)
+
+
+def test_progressive_grayscale_and_restart_markers():
+    rng = np.random.default_rng(7)
+    img = (np.kron(rng.integers(0, 256, (6, 6, 3)),
+                   np.ones((8, 8, 1)))
+           + rng.normal(0, 10, (48, 48, 3))).clip(0, 255).astype(np.uint8)
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 75))
+    for ri in (1, 3, 5):
+        got = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, 75, restart_interval=ri))
+        assert np.array_equal(ref, got), ri
+    g = img[..., 0]
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, 85)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(g, 85)))
+
+
+def test_progressive_custom_scan_scripts():
+    """Spectral-selection-only (no refinement) and 3-level successive
+    approximation scripts must reconstruct identically to baseline."""
+    rng = np.random.default_rng(11)
+    img = (np.kron(rng.integers(0, 256, (5, 7, 3)), np.ones((8, 8, 1)))
+           + rng.normal(0, 8, (40, 56, 3))).clip(0, 255).astype(np.uint8)
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 75))
+    ss_only = [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+               ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    deep = [([0, 1, 2], 0, 0, 0, 2), ([0, 1, 2], 0, 0, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    for script in (ss_only, deep):
+        got = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, 75, scans=script))
+        assert np.array_equal(ref, got)
+
+
+def test_progressive_hypothesis_equivalence():
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=st.integers(4, 40), w=st.integers(4, 40),
+           seed=st.integers(0, 2**32 - 1),
+           q=st.sampled_from([70, 85, 95]),
+           sub=st.sampled_from([False, True, "422"]))
+    def prop(h, w, seed, q, sub):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (3, 3, 3)).astype(np.float64)
+        img = np.clip(
+            np.round(_bilinear_up(base, h, w)), 0, 255).astype(np.uint8)
+        e = jpeg.encode_jpeg_progressive(img, q, sub)
+        assert e == jpeg.encode_jpeg_progressive(img, q, sub)
+        assert np.array_equal(
+            jpeg.decode_jpeg(e),
+            jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, sub)))
+
+    prop()
 
 
 def test_non_jpeg_payload_raises_value_error():
