@@ -26,6 +26,43 @@ OUT = Path(__file__).resolve().parent / "golden_hashes.json"
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
 
+# Non-vacuousness gate (r5 VERDICT #9): the zero-row rejection below
+# cannot catch "non-zero rows, identically-zero measure" — the q156
+# mkt_share class, where a wrong literal zeroes a ratio but the group
+# keys still emit. For each ratio/share-shaped query, the named measure
+# columns must contain at least one non-zero, non-null value at EVERY
+# generated SF or generation aborts.
+NONZERO_COLS: dict[str, list[str]] = {
+    "q101_fingerprint_overlap": ["containment"],
+    "q114_lead_lag_corr": ["xcorr"],
+    "q116_variance_ratio": ["vr"],
+    "q138_lsh_calibration": ["avg_jaccard"],
+    "q156_market_share": ["mkt_share"],
+    "q66_corpus_curation": ["avg_stop_ratio", "avg_alpha_ratio"],
+    "q92_boilerplate_coverage": ["boilerplate_frac"],
+    "q94_vocab_coverage": ["cum_share"],
+    "q95_source_overlap": ["jaccard"],
+    "q96_rolling_beta": ["beta", "r2"],
+}
+
+
+def assert_nonzero_measures(df, name: str) -> None:
+    cols = NONZERO_COLS.get(name)
+    if not cols:
+        return
+    from pyspark.sql import functions as F
+
+    agg = df.agg(*[
+        F.sum(F.when(F.col(c).isNotNull() & (F.col(c) != 0), 1)
+              .otherwise(0)).alias(c)
+        for c in cols
+    ]).collect()[0]
+    dead = [c for c in cols if not (agg[c] or 0)]
+    if dead:
+        raise AssertionError(
+            f"{name}: measure column(s) {dead} are identically "
+            f"zero/null — vacuous golden refused (q156 class)")
+
 
 def result_hash(df) -> tuple[int, str]:
     rows = [tuple(r) for r in df.collect()]
@@ -63,7 +100,9 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         for name in names:
-            n, digest = result_hash(q.spark_queries()[name](spark, sf_dir))
+            df = q.spark_queries()[name](spark, sf_dir)
+            assert_nonzero_measures(df, name)
+            n, digest = result_hash(df)
             data.setdefault(name, {})[key] = {"rows": n, "sha256": digest}
             print(f"{key} {name}: {n} rows {digest[:12]}")
     OUT.write_text(json.dumps(data, indent=1, sort_keys=True) + "\n")

@@ -1,0 +1,633 @@
+"""Parameter-fuzz harness (r5 VERDICT #7): the 173 oracle pairs run
+FIXED parameters, so a literal-coupling bug — an operator that silently
+ignores its argument and happens to match the oracle at the rehearsed
+constant (the q155/q156 vacuousness class) — is invisible to them. This
+tool re-derives BOTH engines from randomized parameters for the
+parameterizable operator families and compares them with the same
+rows+schema+values gate the sweep uses.
+
+Each target owns a parameter sampler and builds the Spark side from the
+PACKAGE OPERATORS (never a re-implementation) and the DuckDB side from a
+parameter-rendered SQL template (the same shapes the fixed pairs use).
+
+Run:
+    python3 tools/fuzz_sweep.py [sf_dir] [--n N] [--seed S] [--only t1,t2]
+
+Defaults: sf0.001, N=50, seed derived from the round stamp so each round
+explores a different slice while any failure stays reproducible
+(--seed pins it). Exit 1 on any mismatch, printing the minimized config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from oracle_harness import compare_query, duck_connection  # noqa: E402
+
+
+# --------------------------------------------------------------- targets
+#
+# Each target: {"sample": rng -> params,
+#               "spark": (spark, sf_dir, p) -> DataFrame,
+#               "sql":   p -> str}
+
+def _ticks_cte():
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+
+    return q.TICKS_CTE
+
+
+def _bars_cte(minutes):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+
+    return q._bars_cte(minutes)
+
+
+def _ticks(spark, sf_dir):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+
+    return q._ticks(spark, sf_dir)
+
+
+def _bars(spark, sf_dir, minutes):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        bars,
+    )
+
+    return bars.ticks_to_ohlcv(_ticks(spark, sf_dir), f"{minutes} minutes")
+
+
+def t_ohlcv_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    return _bars(spark, sf_dir, p["m"]).select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        "open", "high", "low", "close", "volume", "n_ticks")
+
+
+def t_ohlcv_sql(p):
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])}
+    SELECT symbol, epoch_us(bts) AS bar_us, open, high, low, close,
+           volume, n_ticks FROM bars"""
+
+
+def t_macross_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    sig = signals.ma_cross_signal(
+        _bars(spark, sf_dir, p["m"]), fast=p["fast"], slow=p["slow"])
+    return sig.groupBy("symbol").agg(
+        F.sum("signal").cast("bigint").alias("n_long"),
+        F.count(F.lit(1)).alias("n_bars"))
+
+
+def t_macross_sql(p):
+    f, s = p["fast"], p["slow"]
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    ma AS (SELECT symbol, bts, close, row_number() OVER w AS rn,
+             avg(close) OVER (w ROWS BETWEEN {f - 1} PRECEDING AND CURRENT ROW) AS f,
+             avg(close) OVER (w ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW) AS sl
+           FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    sig AS (SELECT symbol,
+              CASE WHEN (CASE WHEN rn >= {f} THEN f END)
+                        > (CASE WHEN rn >= {s} THEN sl END)
+                   THEN 1 ELSE 0 END AS signal FROM ma)
+    SELECT symbol, CAST(sum(signal) AS BIGINT) AS n_long,
+           count(*) AS n_bars FROM sig GROUP BY symbol"""
+
+
+def t_momentum_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    sig = signals.momentum_signal(
+        _bars(spark, sf_dir, p["m"]), lookback=p["n"],
+        threshold=p["thr"])
+    return sig.groupBy("symbol", "signal").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def t_momentum_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.queries import (  # noqa: E501
+        _dlit,
+    )
+
+    t = _dlit(p["thr"])
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    m AS (SELECT symbol,
+            close / lag(close, {p['n']}) OVER (PARTITION BY symbol
+              ORDER BY bts) - 1.0e0 AS mom FROM bars)
+    SELECT symbol, CASE WHEN mom > {t} THEN 1 WHEN mom < -{t} THEN -1
+                        ELSE 0 END AS signal, count(*) AS n
+    FROM m GROUP BY 1, 2"""
+
+
+def t_iqr_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        cleaner,
+    )
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    kept = cleaner.remove_outliers_iqr(li, "l_extendedprice", k=p["k"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("bigint").alias("sum_price_cents"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"))
+
+
+def t_iqr_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.queries import (  # noqa: E501
+        _dlit,
+    )
+
+    k = _dlit(p["k"])
+    return f"""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                      quantile_cont(l_extendedprice, 0.75) AS q3
+               FROM lineitem)
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 1.0e2) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem, q
+    WHERE l_extendedprice BETWEEN q1 - {k} * (q3 - q1)
+                              AND q3 + {k} * (q3 - q1)"""
+
+
+def t_zscore_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        cleaner,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    kept = cleaner.remove_outliers_zscore(ev, "value", k=p["k"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double"), 4).alias("sum_value"))
+
+
+def t_zscore_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.queries import (  # noqa: E501
+        _dlit,
+    )
+
+    return f"""WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd
+               FROM events)
+    SELECT count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS sum_value
+    FROM events, s WHERE abs(value - mu) / sd < {_dlit(p['k'])}"""
+
+
+def t_gapfill_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        cleaner,
+    )
+
+    m = p["m"]
+    hourly = (
+        _ticks(spark, sf_dir)
+        .groupBy("symbol", F.window("ts", f"{m} minutes").alias("w"))
+        .agg(F.round(F.avg("price"), 6).alias("v"))
+        .select("symbol", F.col("w.start").alias("ts"), "v"))
+    filled = cleaner.fill_missing_timestamps(
+        hourly, freq_seconds=m * 60, method=p["method"], value_cols=["v"])
+    return filled.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.count("v").alias("n_filled"),
+        F.round(F.sum("v"), 2).alias("sum_v"))
+
+
+def t_gapfill_sql(p):
+    m = p["m"]
+    fill = (
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        if p["method"] == "ffill" else
+        "first_value(v IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY h "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+    return f"""WITH {_ticks_cte()},
+    hourly AS (SELECT symbol, time_bucket(INTERVAL '{m} minutes', ts) AS h,
+                      round(avg(price), 6) AS v
+               FROM ticks GROUP BY symbol, h),
+    bounds AS (SELECT symbol, min(h) AS lo, max(h) AS hi FROM hourly
+               GROUP BY symbol),
+    spine AS (SELECT symbol,
+                     unnest(generate_series(lo, hi,
+                            INTERVAL {m} MINUTES)) AS h
+              FROM bounds),
+    j AS (SELECT s.symbol, s.h, hr.v
+          FROM spine s LEFT JOIN hourly hr
+            ON hr.symbol = s.symbol AND hr.h = s.h),
+    f AS (SELECT symbol, h, {fill} AS v FROM j)
+    SELECT symbol, count(*) AS n_slots, count(v) AS n_filled,
+           round(sum(v), 2) AS sum_v
+    FROM f GROUP BY symbol"""
+
+
+def t_dedup_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        cleaner,
+    )
+
+    dd = cleaner.deduplicate(
+        _ticks(spark, sf_dir), subset=p["keys"], keep=p["keep"],
+        order_col="ts", tiebreaker="seq")
+    return dd.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 4).alias("sum_price"),
+        F.sum("seq").alias("sum_seq"))
+
+
+def t_dedup_sql(p):
+    order = "ts, seq" if p["keep"] == "first" else "ts DESC, seq DESC"
+    keys = ", ".join(p["keys"])
+    return f"""WITH {_ticks_cte()},
+    dd AS (SELECT *, row_number() OVER (PARTITION BY {keys}
+                                        ORDER BY {order}) AS rn
+           FROM ticks)
+    SELECT symbol, count(*) AS n, round(sum(price), 4) AS sum_price,
+           CAST(sum(seq) AS BIGINT) AS sum_seq
+    FROM dd WHERE rn = 1 GROUP BY symbol"""
+
+
+def t_topk_spark(spark, sf_dir, p):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (t["orders"].withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= p["k"])
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"))
+
+
+def t_topk_sql(p):
+    return f"""SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= {p['k']}"""
+
+
+def t_var_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = _bars(spark, sf_dir, p["m"])
+    r = signals.simple_returns(b, price_col="close", out_col="ret").select(
+        "symbol", "ret")
+    alpha = 1.0 - p["conf"]
+    v = r.groupBy("symbol").agg(
+        F.expr(f"percentile(ret, {alpha!r})").alias("var"))
+    joined = r.join(F.broadcast(v), on="symbol")
+    return joined.groupBy("symbol").agg(
+        F.round(F.first("var"), 9).alias("var"),
+        F.round(F.avg(F.when(F.col("ret") <= F.col("var"),
+                             F.col("ret"))), 6).alias("cvar"))
+
+
+def t_var_sql(p):
+    alpha = repr(1.0 - p["conf"])
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    r AS (SELECT symbol,
+                 coalesce(close / lag(close) OVER (PARTITION BY symbol
+                   ORDER BY bts) - 1.0e0, 0.0e0) AS ret FROM bars),
+    v AS (SELECT symbol, quantile_cont(ret, {alpha}) AS var FROM r
+          GROUP BY symbol)
+    SELECT r.symbol, round(min(var), 9) AS var,
+           round(avg(CASE WHEN ret <= var THEN ret END), 6) AS cvar
+    FROM r JOIN v ON r.symbol = v.symbol GROUP BY r.symbol"""
+
+
+def t_chunk_spark(spark, sf_dir, p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        text as text_ops,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return text_ops.chunk_documents(
+        d, chunk_tokens=p["chunk"], stride=p["stride"])
+
+
+def t_chunk_sql(p):
+    c, s = p["chunk"], p["stride"]
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    st AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), {s}))
+                   AS start
+          FROM t)
+    SELECT doc_id, CAST((start - 1) / {s} AS INTEGER) AS chunk_id,
+           array_to_string(toks[start : start + {c - 1}], ' ')
+             AS chunk_text,
+           len(toks[start : start + {c - 1}]) AS n_tokens
+    FROM st"""
+
+
+def t_asof_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        joins,
+    )
+
+    ticks = _ticks(spark, sf_dir)
+    b = _bars(spark, sf_dir, p["m"]).select(
+        "symbol", F.col("ts").alias("bts"), "close")
+    out = joins.asof_join(
+        ticks, b.withColumnRenamed("bts", "ts"), on="ts", by="symbol",
+        value_cols=["close"], tolerance=p["tol"], direction="backward")
+    return out.select(
+        "seq", F.unix_micros("ts").alias("us"), "price",
+        F.col("close").alias("bar_close"),
+        F.unix_micros("ts_right").alias("bar_us"))
+
+
+def t_asof_sql(p):
+    tol = p["tol"]
+    if tol is None:
+        guard_close = "b.close"
+        guard_us = "epoch_us(b.bts)"
+    else:
+        cond = f"epoch_us(t.ts) - epoch_us(b.bts) <= {int(tol) * 1000000}"
+        guard_close = f"CASE WHEN {cond} THEN b.close END"
+        guard_us = f"CASE WHEN {cond} THEN epoch_us(b.bts) END"
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])}
+    SELECT t.seq, epoch_us(t.ts) AS us, t.price,
+           {guard_close} AS bar_close, {guard_us} AS bar_us
+    FROM ticks t ASOF LEFT JOIN bars b
+      ON t.symbol = b.symbol AND t.ts >= b.bts"""
+
+
+def t_kernel_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        backtest, signals,
+    )
+
+    b = _bars(spark, sf_dir, 60)
+    px = b.withColumn("px", F.lit(100.0) + F.col("close") / F.lit(10.0))
+    sig = signals.mean_reversion_signal(
+        px, n=p["n"], num_std=p["k"], price_col="px")
+    res = backtest.backtest_signals(
+        sig, position_size=1.0, commission=q.COMMISSION,
+        slippage=q.SLIPPAGE, initial_cash=q.CASH, price_col="px")
+    return res.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"), "signal",
+        "position", "trade", "returns", "strategy_returns", "costs",
+        "net_returns",
+        F.round(F.col("equity") / F.lit(q.CASH), 6).alias("equity_ratio"))
+
+
+def t_kernel_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+
+    return f"""WITH {q._kernel_cte(n=p['n'], k=p['k'])}
+    SELECT symbol, epoch_us(bts) AS bar_us, signal, position, trade,
+           returns, strategy_returns, costs, net_returns,
+           round(equity / {q._dlit(q.CASH)}, 6) AS equity_ratio
+    FROM kern"""
+
+
+def t_rolling_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = _bars(spark, sf_dir, p["m"])
+    w = signals.sym_window()
+    n = p["n"]
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        F.round(signals.rolling_mean("close", n, w), 8).alias("rmean"),
+        F.round(signals.rolling_std("close", n, w), 8).alias("rstd"))
+
+
+def t_rolling_sql(p):
+    n = p["n"]
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    r AS (SELECT symbol, bts, close, row_number() OVER w AS rn,
+            avg(close) OVER (w ROWS BETWEEN {n - 1} PRECEDING
+                             AND CURRENT ROW) AS m,
+            stddev_samp(close) OVER (w ROWS BETWEEN {n - 1} PRECEDING
+                                     AND CURRENT ROW) AS s
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN rn >= {n} THEN m END, 8) AS rmean,
+           round(CASE WHEN rn >= {n} THEN s END, 8) AS rstd
+    FROM r"""
+
+
+def t_pctchange_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = _bars(spark, sf_dir, p["m"])
+    w = signals.sym_window()
+    return b.select(
+        "symbol", F.unix_micros("ts").alias("bar_us"),
+        signals.pct_change("close", w, periods=p["k"]).alias("ret"))
+
+
+def t_pctchange_sql(p):
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])}
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           close / lag(close, {p['k']}) OVER (PARTITION BY symbol
+             ORDER BY bts) - 1.0e0 AS ret
+    FROM bars"""
+
+
+_BAR_MINUTES = [1, 2, 3, 5, 10, 15, 30, 60, 120]
+
+TARGETS = {
+    "ohlcv": {
+        "sample": lambda r: {"m": r.choice(_BAR_MINUTES)},
+        "spark": t_ohlcv_spark, "sql": t_ohlcv_sql,
+    },
+    "ma_cross": {
+        "sample": lambda r: (lambda f: {"m": r.choice([30, 60]),
+                                        "fast": f,
+                                        "slow": r.randint(f + 1, 60)})(
+            r.randint(2, 15)),
+        "spark": t_macross_spark, "sql": t_macross_sql,
+    },
+    "momentum": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.randint(2, 30),
+                             "thr": round(r.uniform(0.002, 0.08), 4)},
+        "spark": t_momentum_spark, "sql": t_momentum_sql,
+    },
+    "iqr_filter": {
+        "sample": lambda r: {"k": r.choice([0.5, 0.75, 1.0, 1.5,
+                                            2.0, 2.5, 3.0])},
+        "spark": t_iqr_spark, "sql": t_iqr_sql,
+    },
+    "zscore_filter": {
+        "sample": lambda r: {"k": r.choice([0.5, 1.0, 1.5, 2.0,
+                                            2.5, 3.0])},
+        "spark": t_zscore_spark, "sql": t_zscore_sql,
+    },
+    "gap_fill": {
+        "sample": lambda r: {"m": r.choice([30, 60, 120]),
+                             "method": r.choice(["ffill", "bfill"])},
+        "spark": t_gapfill_spark, "sql": t_gapfill_sql,
+    },
+    "dedup": {
+        "sample": lambda r: {
+            "keys": r.choice([["volume", "symbol"], ["price", "symbol"],
+                              ["symbol", "price", "volume"]]),
+            "keep": r.choice(["first", "last"])},
+        "spark": t_dedup_spark, "sql": t_dedup_sql,
+    },
+    "topk": {
+        "sample": lambda r: {"k": r.randint(1, 10)},
+        "spark": t_topk_spark, "sql": t_topk_sql,
+    },
+    "var_cvar": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "conf": r.choice([0.9, 0.95, 0.975, 0.99])},
+        "spark": t_var_spark, "sql": t_var_sql,
+    },
+    "chunking": {
+        "sample": lambda r: (lambda c: {"chunk": c,
+                                        "stride": r.randint(max(c // 4, 1),
+                                                            c)})(
+            r.randint(8, 128)),
+        "spark": t_chunk_spark, "sql": t_chunk_sql,
+    },
+    "asof": {
+        "sample": lambda r: {"m": r.choice([15, 30, 60]),
+                             "tol": r.choice([None, 1800, 3600, 7200])},
+        "spark": t_asof_spark, "sql": t_asof_sql,
+    },
+    "kernel": {
+        "sample": lambda r: {"n": r.randint(5, 40),
+                             "k": r.choice([0.5, 1.0, 1.5, 2.0, 2.5])},
+        "spark": t_kernel_spark, "sql": t_kernel_sql,
+    },
+    "rolling": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.randint(2, 40)},
+        "spark": t_rolling_spark, "sql": t_rolling_sql,
+    },
+    "pct_change": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "k": r.randint(1, 10)},
+        "spark": t_pctchange_spark, "sql": t_pctchange_sql,
+    },
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated target names")
+    args = ap.parse_args()
+
+    seed = args.seed
+    if seed is None:
+        # different slice each round, reproducible within one
+        seed = int(os.environ.get("FUZZ_SEED", "0")) or (
+            os.path.getmtime(__file__).__trunc__() % 100_000)
+    rng = random.Random(seed)
+    print(f"fuzz seed={seed} n={args.n} sf={args.sf_dir}")
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        get_spark,
+    )
+
+    spark = get_spark("fuzz-sweep", shuffle_partitions=16)
+    con = duck_connection(args.sf_dir)
+
+    names = sorted(TARGETS)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+    fails = 0
+    for i in range(args.n):
+        tname = names[i % len(names)]
+        t = TARGETS[tname]
+        p = t["sample"](rng)
+        label = f"{tname}{p}"
+        try:
+            rep = compare_query(
+                spark, con,
+                lambda s, d, _t=t, _p=p: _t["spark"](s, d, _p),
+                t["sql"](p), label, args.sf_dir)
+        except Exception as exc:
+            rep = {"ok": False,
+                   "errors": [f"EXCEPTION: {type(exc).__name__}: {exc}"]}
+        status = "PASS" if rep["ok"] else "FAIL"
+        print(f"[{status}] {label}")
+        if not rep["ok"]:
+            fails += 1
+            for e in rep["errors"]:
+                print(f"        {str(e)[:400]}")
+    print(f"\n{args.n - fails} pass, {fails} fail (seed={seed})")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
