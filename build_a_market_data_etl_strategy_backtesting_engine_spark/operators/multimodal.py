@@ -567,3 +567,74 @@ def synthetic_png_images(spark, n: int = 8) -> DataFrame:
         rows.append((i, "image", bytearray(payload), "synth/png",
                      w, h, None, {"leg": str(leg)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_corpus(spark, n: int = 384, min_w: int = 160,
+                           max_w: int = 320) -> DataFrame:
+    """Bench-scale REAL image corpus: ``n`` seeded rasters encoded IN
+    PARALLEL on the executors (mapInPandas over ``spark.range``) as a
+    2:1 mix of JPEG (baseline + progressive, the sampling/quality
+    matrix) and PNG (rgb / grayscale). Unlike
+    :func:`synthetic_jpeg_images` (driver-built, golden-sized), this
+    exists for codec THROUGHPUT measurement — the payloads are
+    web-thumbnail-sized so a decode sweep moves real megapixels.
+    Deterministic per (media_id): same n -> same corpus."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.schemas import (
+        MEDIA_SCHEMA,
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+            jpeg, png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(1_000_003 * i + 7)
+                w = min_w + (i * 37) % (max_w - min_w + 1)
+                h = int(w * 3 / 4)
+                base = rng.integers(0, 256, (5, 5, 3)).astype(np.float64)
+                # low-frequency field (JPEG's design domain) + mild noise
+                ys = np.linspace(0, 4, h)
+                xs = np.linspace(0, 4, w)
+                yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+                yf, xf = (ys - yi)[:, None, None], (xs - xi)[None, :, None]
+                yi2 = np.minimum(yi + 1, 4)
+                xi2 = np.minimum(xi + 1, 4)
+                arr = ((1 - yf) * (1 - xf) * base[yi][:, xi]
+                       + (1 - yf) * xf * base[yi][:, xi2]
+                       + yf * (1 - xf) * base[yi2][:, xi]
+                       + yf * xf * base[yi2][:, xi2])
+                arr = np.clip(
+                    arr + rng.normal(0, 6, (h, w, 3)), 0, 255
+                ).astype(np.uint8)
+                kind = i % 6
+                if kind == 0:
+                    payload = jpeg.encode_jpeg(arr, 85, True)
+                    mime = "image/jpeg"
+                elif kind == 1:
+                    payload = jpeg.encode_jpeg(arr, 75, "422",
+                                               restart_interval=4)
+                    mime = "image/jpeg"
+                elif kind == 2:
+                    payload = jpeg.encode_jpeg_progressive(arr, 85, True)
+                    mime = "image/jpeg"
+                elif kind == 3:
+                    payload = jpeg.encode_jpeg_progressive(arr, 90, False)
+                    mime = "image/jpeg"
+                elif kind == 4:
+                    payload = png.encode_png(arr)
+                    mime = "image/png"
+                else:
+                    payload = png.encode_png(arr[..., 0])
+                    mime = "image/png"
+                rows.append((i, "image", payload, mime, w, h, None, {}))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "content", "mime_type",
+                "width", "height", "duration_ms", "meta"])
+
+    seeds = spark.range(n).repartition(
+        spark.sparkContext.defaultParallelism)
+    return seeds.mapInPandas(_gen, MEDIA_SCHEMA)
