@@ -11,11 +11,12 @@ with pure numpy/stdlib — BMP (24/32-bit BI_RGB, bottom-up or top-down),
 binary PPM/PGM (P6/P5), baseline sequential JFIF (operators/jpeg.py:
 arbitrary DQT/DHT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling, restart markers),
 and PNG (operators/png.py: all 5 filters, grey/RGB/palette/alpha color
-types, tRNS, multi-IDAT). The :func:`image_features` /
-:func:`resize_images` real paths need no PIL for those; the residual
-exotic variants (progressive JPEG, 12/16-bit, Adam7) raise and fall
-through to PIL when importable. On a real cluster the same UDF bodies
-pick up Pillow automatically.
+types at depths 1/2/4/8/16, tRNS, multi-IDAT, Adam7 interlace). The
+:func:`image_features` / :func:`resize_images` real paths need no PIL
+for those — progressive JPEG and Adam7 PNG now decode natively (r6);
+the residual exotics (12-bit / arithmetic-coded / CMYK JPEG) raise and
+fall through to PIL when importable. On a real cluster the same UDF
+bodies pick up Pillow automatically.
 """
 
 from __future__ import annotations

@@ -177,18 +177,86 @@ def test_gray_alpha_composites_over_white():
     assert abs(int(v) - round(100 * 128 / 255 + 255 * 127 / 255)) <= 1
 
 
-def test_16bit_and_interlace_raise_not_implemented():
+def test_corrupt_depth_or_interlace_flag_raises():
+    """Patching IHDR to claim a different depth/interlace than the data
+    carries must fail loudly (length mismatch), not mis-decode."""
     img = _img(4, 4)
     good = png.encode_png(img)
-    # patch IHDR depth byte (offset: 8 sig + 8 len/tag + 8 w/h)
     bad_depth = bytearray(good)
-    bad_depth[24] = 16
-    with pytest.raises((NotImplementedError, ValueError)):
+    bad_depth[24] = 16  # IHDR depth byte
+    with pytest.raises(ValueError):
         png.decode_png(bytes(bad_depth))
     bad_il = bytearray(good)
-    bad_il[28] = 1  # interlace flag
-    with pytest.raises((NotImplementedError, ValueError)):
+    bad_il[28] = 1  # interlace flag without Adam7 layout
+    with pytest.raises(ValueError):
         png.decode_png(bytes(bad_il))
+
+
+def test_adam7_interlace_roundtrips_exactly():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (7, 5, 3), (8, 8, 3), (17, 23, 3), (3, 9)]:
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        dec = png.decode_png(png.encode_png(arr, interlace=True))
+        exp = arr if arr.ndim == 3 else np.stack([arr] * 3, -1)
+        assert np.array_equal(dec, exp), shape
+
+
+def test_16bit_decodes_to_high_byte():
+    rng = np.random.default_rng(4)
+    arr16 = rng.integers(0, 65536, (9, 13, 3)).astype(np.uint16)
+    dec = png.decode_png(png.encode_png(arr16))
+    assert np.array_equal(dec, (arr16 >> 8).astype(np.uint8))
+    g16 = rng.integers(0, 65536, (6, 4)).astype(np.uint16)
+    dec = png.decode_png(png.encode_png(g16, interlace=True))
+    assert np.array_equal(dec[..., 0], (g16 >> 8).astype(np.uint8))
+
+
+def _hand_chunk(tag, payload):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def test_sub_byte_depths_decode():
+    """4-bit palette and 1-bit grey PNGs (web icons) — hand-built files
+    since the encoder writes 8/16 only."""
+    import struct
+    import zlib
+
+    w, h, depth = 5, 3, 4
+    idx = np.array([[0, 1, 2, 3, 4], [5, 4, 3, 2, 1], [0, 0, 5, 5, 3]],
+                   dtype=np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30],
+                    [200, 200, 200], [1, 2, 3]], dtype=np.uint8)
+    raw = bytearray()
+    for row in idx:
+        raw.append(0)
+        packed = np.zeros((w * depth + 7) // 8, dtype=np.uint8)
+        for i, v in enumerate(row):
+            packed[i // 2] |= v << (4 if i % 2 == 0 else 0)
+        raw += packed.tobytes()
+    data = (b"\x89PNG\r\n\x1a\n"
+            + _hand_chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+            + _hand_chunk(b"PLTE", pal.tobytes())
+            + _hand_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _hand_chunk(b"IEND", b""))
+    assert np.array_equal(png.decode_png(data), pal[idx])
+
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                     [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype=np.uint8)
+    raw = bytearray()
+    for row in bits:
+        raw.append(0)
+        raw += np.packbits(row).tobytes()
+    data = (b"\x89PNG\r\n\x1a\n"
+            + _hand_chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", 10, 2, 1, 0, 0, 0, 0))
+            + _hand_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _hand_chunk(b"IEND", b""))
+    assert np.array_equal(png.decode_png(data)[..., 0], bits * 255)
 
 
 def test_non_png_raises_value_error():
