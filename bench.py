@@ -233,7 +233,11 @@ def main():
                 "total_mb": round(media_stats.nbytes / 1e6, 1),
             }
 
-    total = round(sum(timings.values()), 3)
+    # headline total stays the 12-workload figure BENCH_r04/r05 used
+    # (cross-round comparable); codec_decode's real metric is MB/s and
+    # is reported in its own block + timings entry, not the sum.
+    total = round(sum(v for k, v in timings.items()
+                      if k != "codec_decode"), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
