@@ -50,23 +50,32 @@ def main() -> int:
             print(f"[skip-done] {name}", flush=True)
             continue
         t0 = time.time()
+        # own session/process group: on timeout the WHOLE group (the
+        # harness python AND its JVM child, which otherwise holds the
+        # stdout pipe open and deadlocks subprocess.run's post-kill
+        # communicate()) is killed
+        proc = subprocess.Popen(
+            [sys.executable, "tests/oracle_harness.py",
+             args.sf_dir, "--digest", name],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, start_new_session=True)
         try:
-            r = subprocess.run(
-                [sys.executable, "tests/oracle_harness.py",
-                 args.sf_dir, "--digest", name],
-                cwd=REPO, capture_output=True, text=True,
-                timeout=args.timeout)
+            out, _ = proc.communicate(timeout=args.timeout)
             dt = round(time.time() - t0, 1)
-            tail = "\n".join(r.stdout.strip().split("\n")[-8:])
-            if f"[PASS] {name}" in r.stdout:
+            tail = "\n".join((out or "").strip().split("\n")[-8:])
+            if f"[PASS] {name}" in (out or ""):
                 status = "pass"
-            elif f"[FAIL] {name}" in r.stdout:
+            elif f"[FAIL] {name}" in (out or ""):
                 status = "fail"
             else:
                 status = "error"
             rec = {"name": name, "status": status, "secs": dt,
                    "tail": tail if status != "pass" else ""}
         except subprocess.TimeoutExpired:
+            import signal
+
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.communicate()
             rec = {"name": name, "status": "timeout",
                    "secs": round(time.time() - t0, 1), "tail": ""}
         with open(args.out, "a") as f:
