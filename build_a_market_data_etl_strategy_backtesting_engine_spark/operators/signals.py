@@ -57,8 +57,21 @@ def rolling_sum(col: str, n: int, w) -> Column:
 
 
 def pct_change(col: str, w, periods: int = 1) -> Column:
-    """``col / lag(col, n) - 1`` — NULL on warm-up rows like pandas."""
-    return F.col(col) / F.lag(col, periods).over(w) - 1
+    """``col / lag(col, n) - 1`` — NULL on warm-up rows like pandas.
+
+    A zero lag value follows pandas float semantics (x/0 -> ±inf,
+    0/0 -> NaN) instead of throwing under ANSI mode (Spark 4 default —
+    found by the parameter fuzzer on an all-zero-volume window, the
+    same crash class as with_volume_ratio)."""
+    prev = F.lag(col, periods).over(w)
+    c = F.col(col)
+    return (
+        F.when(prev != 0, c / prev - 1)
+        .when(prev.isNull(), F.lit(None).cast("double"))
+        .when(c > 0, F.lit(float("inf")))
+        .when(c < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
 
 
 def simple_returns(df: DataFrame, price_col: str = "close",
@@ -132,9 +145,17 @@ def with_rolling_volatility(df: DataFrame, n: int = 20,
 def with_volume_ratio(df: DataFrame, n: int = 20, volume_col: str = "volume",
                       symbol_col: str = "symbol", ts_col: str = "ts",
                       out_col: str = "volume_ratio") -> DataFrame:
-    """volume / rolling(n).mean(volume) (ml_strategy.py:167-168)."""
+    """volume / rolling(n).mean(volume) (ml_strategy.py:167-168).
+
+    The window includes the current row, so mean == 0 implies
+    volume == 0 — pandas emits 0/0 = NaN there; the bare division
+    throws under ANSI mode (found by the parameter fuzzer: two
+    consecutive zero-volume bars at n=2)."""
     w = sym_window(symbol_col, ts_col)
-    return df.withColumn(out_col, F.col(volume_col) / rolling_mean(volume_col, n, w))
+    m = rolling_mean(volume_col, n, w)
+    ratio = (F.when(m != 0, F.col(volume_col) / m)
+             .when(m == 0, F.lit(float("nan"))))
+    return df.withColumn(out_col, ratio)
 
 
 # ---------------------------------------------------------------- strategies
@@ -145,7 +166,15 @@ def mean_reversion_signal(df: DataFrame, n: int = 20, num_std: float = 2.0,
     """z = (close - SMA_n)/STD_n; +1 if z < -k, -1 if z > k, else 0
     (strategy.py:69-111)."""
     w = sym_window(symbol_col, ts_col)
-    z = (F.col(price_col) - rolling_mean(price_col, n, w)) / rolling_std(price_col, n, w)
+    sd = rolling_std(price_col, n, w)
+    # sd == 0 (constant window) implies price == mean, so pandas z is
+    # 0/0 = NaN and both comparisons are False -> signal 0. Emit NULL z
+    # there: ANSI mode would throw on the division, and Spark's
+    # NaN-sorts-greatest comparison rule would otherwise flip the
+    # signal to -1 where pandas says 0.
+    z = F.when(
+        sd != 0,
+        (F.col(price_col) - rolling_mean(price_col, n, w)) / sd)
     sig = (F.when(z < -num_std, 1).when(z > num_std, -1).otherwise(0)
            .cast("int"))
     return df.withColumn(out_col, sig)

@@ -578,6 +578,160 @@ TARGETS = {
 }
 
 
+
+def t_rsi_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = signals.with_rsi(_bars(spark, sf_dir, p["m"]), n=p["n"])
+    return b.select("symbol", F.unix_micros("ts").alias("bar_us"),
+                    F.round("rsi", 8).alias("rsi"))
+
+
+def t_rsi_sql(p):
+    n = p["n"]
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    d AS (SELECT symbol, bts, close, row_number() OVER w AS rn,
+                 close - lag(close) OVER w AS delta
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    g AS (SELECT *,
+                 CASE WHEN delta > 0.0e0 THEN delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS gain,
+                 CASE WHEN delta < 0.0e0 THEN -delta
+                      WHEN delta IS NOT NULL THEN 0.0e0 END AS loss
+          FROM d),
+    r AS (SELECT symbol, bts,
+                 CASE WHEN rn >= {n} + 1 THEN avg(gain) OVER wN END AS ag,
+                 CASE WHEN rn >= {n} + 1 THEN avg(loss) OVER wN END AS al
+          FROM g WINDOW wN AS (PARTITION BY symbol ORDER BY bts
+                               ROWS BETWEEN {n - 1} PRECEDING
+                               AND CURRENT ROW))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN al = 0 AND ag = 0 THEN NULL
+                      WHEN al = 0 THEN 100.0e0
+                      ELSE 100.0e0 - 100.0e0 / (1.0e0 + ag / al) END, 8)
+             AS rsi
+    FROM r"""
+
+
+def t_bollinger_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = signals.with_bollinger(_bars(spark, sf_dir, p["m"]),
+                               n=p["n"], k=p["k"])
+    return b.select("symbol", F.unix_micros("ts").alias("bar_us"),
+                    F.round("bb_mid", 8).alias("bb_mid"),
+                    F.round("bb_upper", 8).alias("bb_upper"),
+                    F.round("bb_lower", 8).alias("bb_lower"))
+
+
+def t_bollinger_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.queries import (  # noqa: E501
+        _dlit,
+    )
+
+    n, k = p["n"], _dlit(p["k"])
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    r AS (SELECT symbol, bts, row_number() OVER w AS rn,
+                 avg(close) OVER (w ROWS BETWEEN {n - 1} PRECEDING
+                                  AND CURRENT ROW) AS m,
+                 stddev_samp(close) OVER (w ROWS BETWEEN {n - 1} PRECEDING
+                                          AND CURRENT ROW) AS s
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN rn >= {n} THEN m END, 8) AS bb_mid,
+           round(CASE WHEN rn >= {n} THEN m + {k} * s END, 8) AS bb_upper,
+           round(CASE WHEN rn >= {n} THEN m - {k} * s END, 8) AS bb_lower
+    FROM r"""
+
+
+def t_rollvol_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = signals.with_rolling_volatility(_bars(spark, sf_dir, p["m"]),
+                                        n=p["n"])
+    return b.select("symbol", F.unix_micros("ts").alias("bar_us"),
+                    F.round("volatility", 10).alias("vol"))
+
+
+def t_rollvol_sql(p):
+    n = p["n"]
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    r AS (SELECT symbol, bts, row_number() OVER w AS rn,
+                 close / lag(close) OVER w - 1.0e0 AS ret
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts)),
+    v AS (SELECT symbol, bts, rn,
+                 stddev_samp(ret) OVER (PARTITION BY symbol ORDER BY bts
+                                        ROWS BETWEEN {n - 1} PRECEDING
+                                        AND CURRENT ROW) AS s
+          FROM r)
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN rn >= {n} + 1 THEN s END, 10) AS vol
+    FROM v"""
+
+
+def t_volratio_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        signals,
+    )
+
+    b = signals.with_volume_ratio(_bars(spark, sf_dir, p["m"]), n=p["n"])
+    return b.select("symbol", F.unix_micros("ts").alias("bar_us"),
+                    F.round("volume_ratio", 8).alias("vr"))
+
+
+def t_volratio_sql(p):
+    n = p["n"]
+    return f"""WITH {_ticks_cte()}, {_bars_cte(p['m'])},
+    r AS (SELECT symbol, bts, volume, row_number() OVER w AS rn,
+                 avg(volume) OVER (w ROWS BETWEEN {n - 1} PRECEDING
+                                   AND CURRENT ROW) AS m
+          FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bts))
+    SELECT symbol, epoch_us(bts) AS bar_us,
+           round(CASE WHEN rn < {n} THEN NULL
+                      WHEN m = 0 THEN 'nan'::DOUBLE
+                      ELSE volume / m END, 8) AS vr
+    FROM r"""
+
+
+TARGETS.update({
+    "rsi": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.choice([5, 7, 9, 14, 21, 30])},
+        "spark": t_rsi_spark, "sql": t_rsi_sql,
+    },
+    "bollinger": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.randint(3, 40),
+                             "k": r.choice([1.0, 1.5, 2.0, 2.5, 3.0])},
+        "spark": t_bollinger_spark, "sql": t_bollinger_sql,
+    },
+    "rolling_vol": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.randint(3, 40)},
+        "spark": t_rollvol_spark, "sql": t_rollvol_sql,
+    },
+    "volume_ratio": {
+        "sample": lambda r: {"m": r.choice([30, 60]),
+                             "n": r.randint(2, 40)},
+        "spark": t_volratio_spark, "sql": t_volratio_sql,
+    },
+})
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
