@@ -294,6 +294,10 @@ def _run_recursive_sql(spark, sql: str, need: int) -> "DataFrame":
     cur = int(spark.conf.get(key, "1000000"))
     if need <= cur:
         return spark.sql(sql)
+    # the conf is a JVM Int: a 1000x-scale row budget (2.6e9 at sf100,
+    # found by the sf100 sweep) must clamp to Int.MaxValue — the limit
+    # is a guard rail, not an allocation, so the clamp only relaxes it
+    need = min(int(need), 2**31 - 1)
     spark.conf.set(key, str(need))
     try:
         return spark.sql(sql).localCheckpoint(eager=True)
