@@ -161,7 +161,16 @@ def bench_codec_decode(spark, sf_dir):
         multimodal as mm_ops,
     )
 
-    media = spark.read.parquet(_MEDIA_PATH)
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.skew import (  # noqa: E501
+        ensure_parallelism,
+    )
+
+    # the corpus is ~16 MB of payloads -> ONE 128MB-default scan split,
+    # so the decode stage would run single-core; this is exactly the
+    # explode-amplifying small-input regime ensure_parallelism exists
+    # for (decode work is proportional to pixels, not input bytes)
+    media = ensure_parallelism(
+        spark.read.parquet(_MEDIA_PATH), "media_id")
     _materialize(mm_ops.image_features(media))
 
 

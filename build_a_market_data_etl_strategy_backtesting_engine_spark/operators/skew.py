@@ -28,11 +28,16 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Cheap lower-bound estimate of ``df``'s scan parallelism from the
     plan's input files — avoids ``df.rdd.getNumPartitions()``, which
     forces a full logical-plan→RDD conversion (a re-plan that also
-    bypasses AQE's view) on every call (r5 ADVICE). For local files the
-    estimate counts maxPartitionBytes-sized splits per file, which is
-    exactly how FilePartition sizing seeds the scan; for remote
-    filesystems or non-file sources it returns None and the caller falls
-    back to the RDD count once.
+    bypasses AQE's view) on every call (r5 ADVICE). For local files it
+    reproduces FilePartitions' bin-packing: files are padded by
+    openCostInBytes, split at maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, totalPadded / defaultParallelism)), and packed into
+    maxSplitBytes bins — counting per-file splits alone OVERESTIMATES
+    for a many-tiny-files table (Spark packs them into ONE partition,
+    the exact single-core regime this helper exists to catch; the bench
+    media corpus found that live: 32 small files -> 1 actual scan
+    partition). For remote filesystems or non-file sources it returns
+    None and the caller falls back to the RDD count once.
 
     The estimate intentionally ignores upstream exchanges (inputFiles()
     reflects leaf scans only): underestimating merely triggers a
@@ -62,20 +67,36 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         max_bytes = 128 << 20
     import os
 
-    total = 0
+    try:
+        s = str(df.sparkSession.conf.get(
+            "spark.sql.files.openCostInBytes", "4194304")).strip().lower()
+        open_cost = max(0, int(s.rstrip("b")))
+    except (TypeError, ValueError):
+        open_cost = 4 << 20
+    sizes = []
     for f in files:
         if f.startswith("file:"):
             path = f[len("file:"):]
             while path.startswith("//"):
                 path = path[1:]
             try:
-                size = os.path.getsize(path)
+                sizes.append(os.path.getsize(path))
             except OSError:
                 return None
-            total += max(1, -(-size // max_bytes))
         else:  # hdfs/s3/... — no cheap local stat
             return None
-    return total
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    total_padded = sum(sz + open_cost for sz in sizes)
+    max_split = min(max_bytes,
+                    max(open_cost, total_padded // max(parallelism, 1)))
+    max_split = max(max_split, 1)
+    # each file contributes ceil(size/max_split) splits of (chunk +
+    # openCost) padded bytes; splits then pack into max_split bins
+    padded = 0
+    for sz in sizes:
+        n_chunks = max(1, -(-sz // max_split))
+        padded += sz + n_chunks * open_cost
+    return max(1, -(-padded // max_split))
 
 
 def ensure_parallelism(
