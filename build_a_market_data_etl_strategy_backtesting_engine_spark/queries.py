@@ -6926,7 +6926,7 @@ def q145(spark, sf_dir):
 
     ensure_package_on_executors(spark)
     media = mm_ops.synthetic_images(spark, 12)
-    feats = mm_ops.image_features(media)
+    feats = mm_ops.image_features(media, prefer="native")
     return feats.select(
         "media_id", "width", "height", "n_channels",
         F.round("mean_r", 6).alias("mean_r"),
@@ -8254,7 +8254,7 @@ def q171(spark, sf_dir):
 
     ensure_package_on_executors(spark)
     media = mm_ops.synthetic_jpeg_images(spark, 10)
-    feats = mm_ops.image_features(media)
+    feats = mm_ops.image_features(media, prefer="native")
     return feats.select(
         "media_id", "width", "height", "n_channels",
         F.round("mean_r", 6).alias("mean_r"),
@@ -8296,7 +8296,7 @@ def q172(spark, sf_dir):
 
     ensure_package_on_executors(spark)
     media = mm_ops.synthetic_png_images(spark, 8)
-    feats = mm_ops.image_features(media)
+    feats = mm_ops.image_features(media, prefer="native")
     return feats.select(
         "media_id", "width", "height", "n_channels",
         F.round("mean_r", 6).alias("mean_r"),
