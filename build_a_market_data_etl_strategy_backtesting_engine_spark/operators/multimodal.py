@@ -192,10 +192,18 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
       (12-bit / arithmetic-coded / CMYK JPEG, exotic PNG color modes).
 
     Either way a decode failure on one path falls through to the other;
-    ``NotImplementedError`` only when both are exhausted.
+    a payload neither path can decode raises ``ValueError`` (PIL present,
+    bytes undecodable) or ``NotImplementedError`` (format needs the
+    absent library) — both inside :func:`image_features`' per-row catch,
+    so one corrupt image never fails a whole Spark task.
     """
     if prefer is None:
         prefer = os.environ.get(PREFER_ENV, "fast")
+    if prefer not in ("fast", "native"):
+        raise ValueError(
+            f"decode_image_array prefer={prefer!r}: expected 'fast' or "
+            f"'native' (check the {PREFER_ENV} executor env value)"
+        )
     head = bytes(content[:2])
     if head == b"BM":
         return decode_bmp(bytes(content))
@@ -203,15 +211,22 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
         return decode_ppm(bytes(content))
     is_jpeg = head == b"\xff\xd8"
     is_png = bytes(content[:8]) == b"\x89PNG\r\n\x1a\n"
+    pil_tried = False
     if prefer == "fast" and (is_jpeg or is_png):
         Image = _try_import_pil()
         if Image is not None:
             import io
 
+            pil_tried = True
             try:
                 img = Image.open(io.BytesIO(bytes(content)))
                 return np.asarray(img.convert("RGB"))
-            except Exception:
+            except (OSError, ValueError, SyntaxError):
+                # the classes PIL raises for unreadable images
+                # (UnidentifiedImageError is an OSError); anything else
+                # (e.g. DecompressionBombError -> MemoryError paths)
+                # should propagate, not silently retry on the slow
+                # pure-Python kernels.
                 pass  # corrupt-for-PIL -> give the native kernels a try
     if is_jpeg:
         from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
@@ -237,8 +252,24 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
             pass  # exotic color modes -> PIL fallback below
         except (ValueError, IndexError, KeyError, struct.error, zlib.error):
             pass  # corrupt chunk/deflate stream -> let PIL try
-    img = decode_image(bytes(content))  # PIL path (raises w/o PIL)
-    return np.asarray(img.convert("RGB"))
+    if pil_tried:
+        # PIL already failed on these exact bytes under prefer="fast";
+        # re-running Image.open would just repeat a full failed decode.
+        raise ValueError(
+            "image payload undecodable by both PIL and the native kernels"
+        )
+    try:
+        img = decode_image(bytes(content))  # PIL path (raises w/o PIL)
+        return np.asarray(img.convert("RGB"))
+    except (OSError, ValueError, SyntaxError) as exc:
+        # Image.open raises UnidentifiedImageError (an OSError) at open
+        # time and defers further decode work to .convert/.load — keep
+        # the "undecodable payload" contract a per-row error, never a
+        # task-killer (OSError would otherwise escape image_features'
+        # catch tuple on exactly the PIL-equipped production cluster).
+        raise ValueError(
+            f"image payload undecodable by both paths: {exc}"
+        ) from exc
 
 
 def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -325,7 +356,7 @@ def image_features(media: DataFrame, prefer: str | None = None) -> DataFrame:
                 try:
                     arr = decode_image_array(bytes(b or b""), prefer=prefer)
                 except (ValueError, NotImplementedError, struct.error,
-                        IndexError):
+                        IndexError, OSError):
                     rows.append((mid, None, None, None, None, None, None,
                                  None, False))
                     continue

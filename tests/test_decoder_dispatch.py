@@ -179,3 +179,83 @@ def test_image_features_prefer_native_pins_kernel(monkeypatch, payloads,
     row = multimodal.image_features(media, prefer="native").first()
     assert row.width == 23 and row.height == 17
     assert abs(row.mean_r - float(arr[:, :, 0].mean())) < 1e-9
+
+
+def test_invalid_prefer_raises_value_error(payloads):
+    """r7 ADVICE: a typo'd SPARK_GRAFT_IMAGE_DECODER value silently
+    behaved as 'native', disabling the fast path with no signal."""
+    with pytest.raises(ValueError, match="expected 'fast' or 'native'"):
+        multimodal.decode_image_array(payloads["png"], prefer="Fast")
+    with pytest.raises(ValueError, match=multimodal.PREFER_ENV):
+        multimodal.decode_image_array(payloads["png"], prefer="pil")
+
+
+def test_invalid_env_value_raises(monkeypatch, payloads):
+    monkeypatch.setenv(multimodal.PREFER_ENV, "turbo")
+    with pytest.raises(ValueError, match="'turbo'"):
+        multimodal.decode_image_array(payloads["png"])
+
+
+def test_both_paths_fail_is_per_row_error_not_oserror(monkeypatch):
+    """r7 ADVICE medium: with real Pillow installed, Image.open raises
+    UnidentifiedImageError (an OSError) on undecodable payloads — the
+    dispatch must surface a class image_features catches per-row."""
+    calls = []
+    _install_fake_pil(monkeypatch, calls, fail=True)
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32  # PNG magic, garbage body
+    with pytest.raises(ValueError, match="undecodable"):
+        multimodal.decode_image_array(bad, prefer="fast")
+    # native-first ordering reaches PIL via decode_image -> same contract
+    with pytest.raises(ValueError, match="undecodable"):
+        multimodal.decode_image_array(bad, prefer="native")
+
+
+def test_fast_path_does_not_rerun_pil_on_dual_failure(monkeypatch):
+    """r7 ADVICE low: under prefer='fast', after PIL and the native
+    kernels both fail, the final fallback must NOT re-run a full PIL
+    decode on the same bytes."""
+    calls = []
+    _install_fake_pil(monkeypatch, calls, fail=True)
+    bad = b"\xff\xd8" + b"\x00" * 32  # JPEG magic, garbage body
+    with pytest.raises(ValueError, match="undecodable"):
+        multimodal.decode_image_array(bad, prefer="fast")
+    assert len(calls) == 1  # exactly one PIL attempt, not two
+
+
+def test_fast_path_catch_is_narrow(monkeypatch, payloads):
+    """r7 ADVICE low: `except Exception` also swallowed MemoryError
+    (PIL decompression-bomb paths), silently retrying huge payloads on
+    the slow pure-Python kernels. Non-decode errors must propagate."""
+    mod_pil = types.ModuleType("PIL")
+    mod_img = types.ModuleType("PIL.Image")
+
+    def _open(buf):
+        raise MemoryError("decompression bomb")
+
+    mod_img.open = _open
+    mod_pil.Image = mod_img
+    monkeypatch.setitem(sys.modules, "PIL", mod_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", mod_img)
+    with pytest.raises(MemoryError):
+        multimodal.decode_image_array(payloads["png"], prefer="fast")
+
+
+def test_image_features_decode_ok_false_when_both_paths_fail(
+        monkeypatch, spark):
+    """End-to-end contract from the ADVICE: one corrupt image on a
+    PIL-equipped cluster yields decode_ok=false, never a task failure."""
+    calls = []
+    _install_fake_pil(monkeypatch, calls, fail=True)
+    import pandas as pd
+
+    good = multimodal.encode_bmp(_gradient(4, 5))  # native, PIL-free
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2], "kind": ["image", "image"],
+            "content": [bytearray(b"\xff\xd8" + b"\x00" * 16),
+                        bytearray(good)],
+        }))
+    rows = {r.media_id: r for r in
+            multimodal.image_features(media, prefer="fast").collect()}
+    assert rows[1].decode_ok is False and rows[1].width is None
+    assert rows[2].decode_ok is True and rows[2].width == 5
