@@ -127,10 +127,27 @@ _MEDIA_PATH = "/tmp/spark_graft_bench_media.parquet"
 _MEDIA_N = 384
 
 
+def _media_corpus_key():
+    """Cache key for the bench corpus: row count alone is NOT enough —
+    changed generation params would silently bench a stale corpus
+    (r6 ADVICE). Keying on the generator's source hash regenerates on
+    any change to what the corpus contains."""
+    import hashlib
+    import inspect
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        multimodal as mm_ops,
+    )
+
+    src = inspect.getsource(mm_ops.synthetic_media_corpus)
+    return f"n={_MEDIA_N};gen={hashlib.sha256(src.encode()).hexdigest()[:16]}"
+
+
 def _ensure_media_corpus(spark):
     """Build the codec-bench corpus once (untimed): 384 web-thumbnail
     rasters (160-320 px wide) encoded on the executors as baseline JPEG,
-    progressive JPEG, and PNG. Deterministic, reused across runs."""
+    progressive JPEG, and PNG. Deterministic, reused across runs while
+    the generation key (count + generator source hash) matches."""
     import shutil
 
     from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
@@ -141,15 +158,19 @@ def _ensure_media_corpus(spark):
     )
 
     ensure_package_on_executors(spark)
+    key_path = _MEDIA_PATH + ".key"
+    key = _media_corpus_key()
     try:
-        n = spark.read.parquet(_MEDIA_PATH).count()
-        if n == _MEDIA_N:
-            return
-        shutil.rmtree(_MEDIA_PATH, ignore_errors=True)
-    except Exception:
+        with open(key_path) as fh:
+            if fh.read() == key and os.path.isdir(_MEDIA_PATH):
+                return
+    except OSError:
         pass
+    shutil.rmtree(_MEDIA_PATH, ignore_errors=True)
     mm_ops.synthetic_media_corpus(spark, _MEDIA_N).write.mode(
         "overwrite").parquet(_MEDIA_PATH)
+    with open(key_path, "w") as fh:
+        fh.write(key)
 
 
 def bench_codec_decode(spark, sf_dir):
@@ -172,6 +193,20 @@ def bench_codec_decode(spark, sf_dir):
     media = ensure_parallelism(
         spark.read.parquet(_MEDIA_PATH), "media_id")
     _materialize(mm_ops.image_features(media))
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds across all collectors (local mode:
+    the one JVM doing all the work). Deltas around a workload attribute
+    slow runs to GC pressure vs box load vs the plan itself."""
+    beans = (spark.sparkContext._jvm.java.lang.management
+             .ManagementFactory.getGarbageCollectorMXBeans())
+    return sum(beans.get(i).getCollectionTime()
+               for i in range(beans.size()))
+
+
+def _load1() -> float:
+    return round(os.getloadavg()[0], 2)
 
 
 BENCHES = {
@@ -223,14 +258,20 @@ def main():
     timings = {}
     cold = {}
     throughput = {}
+    gc_ms = {}
+    load1 = {}
     codec = None
+    load_start = _load1()
     for name, fn in BENCHES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir)
         cold[name] = round(time.perf_counter() - t0, 3)
+        g0 = _jvm_gc_ms(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir)
         dt = time.perf_counter() - t0
+        gc_ms[name] = _jvm_gc_ms(spark) - g0
+        load1[name] = _load1()
         timings[name] = round(dt, 3)
         if name in workload_rows and dt > 0:
             throughput[name] = round(workload_rows[name] / dt)
@@ -261,6 +302,17 @@ def main():
         "rows_per_sec": throughput,
         "codec": codec,
         "sf": sf,
+        # run provenance: a warm number taken on a loaded box (load1 >>
+        # ncpus-idle baseline) or during a GC storm is not comparable
+        # across rounds — r6->r7 six workloads swung +-30% with zero code
+        # change. gc_ms is the JVM GC delta DURING each warm pass;
+        # load1 the 1-min loadavg right after it.
+        "provenance": {
+            "ncpus": os.cpu_count(),
+            "load1_start": load_start,
+            "load1_after": load1,
+            "gc_ms_warm": gc_ms,
+        },
         "config": {
             "spark": spark.version,
             "master": f"local[{cpus}]",
