@@ -97,15 +97,15 @@ def backtest_signals(
         sig_expr.alias("signal"),
         position.alias("position"),
     )
-    trade = F.col("position") - F.coalesce(F.lag("position", 1).over(w), F.lit(0.0))
+    # lag(position) feeds both trade and strategy_returns — materialize it
+    # once (Catalyst computes one window expression per reference)
+    prev_pos = F.coalesce(F.col("_prev_pos"), F.lit(0.0))
     returns = F.coalesce(F.col("price") / F.lag("price", 1).over(w) - 1, F.lit(0.0))
     out = (
-        out.withColumn("trade", trade)
+        out.withColumn("_prev_pos", F.lag("position", 1).over(w))
+        .withColumn("trade", F.col("position") - prev_pos)
         .withColumn("returns", returns)
-        .withColumn(
-            "strategy_returns",
-            F.coalesce(F.lag("position", 1).over(w), F.lit(0.0)) * F.col("returns"),
-        )
+        .withColumn("strategy_returns", prev_pos * F.col("returns"))
         .withColumn(
             "costs",
             F.abs(F.col("trade")) * F.lit(float(commission) + float(slippage)),
@@ -116,6 +116,7 @@ def backtest_signals(
             F.exp(F.sum(F.log1p("net_returns")).over(w_all))
             * F.lit(float(initial_cash)),
         )
+        .drop("_prev_pos")
     )
     return out
 

@@ -74,16 +74,36 @@ def pct_change(col: str, w, periods: int = 1) -> Column:
     )
 
 
+def with_pct_change(df: DataFrame, col: str, w, periods: int = 1,
+                    out_col: str = "_pct") -> DataFrame:
+    """:func:`pct_change` with the lag hoisted into a projection: the
+    Column form references ``lag`` in three CASE branches and Catalyst
+    computes a separate window expression for each reference, so callers
+    that then reference the result twice pay 6 lags. Materializing
+    ``lag`` once makes the CASE pure scalar codegen over it."""
+    prev = F.col("_pc_prev")
+    c = F.col(col)
+    expr = (
+        F.when(prev != 0, c / prev - 1)
+        .when(prev.isNull(), F.lit(None).cast("double"))
+        .when(c > 0, F.lit(float("inf")))
+        .when(c < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+    return (df.withColumn("_pc_prev", F.lag(col, periods).over(w))
+              .withColumn(out_col, expr).drop("_pc_prev"))
+
+
 def simple_returns(df: DataFrame, price_col: str = "close",
                    symbol_col: str = "symbol", ts_col: str = "ts",
                    out_col: str = "returns", fill_first: bool = True) -> DataFrame:
     """Per-symbol simple returns; first row 0 where the reference fills
     (portfolio.py:193 ``pct_change().fillna(0)``)."""
     w = sym_window(symbol_col, ts_col)
-    r = pct_change(price_col, w)
+    df = with_pct_change(df, price_col, w, out_col=out_col)
     if fill_first:
-        r = F.coalesce(r, F.lit(0.0))
-    return df.withColumn(out_col, r)
+        df = df.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+    return df
 
 
 # ---------------------------------------------------------------- indicators
@@ -95,15 +115,22 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
     ``ml_strategy.py:144-149``: gain = mean_n(max(delta,0)),
     loss = mean_n(max(-delta,0)), rsi = 100 - 100/(1+gain/loss)."""
     w = sym_window(symbol_col, ts_col)
-    delta = F.col(price_col) - F.lag(price_col, 1).over(w)
+    # hoist every window result before the CASEs (each Column reference
+    # is a separate window expression to Catalyst: the inlined form paid
+    # 6 lags + 10 rn/avg pairs; this pays 1 lag + 2 rn + 2 avg)
+    df = df.withColumn("_rsi_prev", F.lag(price_col, 1).over(w))
+    delta = F.col(price_col) - F.col("_rsi_prev")
     df = df.withColumn("_gain", F.when(delta > 0, delta).otherwise(
         F.when(delta.isNotNull(), F.lit(0.0))))
     df = df.withColumn("_loss", F.when(delta < 0, -delta).otherwise(
         F.when(delta.isNotNull(), F.lit(0.0))))
     # pandas: delta has 1 NaN then rolling(n) -> first valid at row n+1
     frame = w.rowsBetween(-(n - 1), 0)
-    gain = F.when(_rn(w) >= n + 1, F.avg("_gain").over(frame))
-    loss = F.when(_rn(w) >= n + 1, F.avg("_loss").over(frame))
+    df = (df.withColumn("_g", F.when(_rn(w) >= n + 1,
+                                     F.avg("_gain").over(frame)))
+            .withColumn("_l", F.when(_rn(w) >= n + 1,
+                                     F.avg("_loss").over(frame))))
+    gain, loss = F.col("_g"), F.col("_l")
     rs = gain / loss
     rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
     # loss == 0, gain > 0 -> rs = inf -> pandas RSI = 100; but a fully flat
@@ -114,7 +141,8 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
         .when(loss == 0, F.lit(100.0))
         .otherwise(rsi)
     )
-    return df.withColumn(out_col, rsi).drop("_gain", "_loss")
+    return df.withColumn(out_col, rsi).drop("_rsi_prev", "_gain", "_loss",
+                                            "_g", "_l")
 
 
 def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
@@ -122,11 +150,14 @@ def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
                    ts_col: str = "ts") -> DataFrame:
     """SMA_n +/- k*STD_n (ml_strategy.py:157-161)."""
     w = sym_window(symbol_col, ts_col)
-    mid = rolling_mean(price_col, n, w)
-    sd = rolling_std(price_col, n, w)
-    return (df.withColumn("bb_mid", mid)
-              .withColumn("bb_upper", mid + k * sd)
-              .withColumn("bb_lower", mid - k * sd))
+    # bb_mid is reused by both bands: reference the materialized column
+    # (inlining recomputes the avg window expression 3x and std 2x)
+    df = (df.withColumn("bb_mid", rolling_mean(price_col, n, w))
+            .withColumn("_bb_sd", rolling_std(price_col, n, w)))
+    mid, sd = F.col("bb_mid"), F.col("_bb_sd")
+    return (df.withColumn("bb_upper", mid + k * sd)
+              .withColumn("bb_lower", mid - k * sd)
+              .drop("_bb_sd"))
 
 
 def with_rolling_volatility(df: DataFrame, n: int = 20,
@@ -135,7 +166,7 @@ def with_rolling_volatility(df: DataFrame, n: int = 20,
                             out_col: str = "volatility") -> DataFrame:
     """``pct_change().rolling(n).std()`` (ml_strategy.py:174-175)."""
     w = sym_window(symbol_col, ts_col)
-    df = df.withColumn("_r", pct_change(price_col, w))
+    df = with_pct_change(df, price_col, w, out_col="_r")
     # pandas: 1 NaN from pct_change, so first valid at row n+1
     frame = w.rowsBetween(-(n - 1), 0)
     vol = F.when(_rn(w) >= n + 1, F.stddev_samp("_r").over(frame))
@@ -152,10 +183,11 @@ def with_volume_ratio(df: DataFrame, n: int = 20, volume_col: str = "volume",
     throws under ANSI mode (found by the parameter fuzzer: two
     consecutive zero-volume bars at n=2)."""
     w = sym_window(symbol_col, ts_col)
-    m = rolling_mean(volume_col, n, w)
+    df = df.withColumn("_vr_m", rolling_mean(volume_col, n, w))
+    m = F.col("_vr_m")  # hoisted: 3 CASE references = 1 window expr
     ratio = (F.when(m != 0, F.col(volume_col) / m)
              .when(m == 0, F.lit(float("nan"))))
-    return df.withColumn(out_col, ratio)
+    return df.withColumn(out_col, ratio).drop("_vr_m")
 
 
 # ---------------------------------------------------------------- strategies
@@ -166,18 +198,23 @@ def mean_reversion_signal(df: DataFrame, n: int = 20, num_std: float = 2.0,
     """z = (close - SMA_n)/STD_n; +1 if z < -k, -1 if z > k, else 0
     (strategy.py:69-111)."""
     w = sym_window(symbol_col, ts_col)
-    sd = rolling_std(price_col, n, w)
+    # Materialize the window results ONCE: Catalyst does not dedup equal
+    # window-expression instances, so inlining sd/mid into the z CASE and
+    # z into the signal CASE computes stddev 4x and row_number 6x in the
+    # Window operator (measured r8; the CASE itself is required — ANSI
+    # mode throws DIVIDE_BY_ZERO even for doubles).
+    df = (df.withColumn("_mr_sd", rolling_std(price_col, n, w))
+            .withColumn("_mr_mid", rolling_mean(price_col, n, w)))
+    sd = F.col("_mr_sd")
     # sd == 0 (constant window) implies price == mean, so pandas z is
     # 0/0 = NaN and both comparisons are False -> signal 0. Emit NULL z
     # there: ANSI mode would throw on the division, and Spark's
     # NaN-sorts-greatest comparison rule would otherwise flip the
     # signal to -1 where pandas says 0.
-    z = F.when(
-        sd != 0,
-        (F.col(price_col) - rolling_mean(price_col, n, w)) / sd)
+    z = F.when(sd != 0, (F.col(price_col) - F.col("_mr_mid")) / sd)
     sig = (F.when(z < -num_std, 1).when(z > num_std, -1).otherwise(0)
            .cast("int"))
-    return df.withColumn(out_col, sig)
+    return df.withColumn(out_col, sig).drop("_mr_sd", "_mr_mid")
 
 
 def ma_cross_signal(df: DataFrame, fast: int = 10, slow: int = 50,
@@ -197,10 +234,14 @@ def momentum_signal(df: DataFrame, lookback: int = 20, threshold: float = 0.0,
     """N-period momentum: +1 if pct_change(lookback) > threshold, -1 if
     < -threshold (strategy.py:178-194)."""
     w = sym_window(symbol_col, ts_col)
-    mom = pct_change(price_col, w, periods=lookback)
+    # hoisted: the Column-form pct_change referenced twice costs 6 lag
+    # window expressions; this is 1 lag + scalar CASEs.
+    df = with_pct_change(df, price_col, w, periods=lookback,
+                         out_col="_mom")
+    mom = F.col("_mom")
     sig = (F.when(mom > threshold, 1).when(mom < -threshold, -1).otherwise(0)
            .cast("int"))
-    return df.withColumn(out_col, sig)
+    return df.withColumn(out_col, sig).drop("_mom")
 
 
 def buy_and_hold_signal(df: DataFrame, out_col: str = "signal") -> DataFrame:
