@@ -732,6 +732,367 @@ TARGETS.update({
 })
 
 
+# ------------------------------------------------ r8 families (VERDICT #6:
+# streaming/dedup parameter coverage — the fixed pairs rehearse one
+# constant per operator; these re-derive BOTH engines from random params)
+
+
+def _mins_cte(h_total, k):
+    """Parameterized md5 minhash CTE (the oracle-portable twin the fixed
+    pairs q23/q29 use at h=8, k=5)."""
+    mins = ", ".join(
+        f"min(md5(sh || '|{h}')) AS m{h}" for h in range(h_total))
+    return f"""
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), {k}) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM documents)),
+    m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"""
+
+
+def t_lsh_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        dedup,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    h_total, bands, k, cap = p["h"], p["b"], p["k"], p["cap"]
+    rpb = h_total // bands
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = dedup.char_shingles(d, k)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}")))).alias(f"m{h}")
+          for h in range(h_total)]
+    )
+    banded = None
+    for b in range(bands):
+        part = mins.select(
+            F.col("doc_id").alias("doc"), F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[f"m{h}" for h in range(b * rpb, (b + 1) * rpb)]))
+            .alias("bh"))
+        banded = part if banded is None else banded.unionByName(part)
+    pairs = dedup.lsh_pairs_from_bands(banded, max_band_df=cap)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("n_shared_bands"), F.lit(0)).cast("bigint")
+        .alias("total_band_hits"),
+        F.coalesce(F.min("doc_a"), F.lit(-1)).alias("min_doc_a"),
+    )
+
+
+def t_lsh_sql(p):
+    h_total, bands, k, cap = p["h"], p["b"], p["k"], p["cap"]
+    rpb = h_total // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM m".format(
+            b=b, expr=" || '|' || ".join(
+                f"m{h}" for h in range(b * rpb, (b + 1) * rpb)))
+        for b in range(bands))
+    cap_cte = ""
+    src = "bands"
+    if cap is not None:
+        cap_cte = f""",
+    capped AS (
+      SELECT doc_id, band, bh FROM (
+        SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS _df
+        FROM bands) WHERE _df <= {cap})"""
+        src = "capped"
+    return f"""
+    WITH {_mins_cte(h_total, k)},
+    bands AS ({band_selects}){cap_cte},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nsb
+      FROM {src} a JOIN {src} b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT count(*) AS n_pairs,
+           CAST(coalesce(sum(nsb), 0) AS BIGINT) AS total_band_hits,
+           coalesce(min(doc_a), -1) AS min_doc_a
+    FROM pairs"""
+
+
+def t_decontaminate_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        dedup,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ev = d.filter(F.col("doc_id") % p["mod"] == 0)
+    tr = d.filter(F.col("doc_id") % p["mod"] != 0)
+    return dedup.decontaminate(tr, ev, n=p["n"])
+
+
+def t_decontaminate_sql(p):
+    n, mod = p["n"], p["mod"]
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+            i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS grams
+          FROM t),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id % {mod} = 0),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+           WHERE doc_id % {mod} <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tg JOIN eg USING (gram) GROUP BY doc_id"""
+
+
+def t_stratified_spark(spark, sf_dir, p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        sampling,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", p["rates"], default_rate=p["default"],
+        portable=True).select("doc_id", "lang", "source")
+
+
+def t_stratified_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        sampling,
+    )
+
+    nb = sampling.N_BUCKETS
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(rate * nb))}"
+        for lang, rate in sorted(p["rates"].items()))
+    dflt = int(round(p["default"] * nb))
+    bucket = sampling.portable_bucket_sql("doc_id")
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {bucket} < (CASE lang {cases} ELSE {dflt} END)"""
+
+
+def t_ngram_jaccard_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        dedup,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    grams = dedup.word_ngrams(d, p["n"]).distinct()
+    src = d.select("doc_id", "source")
+    grams = grams.join(src, "doc_id")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram",
+                     F.col("source").alias("_s"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram",
+                     F.col("source").alias("_s"))
+    inter = (a.join(b, ["gram", "_s"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("_s", "doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    jac = (inter
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("ng").alias("na")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("ng").alias("nb")), "doc_b")
+           .select(F.col("_s").alias("source"),
+                   (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+                   .alias("j")))
+    per = jac.groupBy("source").agg(
+        F.sum((F.col("j") >= p["thr"]).cast("int")).cast("bigint")
+        .alias("n_similar"),
+        F.sum("j").alias("_sum_j"), F.max("j").alias("_max_j"))
+    totals = (src.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") >= 2)
+              .withColumn("n_pairs",
+                          (F.col("_n") * (F.col("_n") - 1) / 2)
+                          .cast("long")))
+    return (totals.join(per, "source", "left")
+            .select("source", "n_pairs",
+                    F.coalesce("n_similar", F.lit(0)).cast("bigint")
+                    .alias("n_similar"),
+                    F.round(F.coalesce("_sum_j", F.lit(0.0))
+                            / F.col("n_pairs"), 6).alias("avg_jaccard"),
+                    F.round(F.coalesce("_max_j", F.lit(0.0)), 6)
+                    .alias("max_jaccard")))
+
+
+def t_ngram_jaccard_sql(p):
+    n, thr = p["n"], p["thr"]
+    return f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {n - 1}, 1)),
+                   i -> array_to_string(t[i:i+{n - 1}], ' '))) AS grams
+          FROM toks),
+    ex AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM g),
+    inter AS (SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+                     count(*) AS ni
+              FROM ex a JOIN ex b
+                ON a.gram = b.gram AND a.source = b.source
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3),
+    jac AS (SELECT i.source, i.ni / (sa.ng + sb.ng - i.ni) AS j
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                         JOIN sizes sb ON sb.doc_id = i.db),
+    per AS (SELECT source,
+                   CAST(sum(CASE WHEN j >= {thr!r}::DOUBLE THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_similar,
+                   sum(j) AS sum_j, max(j) AS max_j
+            FROM jac GROUP BY source),
+    tot AS (SELECT source, count(*) AS n_docs,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM g GROUP BY source HAVING count(*) >= 2)
+    SELECT t.source, t.n_pairs,
+           coalesce(p.n_similar, 0) AS n_similar,
+           round(coalesce(p.sum_j, 0.0e0) / t.n_pairs, 6) AS avg_jaccard,
+           round(coalesce(p.max_j, 0.0e0), 6) AS max_jaccard
+    FROM tot t LEFT JOIN per p ON p.source = t.source"""
+
+
+def t_stream_enrich_spark(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (  # noqa: E501
+        streaming_quote_enrich,
+    )
+
+    ck = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    trades = ck.filter(F.col("seq") % p["mod"] == 0)
+    quotes = (
+        ck.groupBy("symbol", "ts")
+        .agg(F.max("price").alias("_p"))
+        .select(
+            "symbol",
+            (F.col("ts") - F.expr(f"INTERVAL {p['shift']} SECONDS"))
+            .alias("ts"),
+            (F.col("_p") - 0.01).alias("bid"),
+            (F.col("_p") + 0.01).alias("ask"),
+        )
+    )
+    out = streaming_quote_enrich(trades, quotes,
+                                 tolerance=f"{p['tol']} seconds")
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
+        "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us")
+
+
+def t_stream_enrich_sql(p):
+    mod, shift, tol = p["mod"], p["shift"], p["tol"]
+    return f"""
+    WITH {_ticks_cte()},
+    ck AS (SELECT * FROM ticks WHERE symbol = 'click'),
+    tr AS (SELECT symbol, ts, seq, price, volume FROM ck
+           WHERE seq % {mod} = 0),
+    qt AS (SELECT symbol, ts - INTERVAL {shift} SECONDS AS ts,
+                  max(price) - 1.0e-2 AS bid,
+                  max(price) + 1.0e-2 AS ask
+           FROM ck GROUP BY symbol, ts),
+    j AS (SELECT t.symbol, t.ts, t.seq, t.price, t.volume,
+                 q.ts AS q_ts, q.bid, q.ask
+          FROM tr t ASOF LEFT JOIN qt q
+            ON t.symbol = q.symbol AND q.ts <= t.ts),
+    tol AS (SELECT symbol, ts, seq, price, volume,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN q_ts END AS q_ts,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN bid END AS bid,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN ask END AS ask
+            FROM j)
+    SELECT symbol, epoch_us(ts) AS ts_us, seq, price, volume, bid, ask,
+           round((bid + ask) / 2.0e0, 8) AS mid,
+           round(ask - bid, 8) AS spread,
+           epoch_us(ts) - epoch_us(q_ts) AS quote_age_us
+    FROM tol"""
+
+
+def t_chunk_budget_spark(spark, sf_dir, p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        sampling,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = d.withColumn("n_tok", F.size(F.split("text", " ")))
+    out = sampling.pack_token_budget(d, "n_tok", "doc_id", p["budget"])
+    return out.select("doc_id", "n_tok", "bin")
+
+
+def t_chunk_budget_sql(p):
+    return f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    r AS (SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start
+          FROM t)
+    SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+           CAST(floor(start / {p["budget"]}) AS BIGINT) AS bin
+    FROM r"""
+
+
+TARGETS.update({
+    "lsh_banding": {
+        "sample": lambda r: (lambda b: {
+            "h": b * r.choice([2, 3, 4]),
+            "b": b,
+            "k": r.choice([3, 4, 5, 7]),
+            "cap": r.choice([None, 2, 5, 20, 200])})(r.choice([2, 3, 4])),
+        "spark": t_lsh_spark, "sql": t_lsh_sql,
+    },
+    "decontaminate": {
+        "sample": lambda r: {"n": r.randint(2, 5),
+                             "mod": r.choice([20, 50, 100])},
+        "spark": t_decontaminate_spark, "sql": t_decontaminate_sql,
+    },
+    "stratified_sample": {
+        "sample": lambda r: {
+            "rates": {lang: r.choice([0.0, 0.05, 0.1, 0.25, 0.5, 1.0])
+                      for lang in ["en", "de", "es", "fr", "zh"]},
+            "default": r.choice([0.0, 0.1])},
+        "spark": t_stratified_spark, "sql": t_stratified_sql,
+    },
+    "ngram_jaccard": {
+        "sample": lambda r: {"n": r.randint(2, 5),
+                             "thr": r.choice([0.01, 0.05, 0.1, 0.3])},
+        "spark": t_ngram_jaccard_spark, "sql": t_ngram_jaccard_sql,
+    },
+    "stream_enrich": {
+        "sample": lambda r: {"mod": r.choice([5, 10, 20]),
+                             "shift": r.choice([10, 30, 90, 300]),
+                             "tol": r.choice([30, 120, 600, 3600])},
+        "spark": t_stream_enrich_spark, "sql": t_stream_enrich_sql,
+    },
+    "token_packing": {
+        "sample": lambda r: {"budget": r.choice([256, 1024, 4096, 16384])},
+        "spark": t_chunk_budget_spark, "sql": t_chunk_budget_sql,
+    },
+})
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
