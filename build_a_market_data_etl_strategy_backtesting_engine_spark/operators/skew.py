@@ -39,10 +39,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     partition). For remote filesystems or non-file sources it returns
     None and the caller falls back to the RDD count once.
 
-    The estimate intentionally ignores upstream exchanges (inputFiles()
-    reflects leaf scans only): underestimating merely triggers a
-    repartition of a frame that already had enough partitions — mild and
-    only in the small-input regime this helper exists for."""
+    inputFiles() reflects leaf scans only, so for a frame that already
+    crossed an exchange (aggregate/window/join/repartition upstream) the
+    file-based figure describes the wrong plan node — it would trigger a
+    redundant repartition of a frame that already has shuffle_partitions
+    partitions (r6 ADVICE). Those plans return None here and the caller
+    pays the accurate RDD count once; raw scans — the common case at the
+    explode call sites — keep the cheap estimate."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    if any(node in plan for node in (
+            "Aggregate", "Window", "Join", "RepartitionByExpression",
+            "Repartition", "Deduplicate", "Sort")):
+        return None
     try:
         files = df.inputFiles()
     except Exception:

@@ -199,3 +199,35 @@ def test_ivf_index_partitioned_store_prunes_probe_scan(spark, tmp_path):
            sim.ivf_topk(idx, cents, qv, k=5, n_probe=2).collect()]
     stored = [(r[0], round(r.cosine, 9)) for r in top.collect()]
     assert stored == mem
+
+
+def test_estimated_scan_partitions_declines_post_shuffle_plans(spark):
+    """r6 ADVICE: the inputFiles-based partition estimate describes the
+    LEAF scan, so applying it to a frame that already crossed an exchange
+    (aggregate/join/window upstream) could trigger a redundant
+    repartition. Such plans must return None (caller then pays the
+    accurate RDD count once); raw scans keep the cheap file estimate."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        skew,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    assert isinstance(skew._estimated_scan_partitions(docs), int)
+
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert skew._estimated_scan_partitions(agg) is None
+
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert skew._estimated_scan_partitions(joined) is None
+
+    # ensure_parallelism on a post-shuffle frame that already has enough
+    # partitions must be an identity (no Repartition node added)
+    wide = (docs.repartition(spark.sparkContext.defaultParallelism,
+                             "doc_id")
+            .withColumn("n", F.length("text")))
+    out = skew.ensure_parallelism(wide, "doc_id")
+    n_repart = out._jdf.queryExecution().analyzed().toString().count(
+        "RepartitionByExpression")
+    n_before = wide._jdf.queryExecution().analyzed().toString().count(
+        "RepartitionByExpression")
+    assert n_repart == n_before
