@@ -424,6 +424,23 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def _release_iteration_scratch(df: DataFrame) -> None:
+    """Free a superseded iteration's scratch: unpersist its
+    ``localCheckpoint`` blocks (safe once nothing will read the frame
+    again — the next round was checkpointed EAGERLY, so it holds its own
+    data) and ask the JVM for a GC so ContextCleaner can delete the
+    round's now-unreachable shuffle files. ContextCleaner's own periodic
+    GC defaults to 30 minutes — longer than most iterative jobs — so
+    without the nudge every round's shuffle stays on disk until the app
+    exits; measured at sf100 (q146's 5M-doc component graph) the
+    accumulation exceeded 50 GB and killed the job on disk space."""
+    try:
+        df.unpersist(blocking=False)
+        df.sparkSession.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # scratch hygiene must never fail the computation
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -480,6 +497,7 @@ def connected_components(
             new_labels.join(old, "id")
             .filter(F.col("label") != F.col("old_label")).count()
         )
+        _release_iteration_scratch(labels)  # r8: see star loop note
         labels = new_labels
         if changed == 0:
             break
@@ -559,6 +577,13 @@ def connected_components_star(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
+        # scratch hygiene (r8, found at sf100): the superseded round's
+        # checkpoint blocks are never needed again — drop them NOW, and
+        # nudge the JVM so ContextCleaner releases the round's shuffle
+        # files too (its periodic GC default is 30 min — longer than the
+        # whole job; without this, per-round shuffles accumulate ~50 GB
+        # of scratch at sf100 and the job dies on disk, not on compute).
+        _release_iteration_scratch(e)
         e = ss
         if prev_sig == (sig["n"], sig["h"]):
             break

@@ -968,3 +968,91 @@ def test_idempotent_jdbc_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert read_jdbc(spark, url, "ticks_stream",
                      properties=props).count() == 5
+
+
+def test_streaming_asof_enrich_matches_batch_and_join_variant(
+        spark, tmp_path):
+    """The merge-based stream-stream as-of (streaming/joins.py
+    streaming_asof_enrich — the dense-quote scale path: O(n+m) per batch,
+    one-quote state) must equal BOTH its own batch run and the
+    interval-join variant (streaming_quote_enrich) bit-exactly: same
+    election (latest in-tolerance quote, (bid, ask) tie-break on equal
+    q_ts), same null pass-through when the quote gap exceeds tolerance."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+        joins as sjoins,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    trows, qrows = [], []
+    for sym, base in [("A", 100.0), ("B", 50.0)]:
+        for i in range(40):
+            # trades every 60s; a dead zone (no quotes) around i in 20..25
+            trows.append({
+                "ts": (t0 + pd.Timedelta(seconds=60 * i)).isoformat(),
+                "symbol": sym, "seq": i,
+                "price": round(base + i * 0.1, 2), "volume": 10.0 + i,
+            })
+        for i in range(200):
+            if 20 * 60 <= i * 12 <= 26 * 60:
+                continue  # quote gap > tolerance -> null enrichment
+            q_ts = t0 + pd.Timedelta(seconds=12 * i)
+            px = base + (i % 37) * 0.05
+            qrows.append({
+                "ts": q_ts.isoformat(), "symbol": sym,
+                "bid": round(px - 0.01, 4), "ask": round(px + 0.01, 4),
+            })
+            if i % 9 == 0:  # equal-ts duplicate -> (bid, ask) tie-break
+                qrows.append({
+                    "ts": q_ts.isoformat(), "symbol": sym,
+                    "bid": round(px - 0.02, 4), "ask": round(px + 0.03, 4),
+                })
+    tpdf = pd.DataFrame(trows)
+    qpdf = pd.DataFrame(qrows)
+
+    td = tmp_path / "asof_trades"
+    qd = tmp_path / "asof_quotes"
+    td.mkdir(), qd.mkdir()
+    # 4 aligned time slices -> micro-batches preserve per-symbol
+    # event-time order across batches (the operator's stated contract)
+    cuts = [0, 10 * 60, 20 * 60, 30 * 60, 10 ** 9]
+    for k in range(4):
+        lo = t0 + pd.Timedelta(seconds=cuts[k])
+        hi = t0 + pd.Timedelta(seconds=cuts[k + 1])
+        tslice = tpdf[(pd.to_datetime(tpdf.ts) >= lo)
+                      & (pd.to_datetime(tpdf.ts) < hi)]
+        qslice = qpdf[(pd.to_datetime(qpdf.ts) >= lo)
+                      & (pd.to_datetime(qpdf.ts) < hi)]
+        tslice.to_json(td / f"b{k}.json", orient="records", lines=True)
+        qslice.to_json(qd / f"b{k}.json", orient="records", lines=True)
+    _stamp_dir(td)
+    _stamp_dir(qd)
+
+    tschema = "ts timestamp, symbol string, seq long, price double, volume double"
+    qschema = "ts timestamp, symbol string, bid double, ask double"
+    st = (spark.readStream.format("json").schema(tschema)
+          .option("maxFilesPerTrigger", 1).load(str(td)))
+    sq = (spark.readStream.format("json").schema(qschema)
+          .option("maxFilesPerTrigger", 1).load(str(qd)))
+    out = sjoins.streaming_asof_enrich(st, sq, tolerance="3 minutes")
+    q = (out.writeStream.format("memory").queryName("asof_merge")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_merge").toPandas()
+           .sort_values(["symbol", "seq"]).reset_index(drop=True))
+    assert len(got) == 80
+
+    bt = spark.createDataFrame(tpdf.assign(ts=pd.to_datetime(tpdf.ts)))
+    bq = spark.createDataFrame(qpdf.assign(ts=pd.to_datetime(qpdf.ts)))
+    batch_merge = (sjoins.streaming_asof_enrich(bt, bq,
+                                                tolerance="3 minutes")
+                   .toPandas().sort_values(["symbol", "seq"])
+                   .reset_index(drop=True))
+    batch_join = (sjoins.streaming_quote_enrich(bt, bq,
+                                                tolerance="3 minutes")
+                  .toPandas().sort_values(["symbol", "seq"])
+                  .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch_merge)
+    pd.testing.assert_frame_equal(
+        got, batch_join[got.columns.tolist()].astype(got.dtypes.to_dict()))
+    # the dead zone actually exercised the null path
+    assert got["bid"].isna().sum() > 0
