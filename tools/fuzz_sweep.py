@@ -972,6 +972,7 @@ def t_stream_enrich_spark(spark, sf_dir, p):
     from pyspark.sql import functions as F
 
     from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (  # noqa: E501
+        streaming_asof_enrich,
         streaming_quote_enrich,
     )
 
@@ -988,8 +989,11 @@ def t_stream_enrich_spark(spark, sf_dir, p):
             (F.col("_p") + 0.01).alias("ask"),
         )
     )
-    out = streaming_quote_enrich(trades, quotes,
-                                 tolerance=f"{p['tol']} seconds")
+    # both implementations must satisfy the same oracle: the interval
+    # join + election and the merge-based scale path (r8)
+    impl = (streaming_asof_enrich if p["impl"] == "merge"
+            else streaming_quote_enrich)
+    out = impl(trades, quotes, tolerance=f"{p['tol']} seconds")
     return out.select(
         "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
         "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us")
@@ -1083,7 +1087,8 @@ TARGETS.update({
     "stream_enrich": {
         "sample": lambda r: {"mod": r.choice([5, 10, 20]),
                              "shift": r.choice([10, 30, 90, 300]),
-                             "tol": r.choice([30, 120, 600, 3600])},
+                             "tol": r.choice([30, 120, 600, 3600]),
+                             "impl": r.choice(["join", "merge"])},
         "spark": t_stream_enrich_spark, "sql": t_stream_enrich_sql,
     },
     "token_packing": {
