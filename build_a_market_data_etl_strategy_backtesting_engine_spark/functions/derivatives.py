@@ -412,6 +412,8 @@ def binomial_american(
     call: bool = False,
     view_name: str = "opts_binom_input",
     n_opts: int | None = None,
+    chunk_rows: int | None = None,
+    scratch_budget_bytes: int = 16 << 30,
 ) -> DataFrame:
     """Run the CRR American backward induction on a Spark DataFrame of
     (id, s, k, t_y, r, sigma). Entirely JVM-side — the value array walks
@@ -427,10 +429,67 @@ def binomial_american(
     cheap relative to the tree walk) and the previous session value is
     restored in ``finally``. Pass ``n_opts`` when the caller already
     knows the row count to skip the extra ``count()`` pass over the
-    input plan."""
+    input plan.
+
+    Chunking bounds the SCRATCH, not the work (r8, found at sf100): the
+    recursion materializes every step — (n_steps+1) rows per option,
+    EACH carrying the full array(n_steps+1) node-value payload — so live
+    scratch is ~ n_opts x (n_steps+1)^2 x 8 bytes: 20M options at 64
+    steps is ~700 GB, and even a 2M-option chunk (~70 GB) dies on disk,
+    not compute (both measured). ``chunk_rows`` defaults to whatever
+    fits ``scratch_budget_bytes`` (16 GiB) under that model; chunks are
+    deterministic hash classes executed SEQUENTIALLY — each chunk's
+    result (one small (id, price) row per option) is checkpointed
+    eagerly and the chunk's scratch released before the next starts, so
+    peak scratch is one chunk's tree walk regardless of input size.
+    Same values, same rows — the union of disjoint hash classes is the
+    input."""
     if n_opts is None:
         n_opts = opts.count()
     need = (int(n_steps) + 1) * max(int(n_opts), 1) * 2
+    if chunk_rows is None:
+        per_opt = (int(n_steps) + 1) ** 2 * 8
+        chunk_rows = max(50_000, int(scratch_budget_bytes) // per_opt)
+    if chunk_rows and n_opts > chunk_rows:
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.dedup import (  # noqa: E501
+            _release_iteration_scratch,
+        )
+
+        import shutil as _shutil
+        import time as _time
+
+        scratch_dir = str(spark.conf.get(
+            "spark.local.dir", "/tmp")).split(",")[0]
+        # ContextCleaner deletes the walk's materialized iteration blocks
+        # ASYNCHRONOUSLY after a GC — measured at sf100 it lags the
+        # producer by several chunks and the 40-chunk run still died on
+        # disk near the end. Pace the loop: when free scratch drops under
+        # two chunk budgets, keep nudging the GC and yielding until the
+        # cleaner drains (bounded wait, then proceed regardless).
+        floor = 2 * int(scratch_budget_bytes)
+        k = -(-int(n_opts) // int(chunk_rows))
+        parts = []
+        for i in range(k):
+            sub = opts.filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(k)) == i)
+            part = binomial_american(
+                spark, sub, n_steps=n_steps, call=call,
+                view_name=f"{view_name}_c{i}", n_opts=n_opts,
+                chunk_rows=0,  # 0 = chunking OFF (None would re-derive
+                # the auto chunk size and recurse forever)
+            ).localCheckpoint(eager=True)  # materialize BEFORE next chunk
+            _release_iteration_scratch(sub)  # GC nudge frees the walk
+            waited = 0.0
+            while (_shutil.disk_usage(scratch_dir).free < floor
+                   and waited < 120.0):
+                _time.sleep(3.0)
+                waited += 3.0
+                _release_iteration_scratch(sub)
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
     opts.createOrReplaceTempView(view_name)
     return _run_recursive_sql(
         spark,
