@@ -457,19 +457,29 @@ def binomial_american(
 
         import shutil as _shutil
         import time as _time
+        import uuid as _uuid
 
         scratch_dir = str(spark.conf.get(
             "spark.local.dir", "/tmp")).split(",")[0]
-        # ContextCleaner deletes the walk's materialized iteration blocks
-        # ASYNCHRONOUSLY after a GC — measured at sf100 it lags the
-        # producer by several chunks and the 40-chunk run still died on
-        # disk near the end. Pace the loop: when free scratch drops under
-        # two chunk budgets, keep nudging the GC and yielding until the
-        # cleaner drains (bounded wait, then proceed regardless).
+        # Inter-chunk spill goes to PARQUET, not in-memory checkpoints:
+        # holding 40 checkpointed chunk frames pins block-manager storage
+        # that the ContextCleaner then cannot reclaim, and the walk's own
+        # materialized iterations accumulated ~1.5 GB/chunk two full
+        # sf100 attempts in a row (both died on disk in the LAST chunks).
+        # With the results durable on disk, EVERY persistent RDD that
+        # appeared during the chunk is unpersisted immediately and the
+        # loop paces on free-disk pressure so the async cleaner can drain
+        # shuffle files between chunks. The final frame is a plain scan
+        # of the spill dir (lives for the session; ~16 bytes/option).
+        base = f"{scratch_dir}/sg_binom_{_uuid.uuid4().hex[:12]}"
         floor = 2 * int(scratch_budget_bytes)
         k = -(-int(n_opts) // int(chunk_rows))
-        parts = []
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in range(k):
+            before = set()
+            it = jmap.entrySet().iterator()
+            while it.hasNext():
+                before.add(it.next().getKey())
             sub = opts.filter(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(k)) == i)
             part = binomial_american(
@@ -477,7 +487,16 @@ def binomial_american(
                 view_name=f"{view_name}_c{i}", n_opts=n_opts,
                 chunk_rows=0,  # 0 = chunking OFF (None would re-derive
                 # the auto chunk size and recurse forever)
-            ).localCheckpoint(eager=True)  # materialize BEFORE next chunk
+            )
+            part.write.mode("overwrite").parquet(f"{base}/c{i}")
+            it = jmap.entrySet().iterator()
+            stale = []
+            while it.hasNext():
+                e = it.next()
+                if e.getKey() not in before:
+                    stale.append(e.getValue())
+            for jrdd in stale:
+                jrdd.unpersist()
             _release_iteration_scratch(sub)  # GC nudge frees the walk
             waited = 0.0
             while (_shutil.disk_usage(scratch_dir).free < floor
@@ -485,11 +504,7 @@ def binomial_american(
                 _time.sleep(3.0)
                 waited += 3.0
                 _release_iteration_scratch(sub)
-            parts.append(part)
-        out = parts[0]
-        for part in parts[1:]:
-            out = out.unionByName(part)
-        return out
+        return spark.read.parquet(*[f"{base}/c{i}" for i in range(k)])
     opts.createOrReplaceTempView(view_name)
     return _run_recursive_sql(
         spark,
