@@ -24,6 +24,25 @@ from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.mathx i
 )
 
 
+# Chunked-pricer spill dirs created this process, removed at interpreter
+# exit (the returned DataFrame lazily scans the dir, so deletion can only
+# happen once no caller can still be holding the frame — process end).
+_SPILL_DIRS: list[str] = []
+
+
+def _register_spill_dir(path: str) -> None:
+    if not _SPILL_DIRS:
+        import atexit
+        import shutil
+
+        @atexit.register
+        def _sweep_spill_dirs() -> None:  # pragma: no cover - exit hook
+            for d in _SPILL_DIRS:
+                shutil.rmtree(d, ignore_errors=True)
+
+    _SPILL_DIRS.append(path)
+
+
 def d1(s: Column, k: Column, t: Column, sigma: Column, r: Column) -> Column:
     """(ln(S/K) + (r + sigma^2/2) * T) / (sigma * sqrt(T))
     (derivatives.py:68-82)."""
@@ -472,14 +491,33 @@ def binomial_american(
         # shuffle files between chunks. The final frame is a plain scan
         # of the spill dir (lives for the session; ~16 bytes/option).
         base = f"{scratch_dir}/sg_binom_{_uuid.uuid4().hex[:12]}"
-        floor = 2 * int(scratch_budget_bytes)
+        _register_spill_dir(base)
+        # Pace on the NEXT chunk's scratch need, not the budget knob: with
+        # auto-sizing they coincide (chunk_rows ~ budget/per_opt), but a
+        # caller forcing small chunks (tests, tight boxes) must not stall
+        # 120 s/chunk behind a 2x-budget floor the box can never satisfy
+        # (found live: 20 GiB free vs a 32 GiB default floor).
+        per_opt = (int(n_steps) + 1) ** 2 * 8
+        floor = 2 * min(int(scratch_budget_bytes),
+                        int(chunk_rows) * per_opt)
         k = -(-int(n_opts) // int(chunk_rows))
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for i in range(k):
-            before = set()
+
+        def _persistent_ids():
+            # getPersistentRDDs() hands back an IMMUTABLE snapshot
+            # (sc.persistentRdds.toMap re-copied at the Java layer), so
+            # it must be re-fetched around every chunk — a single
+            # pre-loop snapshot would make the before/after diff always
+            # empty and the unpersist sweep a no-op (r8 ADVICE).
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            out = {}
             it = jmap.entrySet().iterator()
             while it.hasNext():
-                before.add(it.next().getKey())
+                e = it.next()
+                out[e.getKey()] = e.getValue()
+            return out
+
+        for i in range(k):
+            before = set(_persistent_ids())
             sub = opts.filter(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(k)) == i)
             part = binomial_american(
@@ -489,14 +527,10 @@ def binomial_american(
                 # the auto chunk size and recurse forever)
             )
             part.write.mode("overwrite").parquet(f"{base}/c{i}")
-            it = jmap.entrySet().iterator()
-            stale = []
-            while it.hasNext():
-                e = it.next()
-                if e.getKey() not in before:
-                    stale.append(e.getValue())
-            for jrdd in stale:
-                jrdd.unpersist()
+            after = _persistent_ids()
+            for rid, jrdd in after.items():
+                if rid not in before:
+                    jrdd.unpersist()
             _release_iteration_scratch(sub)  # GC nudge frees the walk
             waited = 0.0
             while (_shutil.disk_usage(scratch_dir).free < floor

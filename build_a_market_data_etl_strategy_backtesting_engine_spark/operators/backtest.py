@@ -152,25 +152,28 @@ def backtest_multi_asset(
 
     Returns ``(ts, strategy_returns, costs, net_returns, equity)``.
     """
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.signals import _fresh
+
+    (c_w,) = _fresh(prices, "_w")
     if weights is None:
         if n_symbols is not None:
-            wtd = prices.withColumn("_w", F.lit(1.0 / float(n_symbols)))
+            wtd = prices.withColumn(c_w, F.lit(1.0 / float(n_symbols)))
         else:
             n_df = prices.select(
-                (F.lit(1.0) / F.countDistinct(symbol_col)).alias("_w")
+                (F.lit(1.0) / F.countDistinct(symbol_col)).alias(c_w)
             )
             wtd = prices.crossJoin(F.broadcast(n_df))
     else:
         wdf = weights.select(
-            F.col(symbol_col), F.col("weight").cast("double").alias("_w")
+            F.col(symbol_col), F.col("weight").cast("double").alias(c_w)
         )
         wtd = prices.join(F.broadcast(wdf), on=symbol_col, how="left")
-        wtd = wtd.withColumn("_w", F.coalesce("_w", F.lit(0.0)))
+        wtd = wtd.withColumn(c_w, F.coalesce(c_w, F.lit(0.0)))
     per_asset = backtest_signals(
         wtd, signals, position_size=1.0,
         commission=commission, slippage=slippage, initial_cash=initial_cash,
         price_col=price_col, signal_col=signal_col,
-        symbol_col=symbol_col, ts_col=ts_col, weight_col="_w",
+        symbol_col=symbol_col, ts_col=ts_col, weight_col=c_w,
     )
     port = (
         per_asset.groupBy("ts")

@@ -172,6 +172,27 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 PREFER_ENV = "SPARK_GRAFT_IMAGE_DECODER"
 
 
+def _resolve_prefer(prefer: str | None) -> str:
+    """Resolve + validate the decode dispatch preference.
+
+    Raises ``TypeError`` (NOT ValueError) on an invalid value: a typo'd
+    ``SPARK_GRAFT_IMAGE_DECODER`` is a CONFIG error, and ValueError is in
+    :func:`image_features`' per-row catch tuple — raising it per row would
+    silently mark every image ``decode_ok=false`` with no error signal
+    (r8 ADVICE). TypeError escapes the catch, so a bad executor env fails
+    the task loudly; :func:`image_features` additionally resolves the
+    driver-visible value eagerly so local/driver-set typos fail before
+    any Spark job is launched."""
+    if prefer is None:
+        prefer = os.environ.get(PREFER_ENV, "fast")
+    if prefer not in ("fast", "native"):
+        raise TypeError(
+            f"image decoder prefer={prefer!r}: expected 'fast' or "
+            f"'native' (check the {PREFER_ENV} env value)"
+        )
+    return prefer
+
+
 def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
     """Dispatch decode to an (H, W, C) uint8 array.
 
@@ -197,13 +218,7 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
     absent library) — both inside :func:`image_features`' per-row catch,
     so one corrupt image never fails a whole Spark task.
     """
-    if prefer is None:
-        prefer = os.environ.get(PREFER_ENV, "fast")
-    if prefer not in ("fast", "native"):
-        raise ValueError(
-            f"decode_image_array prefer={prefer!r}: expected 'fast' or "
-            f"'native' (check the {PREFER_ENV} executor env value)"
-        )
+    prefer = _resolve_prefer(prefer)
     head = bytes(content[:2])
     if head == b"BM":
         return decode_bmp(bytes(content))
@@ -348,6 +363,13 @@ def image_features(media: DataFrame, prefer: str | None = None) -> DataFrame:
     production dispatch. mapInPandas: one Python crossing per Arrow
     batch; at 100 TB the only sizing concern is rows-per-batch vs
     payload size, same as audio."""
+    # fail-fast on the driver: a typo'd prefer/env must not become a
+    # silent all-rows decode_ok=false run (r8 ADVICE). When prefer is
+    # None the executors re-resolve their own env (which may legitimately
+    # differ from the driver's); an invalid executor value raises
+    # TypeError there — outside the per-row catch tuple below.
+    if prefer is not None or os.environ.get(PREFER_ENV) is not None:
+        prefer = _resolve_prefer(prefer)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

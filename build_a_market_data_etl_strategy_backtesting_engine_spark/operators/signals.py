@@ -74,6 +74,22 @@ def pct_change(col: str, w, periods: int = 1) -> Column:
     )
 
 
+def _fresh(df: DataFrame, *bases: str) -> list[str]:
+    """Collision-free staging-column names: suffix with a counter while
+    the candidate is taken (r8 ADVICE — withColumn+drop on a FIXED temp
+    name silently destroys a same-named caller column)."""
+    taken = set(df.columns)
+    out = []
+    for b in bases:
+        name, i = b, 0
+        while name in taken:
+            i += 1
+            name = f"{b}{i}"
+        taken.add(name)
+        out.append(name)
+    return out
+
+
 def with_pct_change(df: DataFrame, col: str, w, periods: int = 1,
                     out_col: str = "_pct") -> DataFrame:
     """:func:`pct_change` with the lag hoisted into a projection: the
@@ -81,7 +97,8 @@ def with_pct_change(df: DataFrame, col: str, w, periods: int = 1,
     computes a separate window expression for each reference, so callers
     that then reference the result twice pay 6 lags. Materializing
     ``lag`` once makes the CASE pure scalar codegen over it."""
-    prev = F.col("_pc_prev")
+    (pc_prev,) = _fresh(df, "_pc_prev")
+    prev = F.col(pc_prev)
     c = F.col(col)
     expr = (
         F.when(prev != 0, c / prev - 1)
@@ -90,8 +107,8 @@ def with_pct_change(df: DataFrame, col: str, w, periods: int = 1,
         .when(c < 0, F.lit(float("-inf")))
         .otherwise(F.lit(float("nan")))
     )
-    return (df.withColumn("_pc_prev", F.lag(col, periods).over(w))
-              .withColumn(out_col, expr).drop("_pc_prev"))
+    return (df.withColumn(pc_prev, F.lag(col, periods).over(w))
+              .withColumn(out_col, expr).drop(pc_prev))
 
 
 def simple_returns(df: DataFrame, price_col: str = "close",
@@ -118,19 +135,21 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
     # hoist every window result before the CASEs (each Column reference
     # is a separate window expression to Catalyst: the inlined form paid
     # 6 lags + 10 rn/avg pairs; this pays 1 lag + 2 rn + 2 avg)
-    df = df.withColumn("_rsi_prev", F.lag(price_col, 1).over(w))
-    delta = F.col(price_col) - F.col("_rsi_prev")
-    df = df.withColumn("_gain", F.when(delta > 0, delta).otherwise(
+    c_prev, c_gain, c_loss, c_g, c_l = _fresh(
+        df, "_rsi_prev", "_gain", "_loss", "_g", "_l")
+    df = df.withColumn(c_prev, F.lag(price_col, 1).over(w))
+    delta = F.col(price_col) - F.col(c_prev)
+    df = df.withColumn(c_gain, F.when(delta > 0, delta).otherwise(
         F.when(delta.isNotNull(), F.lit(0.0))))
-    df = df.withColumn("_loss", F.when(delta < 0, -delta).otherwise(
+    df = df.withColumn(c_loss, F.when(delta < 0, -delta).otherwise(
         F.when(delta.isNotNull(), F.lit(0.0))))
     # pandas: delta has 1 NaN then rolling(n) -> first valid at row n+1
     frame = w.rowsBetween(-(n - 1), 0)
-    df = (df.withColumn("_g", F.when(_rn(w) >= n + 1,
-                                     F.avg("_gain").over(frame)))
-            .withColumn("_l", F.when(_rn(w) >= n + 1,
-                                     F.avg("_loss").over(frame))))
-    gain, loss = F.col("_g"), F.col("_l")
+    df = (df.withColumn(c_g, F.when(_rn(w) >= n + 1,
+                                    F.avg(c_gain).over(frame)))
+            .withColumn(c_l, F.when(_rn(w) >= n + 1,
+                                    F.avg(c_loss).over(frame))))
+    gain, loss = F.col(c_g), F.col(c_l)
     rs = gain / loss
     rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
     # loss == 0, gain > 0 -> rs = inf -> pandas RSI = 100; but a fully flat
@@ -141,8 +160,7 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
         .when(loss == 0, F.lit(100.0))
         .otherwise(rsi)
     )
-    return df.withColumn(out_col, rsi).drop("_rsi_prev", "_gain", "_loss",
-                                            "_g", "_l")
+    return df.withColumn(out_col, rsi).drop(c_prev, c_gain, c_loss, c_g, c_l)
 
 
 def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
@@ -152,12 +170,13 @@ def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
     w = sym_window(symbol_col, ts_col)
     # bb_mid is reused by both bands: reference the materialized column
     # (inlining recomputes the avg window expression 3x and std 2x)
+    (c_sd,) = _fresh(df, "_bb_sd")
     df = (df.withColumn("bb_mid", rolling_mean(price_col, n, w))
-            .withColumn("_bb_sd", rolling_std(price_col, n, w)))
-    mid, sd = F.col("bb_mid"), F.col("_bb_sd")
+            .withColumn(c_sd, rolling_std(price_col, n, w)))
+    mid, sd = F.col("bb_mid"), F.col(c_sd)
     return (df.withColumn("bb_upper", mid + k * sd)
               .withColumn("bb_lower", mid - k * sd)
-              .drop("_bb_sd"))
+              .drop(c_sd))
 
 
 def with_rolling_volatility(df: DataFrame, n: int = 20,
@@ -166,11 +185,12 @@ def with_rolling_volatility(df: DataFrame, n: int = 20,
                             out_col: str = "volatility") -> DataFrame:
     """``pct_change().rolling(n).std()`` (ml_strategy.py:174-175)."""
     w = sym_window(symbol_col, ts_col)
-    df = with_pct_change(df, price_col, w, out_col="_r")
+    (c_r,) = _fresh(df, "_r")
+    df = with_pct_change(df, price_col, w, out_col=c_r)
     # pandas: 1 NaN from pct_change, so first valid at row n+1
     frame = w.rowsBetween(-(n - 1), 0)
-    vol = F.when(_rn(w) >= n + 1, F.stddev_samp("_r").over(frame))
-    return df.withColumn(out_col, vol).drop("_r")
+    vol = F.when(_rn(w) >= n + 1, F.stddev_samp(c_r).over(frame))
+    return df.withColumn(out_col, vol).drop(c_r)
 
 
 def with_volume_ratio(df: DataFrame, n: int = 20, volume_col: str = "volume",
@@ -183,11 +203,12 @@ def with_volume_ratio(df: DataFrame, n: int = 20, volume_col: str = "volume",
     throws under ANSI mode (found by the parameter fuzzer: two
     consecutive zero-volume bars at n=2)."""
     w = sym_window(symbol_col, ts_col)
-    df = df.withColumn("_vr_m", rolling_mean(volume_col, n, w))
-    m = F.col("_vr_m")  # hoisted: 3 CASE references = 1 window expr
+    (c_m,) = _fresh(df, "_vr_m")
+    df = df.withColumn(c_m, rolling_mean(volume_col, n, w))
+    m = F.col(c_m)  # hoisted: 3 CASE references = 1 window expr
     ratio = (F.when(m != 0, F.col(volume_col) / m)
              .when(m == 0, F.lit(float("nan"))))
-    return df.withColumn(out_col, ratio).drop("_vr_m")
+    return df.withColumn(out_col, ratio).drop(c_m)
 
 
 # ---------------------------------------------------------------- strategies
@@ -203,18 +224,19 @@ def mean_reversion_signal(df: DataFrame, n: int = 20, num_std: float = 2.0,
     # z into the signal CASE computes stddev 4x and row_number 6x in the
     # Window operator (measured r8; the CASE itself is required — ANSI
     # mode throws DIVIDE_BY_ZERO even for doubles).
-    df = (df.withColumn("_mr_sd", rolling_std(price_col, n, w))
-            .withColumn("_mr_mid", rolling_mean(price_col, n, w)))
-    sd = F.col("_mr_sd")
+    c_sd, c_mid = _fresh(df, "_mr_sd", "_mr_mid")
+    df = (df.withColumn(c_sd, rolling_std(price_col, n, w))
+            .withColumn(c_mid, rolling_mean(price_col, n, w)))
+    sd = F.col(c_sd)
     # sd == 0 (constant window) implies price == mean, so pandas z is
     # 0/0 = NaN and both comparisons are False -> signal 0. Emit NULL z
     # there: ANSI mode would throw on the division, and Spark's
     # NaN-sorts-greatest comparison rule would otherwise flip the
     # signal to -1 where pandas says 0.
-    z = F.when(sd != 0, (F.col(price_col) - F.col("_mr_mid")) / sd)
+    z = F.when(sd != 0, (F.col(price_col) - F.col(c_mid)) / sd)
     sig = (F.when(z < -num_std, 1).when(z > num_std, -1).otherwise(0)
            .cast("int"))
-    return df.withColumn(out_col, sig).drop("_mr_sd", "_mr_mid")
+    return df.withColumn(out_col, sig).drop(c_sd, c_mid)
 
 
 def ma_cross_signal(df: DataFrame, fast: int = 10, slow: int = 50,
@@ -236,12 +258,13 @@ def momentum_signal(df: DataFrame, lookback: int = 20, threshold: float = 0.0,
     w = sym_window(symbol_col, ts_col)
     # hoisted: the Column-form pct_change referenced twice costs 6 lag
     # window expressions; this is 1 lag + scalar CASEs.
+    (c_mom,) = _fresh(df, "_mom")
     df = with_pct_change(df, price_col, w, periods=lookback,
-                         out_col="_mom")
-    mom = F.col("_mom")
+                         out_col=c_mom)
+    mom = F.col(c_mom)
     sig = (F.when(mom > threshold, 1).when(mom < -threshold, -1).otherwise(0)
            .cast("int"))
-    return df.withColumn(out_col, sig).drop("_mom")
+    return df.withColumn(out_col, sig).drop(c_mom)
 
 
 def buy_and_hold_signal(df: DataFrame, out_col: str = "signal") -> DataFrame:

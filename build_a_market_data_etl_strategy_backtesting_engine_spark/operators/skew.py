@@ -18,10 +18,20 @@ execution model.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["salted_join", "salted_agg", "ensure_parallelism"]
+
+#: analyzed-plan tree lines start with an optional branch prefix
+#: (``+- `` / ``:  `` / indentation) followed by the node name.
+_EXCHANGE_NODE_RE = re.compile(
+    r"^[\s+:|-]*(?:Aggregate|Window|Join|RepartitionByExpression|"
+    r"Repartition|Deduplicate|Sort)\b",
+    re.MULTILINE,
+)
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
@@ -50,9 +60,12 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return None
-    if any(node in plan for node in (
-            "Aggregate", "Window", "Join", "RepartitionByExpression",
-            "Repartition", "Deduplicate", "Sort")):
+    # Match node NAMES at the start of each tree line (after the +-/:
+    # branch prefix), not bare substrings: a column or relation whose
+    # name merely contains "Sort"/"Join" must not force the exact RDD
+    # count on a plain scan (r8 ADVICE). \b keeps "Sorted_trades" from
+    # matching Sort while "Sort [ts ASC]" still does.
+    if _EXCHANGE_NODE_RE.search(plan):
         return None
     try:
         files = df.inputFiles()

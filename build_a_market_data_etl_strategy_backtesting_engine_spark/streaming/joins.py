@@ -26,10 +26,18 @@ same way batch ticks do (operators/skew.py).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_quote_enrich", "streaming_asof_enrich"]
+__all__ = [
+    "streaming_quote_enrich",
+    "streaming_asof_enrich",
+    "asof_enrich",
+    "estimate_quote_density",
+    "select_asof_mode",
+]
 
 
 def streaming_quote_enrich(
@@ -286,3 +294,149 @@ def streaming_asof_enrich(
         F.round(F.col("ask") - F.col("bid"), 8).alias("spread"),
         (F.col("ts_us") - F.col("q_ts_us")).alias("quote_age_us"),
     )
+
+
+# ------------------------------------------------------- auto-dispatch
+
+#: default ceiling on the interval join's row amplification (expected
+#: in-tolerance quotes PER TRADE). Above this the join shape's
+#: (trades x density) intermediate dominates everything downstream —
+#: the measured r8 failure was density = 20k quotes/s x 30 s = 600k,
+#: where ONE micro-batch could not finish in 120 s on local[16].
+DEFAULT_MAX_JOIN_AMPLIFICATION = 32.0
+
+
+def estimate_quote_density(
+    quotes: DataFrame,
+    tolerance: str = "5 minutes",
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+) -> float:
+    """Worst-case (hottest-symbol) expected number of in-tolerance quotes
+    per trade: ``max_sym quote_rate(sym) * tolerance_seconds`` — exactly
+    the interval join's per-trade row amplification.
+
+    One map-combinable aggregate over ``quotes`` (count + min/max ts per
+    symbol), one driver row per symbol — cheap relative to the join it
+    guards at any scale. Batch frames only (a streaming plan cannot be
+    eagerly aggregated); for streams pass a static/historical sample to
+    :func:`asof_enrich` via ``density_sample``."""
+    import pandas as pd
+
+    tol_s = pd.Timedelta(tolerance).total_seconds()
+    stats = quotes.groupBy(symbol_col).agg(
+        F.count("*").alias("n"),
+        (F.unix_micros(F.max(ts_col))
+         - F.unix_micros(F.min(ts_col))).alias("span_us"),
+    ).collect()
+    density = 0.0
+    for r in stats:
+        if r.n <= 1:
+            density = max(density, float(r.n))
+            continue
+        span_s = r.span_us / 1e6
+        if span_s <= 0.0:
+            # all quotes at one instant: every in-tolerance trade sees
+            # them all
+            density = max(density, float(r.n))
+        else:
+            density = max(density, (r.n - 1) / span_s * tol_s)
+    return density
+
+
+def select_asof_mode(
+    trades: DataFrame,
+    quotes: DataFrame,
+    tolerance: str = "5 minutes",
+    density_sample: DataFrame | None = None,
+    max_join_amplification: float = DEFAULT_MAX_JOIN_AMPLIFICATION,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+) -> str:
+    """Pick ``"join"`` or ``"merge"`` for :func:`asof_enrich`'s auto mode.
+
+    The estimate source is ``density_sample`` when given (required to get
+    a join on a streaming pair — a stream cannot be eagerly sampled),
+    else the batch ``quotes`` frame itself. With NO estimable source
+    (streaming quotes, no sample) the answer is ``"merge"``: its
+    O(trades + quotes) cost is density-independent, so it is the only
+    safe blind default — the join shape's failure mode is a micro-batch
+    that never finishes (measured r8)."""
+    sample = density_sample
+    if sample is None and not quotes.isStreaming:
+        sample = quotes
+    if sample is None:
+        return "merge"
+    density = estimate_quote_density(
+        sample, tolerance, ts_col=ts_col, symbol_col=symbol_col)
+    return "merge" if density > max_join_amplification else "join"
+
+
+def asof_enrich(
+    trades: DataFrame,
+    quotes: DataFrame,
+    tolerance: str = "5 minutes",
+    mode: str = "auto",
+    density_sample: DataFrame | None = None,
+    max_join_amplification: float = DEFAULT_MAX_JOIN_AMPLIFICATION,
+    watermark: str = "10 seconds",
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Unified as-of enrichment entry point (r8 VERDICT #2): same
+    semantics and output schema from either implementation, with the
+    implementation picked by the measured cost model instead of the
+    caller having to know it.
+
+    * ``mode="auto"`` — estimate the hottest symbol's quote density x
+      tolerance (:func:`estimate_quote_density`, from ``density_sample``
+      if given else batch ``quotes``) and take the interval join below
+      ``max_join_amplification``, the merge path above it. A streaming
+      pair with no sample defaults to merge (density-independent cost).
+    * ``mode="join"`` / ``mode="merge"`` — force an implementation.
+      Forcing ``"join"`` on a feed whose estimable density exceeds the
+      ceiling emits a ``UserWarning`` naming the estimate: the r8
+      measurement (20k quotes/s x 30 s tolerance -> one micro-batch
+      >120 s) is exactly the production footgun this guard exists for.
+
+    Trade-off being arbitrated: the join is zero-Python and
+    natively order-tolerant (watermarked state) but materializes
+    (trades x in-tolerance quotes) before electing; the merge is
+    O(trades + quotes) with O(symbols) state but crosses Python/Arrow
+    and serializes each symbol onto one task (see SCALING.md for the
+    single-hot-symbol ceiling)."""
+    if mode not in ("auto", "join", "merge"):
+        raise ValueError(
+            f"asof_enrich mode={mode!r}: expected 'auto', 'join' or "
+            "'merge'")
+    if mode == "auto":
+        mode = select_asof_mode(
+            trades, quotes, tolerance,
+            density_sample=density_sample,
+            max_join_amplification=max_join_amplification,
+            ts_col=ts_col, symbol_col=symbol_col)
+    elif mode == "join":
+        sample = density_sample if density_sample is not None else (
+            quotes if not quotes.isStreaming else None)
+        if sample is not None:
+            density = estimate_quote_density(
+                sample, tolerance, ts_col=ts_col, symbol_col=symbol_col)
+            if density > max_join_amplification:
+                warnings.warn(
+                    f"asof_enrich(mode='join'): estimated in-tolerance "
+                    f"quote density {density:.0f}/trade exceeds "
+                    f"{max_join_amplification:.0f} — the interval join "
+                    f"materializes (trades x density) rows per batch and "
+                    f"was measured unable to finish one micro-batch at "
+                    f"density ~600k (r8); use mode='merge' or 'auto'",
+                    UserWarning, stacklevel=2)
+    if mode == "merge":
+        return streaming_asof_enrich(
+            trades, quotes, tolerance=tolerance,
+            ts_col=ts_col, symbol_col=symbol_col, seq_col=seq_col)
+    return streaming_quote_enrich(
+        trades, quotes, tolerance=tolerance, watermark=watermark,
+        window=window, ts_col=ts_col, symbol_col=symbol_col,
+        seq_col=seq_col)

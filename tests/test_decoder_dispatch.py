@@ -181,19 +181,35 @@ def test_image_features_prefer_native_pins_kernel(monkeypatch, payloads,
     assert abs(row.mean_r - float(arr[:, :, 0].mean())) < 1e-9
 
 
-def test_invalid_prefer_raises_value_error(payloads):
+def test_invalid_prefer_raises_type_error(payloads):
     """r7 ADVICE: a typo'd SPARK_GRAFT_IMAGE_DECODER value silently
-    behaved as 'native', disabling the fast path with no signal."""
-    with pytest.raises(ValueError, match="expected 'fast' or 'native'"):
+    behaved as 'native', disabling the fast path with no signal.
+    r8 ADVICE: the raise must be a TypeError, NOT ValueError —
+    ValueError is in image_features' per-row catch tuple, so a config
+    typo on executors would silently flip every row decode_ok=false."""
+    with pytest.raises(TypeError, match="expected 'fast' or 'native'"):
         multimodal.decode_image_array(payloads["png"], prefer="Fast")
-    with pytest.raises(ValueError, match=multimodal.PREFER_ENV):
+    with pytest.raises(TypeError, match=multimodal.PREFER_ENV):
         multimodal.decode_image_array(payloads["png"], prefer="pil")
 
 
 def test_invalid_env_value_raises(monkeypatch, payloads):
     monkeypatch.setenv(multimodal.PREFER_ENV, "turbo")
-    with pytest.raises(ValueError, match="'turbo'"):
+    with pytest.raises(TypeError, match="'turbo'"):
         multimodal.decode_image_array(payloads["png"])
+
+
+def test_invalid_prefer_fails_on_driver_before_any_job(monkeypatch, spark):
+    """image_features must reject a bad prefer (arg or driver env)
+    EAGERLY — before mapInPandas — never as a silent per-row failure."""
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"BM"))], "media_id long, kind string, "
+        "content binary")
+    with pytest.raises(TypeError, match="expected 'fast' or 'native'"):
+        multimodal.image_features(media, prefer="turbo")
+    monkeypatch.setenv(multimodal.PREFER_ENV, "natvie")
+    with pytest.raises(TypeError, match="'natvie'"):
+        multimodal.image_features(media)
 
 
 def test_both_paths_fail_is_per_row_error_not_oserror(monkeypatch):
