@@ -172,73 +172,195 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Entropy-segment bit reader.
+
+    The segment starting at ``pos`` is split ONCE, at construction, into
+    restart chunks with the 0xFF00 byte-stuffing removed (a numpy pass
+    over the 0xFF positions), so the hot bit loop never checks for
+    stuffing or markers — it gulps up to 8 unstuffed bytes at a time
+    into an int accumulator. Semantics preserved from the byte-at-a-time
+    reader it replaces: reading past a terminating marker feeds zero
+    bits (T.81's truncated-segment rule), reading past raw EOF raises,
+    ``align_restart`` drops to the next restart chunk, and ``pos`` is
+    the original-byte offset where the segment parser should resume
+    (the terminator's 0xFF, or EOF)."""
+
+    __slots__ = ("data", "marker", "acc", "nbits",
+                 "_chunks", "_ci", "_buf", "_bi", "_term", "_mpos")
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
+        self.marker = None  # set when a non-RST marker interrupts
         self.acc = 0
         self.nbits = 0
-        self.marker = None  # set when a non-RST marker interrupts
+        n = len(data)
+        d = np.frombuffer(data, dtype=np.uint8)
+        # chunk := (unstuffed bytes, terminator byte | None=EOF,
+        #           original offset of the terminator's 0xFF)
+        chunks: list[tuple[bytes, int | None, int]] = []
+        parts: list[bytes] = []
+        seg_start = pos
+        done = False
+        for off in np.flatnonzero(d[pos:] == 0xFF):
+            p = int(off) + pos
+            if p < seg_start:
+                continue  # swallowed by a previous FF00/RST skip
+            if p + 1 >= n:  # dangling 0xFF at EOF: unterminated
+                parts.append(data[seg_start:p])
+                chunks.append((b"".join(parts), None, n))
+                parts, done = [], True
+                break
+            nxt = int(d[p + 1])
+            if nxt == 0x00:  # stuffed data byte
+                parts.append(data[seg_start:p + 1])
+                seg_start = p + 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: chunk boundary
+                parts.append(data[seg_start:p])
+                chunks.append((b"".join(parts), nxt, p))
+                parts = []
+                seg_start = p + 2
+            else:  # real marker terminates the segment
+                parts.append(data[seg_start:p])
+                chunks.append((b"".join(parts), nxt, p))
+                parts, done = [], True
+                break
+        if not done:
+            parts.append(data[seg_start:])
+            chunks.append((b"".join(parts), None, n))
+        self._chunks = chunks
+        self._load(0)
 
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy stream")
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise ValueError("truncated JPEG entropy stream")
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed
-                self.pos += 2
+    def _load(self, ci: int) -> None:
+        self._ci = ci
+        buf, term, mpos = self._chunks[ci]
+        self._buf = buf
+        self._bi = 0
+        self._term = term
+        self._mpos = mpos
+
+    @property
+    def pos(self) -> int:
+        return self._mpos
+
+    def _more(self, need: int) -> None:
+        while self.nbits < need:
+            bi, buf = self._bi, self._buf
+            take = len(buf) - bi
+            if take > 0:
+                if take > 8:
+                    take = 8
+                self.acc = ((self.acc << (take * 8))
+                            | int.from_bytes(buf[bi:bi + take], "big"))
+                self.nbits += take * 8
+                self._bi = bi + take
             else:
-                # real marker: feed 0 bits from here on (spec behavior
-                # for truncated entropy segments)
-                self.marker = nxt
-                self.acc = (self.acc << 8)
-                self.nbits += 8
+                if self._term is None:
+                    raise ValueError("truncated JPEG entropy stream")
+                # marker reached: feed 0 bits from here on
+                self.marker = self._term
+                self.acc <<= (need - self.nbits)
+                self.nbits = need
                 return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            self._fill()
+            self._more(1)
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._more(n)
+        nb = self.nbits - n
+        v = self.acc >> nb
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
         return v
+
+    def decode_huff(self, lut: list) -> int:
+        """Peek-16 table decode: one list index instead of 1-16 bit
+        reads + dict probes (entry = (symbol << 5) | code_length)."""
+        if self.nbits < 16:
+            self._more(16)
+        e = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        nb = self.nbits - (e & 31)
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
+        return e >> 5
+
+    def receive_bit_array(self, n: int) -> np.ndarray:
+        """n raw bits as a uint8 array — the batched read behind the
+        vectorized AC-refinement correction pass."""
+        if n <= 0:
+            return _EMPTY_BITS
+        need = n - self.nbits
+        if need > 0:
+            bi, buf = self._bi, self._buf
+            take = (need + 7) // 8
+            avail = len(buf) - bi
+            if take > avail:
+                take = avail
+            if take > 0:
+                self.acc = ((self.acc << (take * 8))
+                            | int.from_bytes(buf[bi:bi + take], "big"))
+                self.nbits += take * 8
+                self._bi = bi + take
+            if self.nbits < n:
+                if self._term is None:
+                    raise ValueError("truncated JPEG entropy stream")
+                self.marker = self._term
+                self.acc <<= (n - self.nbits)
+                self.nbits = n
+        nb = self.nbits - n
+        v = self.acc >> nb
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
+        raw = np.frombuffer(v.to_bytes((n + 7) // 8, "big"), dtype=np.uint8)
+        bits = np.unpackbits(raw)
+        return bits[len(bits) - n:]
 
     def align_restart(self) -> None:
         """Drop to byte boundary and consume an RSTn marker."""
         self.acc = 0
         self.nbits = 0
         self.marker = None
-        d = self.data
-        p = self.pos
-        while p + 1 < len(d) and (d[p] != 0xFF or d[p + 1] == 0x00):
-            p += 1
-        if p + 1 >= len(d):
+        term = self._term
+        if term is None:
             raise ValueError("truncated JPEG entropy stream (no RST/EOI)")
-        if 0xD0 <= d[p + 1] <= 0xD7:
-            self.pos = p + 2
+        if 0xD0 <= term <= 0xD7 and self._ci + 1 < len(self._chunks):
+            self._load(self._ci + 1)
         else:  # EOI or other — leave for the segment parser
-            self.pos = p
+            self._bi = len(self._buf)
+
+
+_EMPTY_BITS = np.empty(0, dtype=np.uint8)
+
+
+def _huff_lut(table) -> list:
+    """(length, code)->symbol dict -> 65536-entry peek-16 LUT (plain
+    Python list: scalar list indexing beats numpy scalar indexing in the
+    per-symbol loop). Entry = (symbol << 5) | code_length; 0 = invalid
+    prefix. Cached on the table dict (rebuilt with it per image)."""
+    lut = table.get("__lut16__")
+    if lut is None:
+        arr = np.zeros(65536, dtype=np.uint32)
+        for key, sym in table.items():
+            if type(key) is not tuple:
+                continue
+            length, code = key
+            lo = code << (16 - length)
+            arr[lo:lo + (1 << (16 - length))] = (sym << 5) | length
+        lut = arr.tolist()
+        table["__lut16__"] = lut
+    return lut
 
 
 def _decode_huff(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    return br.decode_huff(_huff_lut(table))
 
 
 def _extend(v: int, size: int) -> int:
@@ -536,13 +658,21 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
 
-    planes = []
+    # zigzag coefficient stores: one (pbh, pbw, 64) array per component,
+    # filled block-by-block from the entropy loop (plain Python lists in
+    # the loop — numpy scalar writes there were ~30x slower), then
+    # dequantized + IDCT'd for ALL blocks at once. The batched form
+    # computes the same left-associated (DCT_M.T @ coef) @ DCT_M per
+    # 8x8 slice via broadcast matmul — bit-identical to the per-block
+    # products (pinned by the golden + foreign-fixture suites).
+    stores = []
     for comp, _, _ in scan:
-        planes.append(np.zeros((mcus_y * 8 * comp["v"],
-                                mcus_x * 8 * comp["h"]),
-                               dtype=np.float64))
+        stores.append(np.zeros((mcus_y * comp["v"], mcus_x * comp["h"],
+                                64), dtype=np.float64))
 
     br = _BitReader(d, pos)
+    decode, receive = br.decode_huff, br.receive
+    luts = {key: _huff_lut(tab) for key, tab in huff.items()}
     pred = [0] * len(scan)
     mcu_count = 0
     for my in range(mcus_y):
@@ -551,20 +681,20 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
                 br.align_restart()
                 pred = [0] * len(scan)
             for si, (comp, td, ta) in enumerate(scan):
-                dct = huff[(0, td)]
-                act = huff[(1, ta)]
-                q = qt[comp["tq"]]
+                dct = luts[(0, td)]
+                act = luts[(1, ta)]
+                st = stores[si]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = _decode_huff(br, dct)
-                        diff = _extend(br.receive(size), size) \
+                        zz = [0.0] * 64
+                        size = decode(dct)
+                        diff = _extend(receive(size), size) \
                             if size else 0
                         pred[si] += diff
                         zz[0] = pred[si]
                         k = 1
                         while k < 64:
-                            rs = _decode_huff(br, act)
+                            rs = decode(act)
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -574,19 +704,20 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
                             k += r
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.receive(s), s)
+                            zz[k] = _extend(receive(s), s)
                             k += 1
-                        coef = (zz * q.reshape(-1)[ZIGZAG])[UNZIGZAG] \
-                            .reshape(8, 8)
-                        block = DCT_M.T @ coef @ DCT_M
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[si][y0:y0 + 8, x0:x0 + 8] = block
+                        st[my * comp["v"] + by, mx * comp["h"] + bx] = zz
             mcu_count += 1
 
     up = []
     for si, (comp, _, _) in enumerate(scan):
-        p = planes[si] + 128.0
+        q = qt[comp["tq"]]
+        st = stores[si]
+        coef = (st * q.reshape(-1)[ZIGZAG])[..., UNZIGZAG].reshape(
+            st.shape[0], st.shape[1], 8, 8)
+        blocks = np.matmul(np.matmul(DCT_M.T, coef), DCT_M)
+        p = blocks.transpose(0, 2, 1, 3).reshape(
+            st.shape[0] * 8, st.shape[1] * 8) + 128.0
         sh, sv = hmax // comp["h"], vmax // comp["v"]
         if sh > 1 or sv > 1:
             p = np.repeat(np.repeat(p, sv, axis=0), sh, axis=1)
@@ -666,10 +797,12 @@ def _dc_scan(br, scan, stores, huff, mcus_y, mcus_x, ah, al, restart,
     component scan walks its real block grid in raster order."""
     pred = [0] * len(scan)
     units = 0
+    luts = {td: _huff_lut(huff[(0, td)])
+            for td in {c[2] for c in scan}} if ah == 0 else None
 
     def one(si, td, blk):
         if ah == 0:
-            size = _decode_huff(br, huff[(0, td)])
+            size = br.decode_huff(luts[td])
             diff = _extend(br.receive(size), size) if size else 0
             pred[si] += diff
             blk[0] = pred[si] << al
@@ -705,6 +838,8 @@ def _dc_scan(br, scan, stores, huff, mcus_y, mcus_x, ah, al, restart,
 
 def _ac_first_scan(br, st, bh, bw, act, ss, se, al, restart):
     """AC band scan, first pass (Ah=0): T.81 G.2.2 with EOBRUN."""
+    lut = _huff_lut(act)
+    decode, receive = br.decode_huff, br.receive
     eobrun = 0
     units = 0
     for by in range(bh):
@@ -713,13 +848,13 @@ def _ac_first_scan(br, st, bh, bw, act, ss, se, al, restart):
                 br.align_restart()
                 eobrun = 0
             units += 1
-            blk = st[by, bx]
             if eobrun > 0:
                 eobrun -= 1
                 continue
+            blk = st[by, bx]
             k = ss
             while k <= se:
-                rs = _decode_huff(br, act)
+                rs = decode(lut)
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:  # ZRL: skip 16 zeros
@@ -727,70 +862,112 @@ def _ac_first_scan(br, st, bh, bw, act, ss, se, al, restart):
                         continue
                     eobrun = (1 << r) - 1  # current block counts as one
                     if r:
-                        eobrun += br.receive(r)
+                        eobrun += receive(r)
                     break
                 k += r
                 if k > se:
                     raise ValueError("AC coefficient outside scan band")
-                blk[k] = _extend(br.receive(s), s) << al
+                blk[k] = _extend(receive(s), s) << al
                 k += 1
+
+
+def _refine_eob_run(br, band, bw, idx, run, p1, m1):
+    """Correction-bit pass over ``run`` whole EOB blocks starting at flat
+    block index ``idx`` (raster order), vectorized: which coefficients
+    need a bit is known from the store BEFORE reading (every nonzero
+    one), so the bits are read in ONE batched call and applied with
+    numpy — this is the hot path of every late refinement scan, where
+    eobrun covers most of the image."""
+    rows = np.arange(idx, idx + run)
+    sub = band[rows // bw, rows % bw]  # (run, nb) fancy-index copy
+    nzm = sub != 0
+    cnt = int(np.count_nonzero(nzm))
+    if cnt == 0:
+        return
+    bits = br.receive_bit_array(cnt)  # C-order == (block, k) visit order
+    vals = sub[nzm]
+    upd = (bits == 1) & ((vals & p1) == 0)
+    if upd.any():
+        vals[upd] += np.where(vals[upd] > 0, p1, m1).astype(vals.dtype)
+        sub[nzm] = vals
+        band[rows // bw, rows % bw] = sub  # fancy assign -> store
 
 
 def _ac_refine_scan(br, st, bh, bw, act, ss, se, al, restart):
     """AC band refinement (Ah>0): T.81 G.2.3 — newly-significant
     coefficients arrive as ±(1<<Al); every already-nonzero coefficient
-    visited consumes one correction bit."""
+    visited consumes one correction bit. Whole-EOB blocks batch through
+    :func:`_refine_eob_run`; only blocks introducing new coefficients
+    walk the per-coefficient loop (on a plain list — numpy scalar
+    reads in the walk were the decoder's single largest cost)."""
     p1, m1 = 1 << al, -(1 << al)
+    lut = _huff_lut(act)
+    band = st[:bh, :bw, ss:se + 1]
+    decode, read_bit, receive = br.decode_huff, br.read_bit, br.receive
     eobrun = 0
     units = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart and units and units % restart == 0:
-                br.align_restart()
-                eobrun = 0
-            units += 1
-            blk = st[by, bx]
-            k = ss
-            if eobrun == 0:
-                while k <= se:
-                    rs = _decode_huff(br, act)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r < 15:  # EOBn: run of (1<<r)+ext blocks
-                            eobrun = 1 << r
-                            if r:
-                                eobrun += br.receive(r)
-                            break
-                        val = 0  # ZRL: 16 zero-history skips
-                    else:
-                        if s != 1:
-                            raise ValueError(
-                                "AC refinement size must be 1")
-                        val = p1 if br.read_bit() else m1
-                    # advance past r zero-history coefficients,
-                    # correcting the nonzero-history ones on the way
-                    while k <= se:
-                        c = int(blk[k])
-                        if c != 0:
-                            if br.read_bit() and (c & p1) == 0:
-                                blk[k] = c + (p1 if c > 0 else m1)
-                        else:
-                            if r == 0:
-                                break
-                            r -= 1
-                        k += 1
-                    if val and k <= se:
-                        blk[k] = val
-                    k += 1
-            if eobrun > 0:
-                # rest of the band: correction bits only
-                while k <= se:
-                    c = int(blk[k])
-                    if c != 0:
-                        if br.read_bit() and (c & p1) == 0:
-                            blk[k] = c + (p1 if c > 0 else m1)
-                    k += 1
-                eobrun -= 1
+    total = bh * bw
+    idx = 0
+    while idx < total:
+        if restart and units and units % restart == 0:
+            br.align_restart()
+            eobrun = 0
+        if eobrun > 0:
+            run = eobrun if eobrun < total - idx else total - idx
+            if restart:
+                to_boundary = restart - (units % restart)
+                if to_boundary < run:
+                    run = to_boundary
+            _refine_eob_run(br, band, bw, idx, run, p1, m1)
+            eobrun -= run
+            units += run
+            idx += run
+            continue
+        units += 1
+        blk = st[idx // bw, idx % bw]
+        bl = blk.tolist()  # per-coefficient walk on a plain list
+        k = ss
+        while k <= se:
+            rs = decode(lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+ext blocks
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += receive(r)
+                    break
+                val = 0  # ZRL: 16 zero-history skips
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement size must be 1")
+                val = p1 if read_bit() else m1
+            # advance past r zero-history coefficients,
+            # correcting the nonzero-history ones on the way
+            while k <= se:
+                c = bl[k]
+                if c != 0:
+                    if read_bit() and (c & p1) == 0:
+                        bl[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                bl[k] = val
+            k += 1
+        if eobrun > 0:
+            # rest of the current block's band: correction bits only
+            while k <= se:
+                c = bl[k]
+                if c != 0:
+                    if read_bit() and (c & p1) == 0:
+                        bl[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            eobrun -= 1
+        blk[:] = bl
+        idx += 1
 
 
 def _reconstruct_progressive(frame, stores, qt):
@@ -806,7 +983,10 @@ def _reconstruct_progressive(frame, stores, qt):
         qvec = q.reshape(-1)[ZIGZAG]
         coef = (st * qvec)[..., UNZIGZAG].reshape(
             st.shape[0], st.shape[1], 8, 8)
-        blocks = np.einsum("ji,abjk,kl->abil", DCT_M, coef, DCT_M)
+        # broadcast matmul (BLAS) — ~10x the unoptimized c_einsum this
+        # replaces; verified bit-identical on the full golden corpus +
+        # every foreign fixture before the swap (r9)
+        blocks = np.matmul(np.matmul(DCT_M.T, coef), DCT_M)
         plane = blocks.transpose(0, 2, 1, 3).reshape(
             st.shape[0] * 8, st.shape[1] * 8) + 128.0
         sh, sv = hmax // comp["h"], vmax // comp["v"]
