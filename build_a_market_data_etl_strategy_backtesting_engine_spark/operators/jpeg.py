@@ -263,10 +263,16 @@ class _BitReader:
                 return
 
     def read_bit(self) -> int:
+        # every consumer maintains the invariant acc < 2**nbits (the
+        # batched readers shift acc without re-masking), so the consumed
+        # bit must be cleared here, not just skipped
         if self.nbits == 0:
             self._more(1)
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        nb = self.nbits - 1
+        v = (self.acc >> nb) & 1
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
+        return v
 
     def receive(self, n: int) -> int:
         if n == 0:
