@@ -209,6 +209,16 @@ def _load1() -> float:
     return round(os.getloadavg()[0], 2)
 
 
+#: pre-run 1-min loadavg above this marks the run contaminated. On the
+#: 32-CPU bench box an idle reading is <1; the r8 repetition experiment
+#: showed a ~4 loadavg tail inflating every workload ~25% uniformly.
+LOAD1_CONTAMINATION_THRESHOLD = 2.0
+
+
+def _contaminated(load1_start: float) -> bool:
+    return load1_start > LOAD1_CONTAMINATION_THRESHOLD
+
+
 BENCHES = {
     "clean_ohlcv": bench_clean_ohlcv,
     "backtest_metrics": bench_backtest_metrics,
@@ -293,6 +303,13 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
+    contaminated = _contaminated(load_start)
+    if contaminated:
+        print(f"WARNING: load1_start={load_start} > "
+              f"{LOAD1_CONTAMINATION_THRESHOLD} on this {os.cpu_count()}-"
+              f"CPU box — ambient load inflates every workload ~25% "
+              f"(measured r8); this run is marked contaminated and must "
+              f"not be compared across rounds", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -312,6 +329,11 @@ def main():
             "load1_start": load_start,
             "load1_after": load1,
             "gc_ms_warm": gc_ms,
+            # self-arbitrated (r8 VERDICT #6): True when the pre-run
+            # loadavg exceeds the idle threshold, so the cross-round
+            # comparison rule is enforced by the tool, not by whoever
+            # reads SCALING.md
+            "contaminated": contaminated,
         },
         "config": {
             "spark": spark.version,

@@ -432,7 +432,7 @@ def binomial_american(
     view_name: str = "opts_binom_input",
     n_opts: int | None = None,
     chunk_rows: int | None = None,
-    scratch_budget_bytes: int = 16 << 30,
+    scratch_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Run the CRR American backward induction on a Spark DataFrame of
     (id, s, k, t_y, r, sigma). Entirely JVM-side — the value array walks
@@ -466,6 +466,21 @@ def binomial_american(
     if n_opts is None:
         n_opts = opts.count()
     need = (int(n_steps) + 1) * max(int(n_opts), 1) * 2
+    if scratch_budget_bytes is None:
+        # adapt to the box: the default budget must be a scratch volume
+        # the wait loop can actually see freed — half of CURRENT free
+        # space on the scratch volume, capped at 16 GiB (r9: a fixed
+        # 16 GiB budget on a 20 GiB-free box made every inter-chunk
+        # disk-pressure wait time out at its 120 s cap)
+        import shutil as _sh
+
+        _scratch = str(spark.conf.get(
+            "spark.local.dir", "/tmp")).split(",")[0]
+        try:
+            free = _sh.disk_usage(_scratch).free
+        except OSError:
+            free = 32 << 30
+        scratch_budget_bytes = min(16 << 30, max(free // 2, 1 << 30))
     if chunk_rows is None:
         per_opt = (int(n_steps) + 1) ** 2 * 8
         chunk_rows = max(50_000, int(scratch_budget_bytes) // per_opt)
@@ -498,8 +513,12 @@ def binomial_american(
         # 120 s/chunk behind a 2x-budget floor the box can never satisfy
         # (found live: 20 GiB free vs a 32 GiB default floor).
         per_opt = (int(n_steps) + 1) ** 2 * 8
-        floor = 2 * min(int(scratch_budget_bytes),
-                        int(chunk_rows) * per_opt)
+        # 1.5x the chunk's own scratch: enough headroom for the walk,
+        # low enough that a box whose free space hovers near the budget
+        # can actually satisfy it once the cleaner drains the previous
+        # chunk (2x the budget was unsatisfiable on a 20 GiB-free box)
+        floor = (3 * min(int(scratch_budget_bytes),
+                         int(chunk_rows) * per_opt)) // 2
         k = -(-int(n_opts) // int(chunk_rows))
 
         def _persistent_ids():

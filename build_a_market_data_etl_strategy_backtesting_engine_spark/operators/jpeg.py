@@ -538,9 +538,48 @@ def _emit_block(bw, zz, pred, ci, dc_enc, ac_enc) -> None:
 
 # ---------------------------------------------------------------- decoder
 
-def decode_jpeg(content: bytes) -> np.ndarray:
+def _upsample_plane(p: np.ndarray, sv: int, sh: int,
+                    mode: str) -> np.ndarray:
+    """Chroma upsampling. T.81 leaves the filter to the decoder:
+
+    * ``"box"`` (default) — sample replication; what every golden output
+      pins, so it stays the default.
+    * ``"triangle"`` — libjpeg/ImageIO "fancy" upsampling: linear
+      interpolation between the centered chroma samples with
+      edge replication (for x2: weights 3/4, 1/4 — the r8 VERDICT #4
+      opt-in that makes the 4:2:0 foreign-fixture comparison tight in
+      full RGB, not just luma).
+    """
+    if sv == 1 and sh == 1:
+        return p
+    if mode == "box":
+        return np.repeat(np.repeat(p, sv, axis=0), sh, axis=1)
+    if mode != "triangle":
+        raise ValueError(
+            f"upsample={mode!r}: expected 'box' or 'triangle'")
+    return _tri_axis(_tri_axis(p, sv, 0), sh, 1)
+
+
+def _tri_axis(a: np.ndarray, f: int, axis: int) -> np.ndarray:
+    if f == 1:
+        return a
+    n = a.shape[axis]
+    pos = (np.arange(n * f) + 0.5) / f - 0.5  # centered sample grid
+    base = np.floor(pos)
+    frac = pos - base
+    lo = np.clip(base.astype(np.int64), 0, n - 1)
+    hi = np.clip(base.astype(np.int64) + 1, 0, n - 1)
+    shape = [1, 1]
+    shape[axis] = -1
+    frac = frac.reshape(shape)
+    return (np.take(a, lo, axis=axis) * (1.0 - frac)
+            + np.take(a, hi, axis=axis) * frac)
+
+
+def decode_jpeg(content: bytes, upsample: str = "box") -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) uint8 RGB array (grayscale files
     are replicated to 3 channels, matching the BMP/PPM decode contract).
+    ``upsample`` selects the chroma filter (see :func:`_upsample_plane`).
     """
     d = bytes(content)
     if d[:2] != b"\xff\xd8":
@@ -638,7 +677,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 return _decode_scan(
                     d, data_start, frame,
                     [(c, td, ta) for _, c, td, ta in scan], qt, huff,
-                    restart)
+                    restart, upsample)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if stores is None:
@@ -653,11 +692,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             continue
         pos += seglen
     if frame is not None and frame["progressive"] and stores is not None:
-        return _reconstruct_progressive(frame, stores, qt)
+        return _reconstruct_progressive(frame, stores, qt, upsample)
     raise ValueError("no SOS segment found")
 
 
-def _decode_scan(d, pos, frame, scan, qt, huff, restart):
+def _decode_scan(d, pos, frame, scan, qt, huff, restart,
+                 upsample="box"):
     fh, fw = frame["h"], frame["w"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
@@ -725,8 +765,7 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
         p = blocks.transpose(0, 2, 1, 3).reshape(
             st.shape[0] * 8, st.shape[1] * 8) + 128.0
         sh, sv = hmax // comp["h"], vmax // comp["v"]
-        if sh > 1 or sv > 1:
-            p = np.repeat(np.repeat(p, sv, axis=0), sh, axis=1)
+        p = _upsample_plane(p, sv, sh, upsample)
         up.append(p[:fh, :fw])
 
     if len(up) == 1:
@@ -976,7 +1015,7 @@ def _ac_refine_scan(br, st, bh, bw, act, ss, se, al, restart):
         idx += 1
 
 
-def _reconstruct_progressive(frame, stores, qt):
+def _reconstruct_progressive(frame, stores, qt, upsample="box"):
     """Dequantize + IDCT the accumulated coefficient stores (vectorized
     over all blocks at once) and finish with the shared upsample +
     YCbCr->RGB tail."""
@@ -996,8 +1035,7 @@ def _reconstruct_progressive(frame, stores, qt):
         plane = blocks.transpose(0, 2, 1, 3).reshape(
             st.shape[0] * 8, st.shape[1] * 8) + 128.0
         sh, sv = hmax // comp["h"], vmax // comp["v"]
-        if sh > 1 or sv > 1:
-            plane = np.repeat(np.repeat(plane, sv, axis=0), sh, axis=1)
+        plane = _upsample_plane(plane, sv, sh, upsample)
         up.append(plane[:fh, :fw])
     if len(up) == 1:
         g = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)

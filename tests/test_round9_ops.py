@@ -328,3 +328,19 @@ def test_asof_enrich_rejects_unknown_mode(spark):
     trades, sparse_q, _ = _enrich_frames(spark)
     with pytest.raises(ValueError, match="expected 'auto'"):
         sjoins.asof_enrich(trades, sparse_q, mode="fastest")
+
+
+# ---------------------- bench load self-arbitration (r8 VERDICT #6)
+
+
+def test_bench_contamination_flag(monkeypatch):
+    """bench.py must arbitrate its own provenance: load1 above the idle
+    threshold marks the run contaminated (the r8 cross-round comparison
+    rule, enforced by the tool)."""
+    import bench
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (3.98, 2.0, 1.0))
+    assert bench._contaminated(bench._load1()) is True
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.42, 1.0, 1.0))
+    assert bench._contaminated(bench._load1()) is False
+    assert bench._contaminated(bench.LOAD1_CONTAMINATION_THRESHOLD) is False

@@ -119,11 +119,18 @@ def bench_streaming_backtest(spark, rate: int, seconds: float, work: str):
 
 
 def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
-                                 work: str):
+                                 work: str, n_symbols: int = 20,
+                                 tag: str = "enrich"):
     """Stream-stream as-of at scale (r6 VERDICT carry): trades and quotes
     as two independent rate streams through the merge-based
     streaming_asof_enrich -> noop sink. The rate is PER SIDE; the
-    reported rows/s is the union input pressure actually sustained."""
+    reported rows/s is the union input pressure actually sustained.
+
+    ``n_symbols=1`` measures the honest worst case (r8 VERDICT #3): the
+    merge keys state by symbol, so ONE hot symbol serializes the whole
+    merge onto one task — the per-key sequential ceiling. Feeds hotter
+    than that ceiling must shard the key (e.g. salt by venue/session)
+    upstream."""
     from build_a_market_data_etl_strategy_backtesting_engine_spark.sources.normalizer import (  # noqa: E501
         normalize_trades,
     )
@@ -134,7 +141,7 @@ def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
         streaming_asof_enrich,
     )
 
-    symbols = [f"S{i:02d}" for i in range(20)]
+    symbols = [f"S{i:02d}" for i in range(n_symbols)]
     trades = normalize_trades(
         rate_tick_source(spark, rows_per_second=rate, symbols=symbols)
     ).withColumn("seq", F.xxhash64("symbol", "ts", "price"))
@@ -149,9 +156,11 @@ def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
     # quotes; measured r8: one batch > 120 s at 20k/s/side, tol 30 s)
     out = streaming_asof_enrich(trades, quotes, tolerance="30 seconds")
     q = (out.writeStream.format("noop")
-         .option("checkpointLocation", f"{work}/ck_enrich")
+         .option("checkpointLocation", f"{work}/ck_{tag}")
          .outputMode("append").start())
-    return _run_until(q, seconds)
+    res = _run_until(q, seconds)
+    res["n_symbols"] = n_symbols
+    return res
 
 
 def bench_jdbc_exactly_once(spark, rate: int, seconds: float, work: str):
@@ -244,6 +253,12 @@ def main():
         if "quote_enrich" in todo:
             out["quote_enrich"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work)
+        if "quote_enrich_hot" in todo:
+            # single hot symbol: state keyed by symbol -> one task does
+            # ALL merge work; this is the per-key sequential ceiling
+            out["quote_enrich_hot"] = bench_streaming_quote_enrich(
+                spark, args.rate, args.seconds, work, n_symbols=1,
+                tag="enrich_hot")
         if "jdbc_exactly_once" in todo:
             out["jdbc_exactly_once"] = bench_jdbc_exactly_once(
                 spark, args.jdbc_rate, max(args.seconds, 16.0), work)
