@@ -514,6 +514,8 @@ def connected_components_star(
     node_col: str = "doc_id",
     max_iter: int = 50,
     _stats: dict | None = None,
+    chunk_classes: int | None = None,
+    scratch_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris, Lattanzi,
     Mirrokni, Rastogi & Vassilvitskii, *Connected Components in MapReduce
@@ -537,7 +539,22 @@ def connected_components_star(
     driver boundary. Same output contract as
     :func:`connected_components`: ``(node_col, cluster)``, cluster = the
     smallest member id, singletons (when ``nodes`` is given) keep their
-    own id. ``_stats['rounds']`` reports the round count for tests."""
+    own id. ``_stats['rounds']`` reports the round count for tests.
+
+    ``chunk_classes`` (r9, the chunked-pricer pattern applied to q146's
+    sf100 disk bound): when > 1, every star round executes as
+    ``chunk_classes`` SEQUENTIAL hash-class passes over a parquet-spilled
+    edge set, bounding one round's live shuffle/spill to ~1/k of the
+    monolithic round (measured r8: ONE monolithic large-star round at
+    sf100 needs > 53 GB live spill). Default None auto-sizes: chunking
+    engages only when the canonical edge count's estimated round scratch
+    exceeds ``scratch_budget_bytes`` (default: min(16 GiB, free/2) on
+    the scratch volume). Both star steps are per-``u`` local given the
+    FULL neighborhood of ``u``, and hash-partitioning by ``u`` keeps
+    each neighborhood whole inside one pass — so the fixpoint (and the
+    per-round edge sets, up to transient cross-chunk duplicates that
+    the next pass's per-chunk distinct removes) is IDENTICAL to the
+    monolithic loop; a pytest pins chunked == monolithic labels."""
     u, v = F.col("u"), F.col("v")
     e = (
         edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -547,6 +564,30 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if chunk_classes is None:
+        spark = edges.sparkSession
+        if scratch_budget_bytes is None:
+            import shutil as _sh
+
+            scratch = str(spark.conf.get(
+                "spark.local.dir", "/tmp")).split(",")[0]
+            try:
+                free = _sh.disk_usage(scratch).free
+            except OSError:
+                free = 32 << 30
+            scratch_budget_bytes = min(16 << 30, max(free // 2, 1 << 30))
+        # ~300 B of live shuffle/spill per canonical edge per round
+        # (symmetrize x2, three join/agg stages, row overhead) — the
+        # estimate that retrodicts the measured 53 GB at ~180M edges
+        n_e = e.count()  # cheap: e was just checkpointed
+        est = n_e * 300
+        chunk_classes = 1 if est <= scratch_budget_bytes else min(
+            64, -(-est // int(scratch_budget_bytes)))
+    if chunk_classes and chunk_classes > 1:
+        labels = _star_rounds_chunked(
+            e, int(chunk_classes), max_iter, _stats)
+        _release_iteration_scratch(e)
+        return _star_finish(labels, nodes, node_col)
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
@@ -590,7 +631,13 @@ def connected_components_star(
         prev_sig = (sig["n"], sig["h"])
     if _stats is not None:
         _stats["rounds"] = rounds
-    # fixed point: e = (member, component-min) star edges
+    return _star_finish(e, nodes, node_col)
+
+
+def _star_finish(e: DataFrame, nodes: DataFrame | None,
+                 node_col: str) -> DataFrame:
+    """Fixed point -> labels: e = (member, component-min) star edges."""
+    u, v = F.col("u"), F.col("v")
     labels = (
         e.select(u.alias(node_col), v.alias("cluster"))
         .union(e.select(v.alias(node_col), v.alias("cluster")))
@@ -607,6 +654,109 @@ def connected_components_star(
             )
         )
     return labels
+
+
+def _star_rounds_chunked(e: DataFrame, k: int, max_iter: int,
+                         _stats: dict | None) -> DataFrame:
+    """Run the large-star/small-star rounds as k sequential hash-class
+    passes with the edge set spilled to parquet between phases.
+
+    Both star steps only need the FULL neighborhood of each ``u``:
+    partitioning the (symmetrized) edge set by ``xxhash64(u) % k`` keeps
+    every neighborhood inside exactly one pass, so each pass computes
+    the same per-u attachments as the monolithic round. Cross-chunk
+    duplicate OUTPUT edges (two source-u's emitting the same pair into
+    different passes) are legal intermediates: duplicates of (u, v)
+    share u, land in the same class next phase, and its per-chunk
+    ``distinct`` removes them — which is also why the per-chunk distinct
+    EQUALS a global distinct. Convergence uses the same 2-scalar
+    signature, computed by one extra chunked distinct pass per round.
+
+    Disk: one round keeps at most (current, large-star, next) edge
+    parquets, each ~16 B/edge zstd — the >53 GB monolithic-round spill
+    becomes ~1/k live shuffle per pass plus three bounded parquet dirs;
+    consumed dirs are deleted as soon as the next phase lands."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.derivatives import (  # noqa: E501
+        _register_spill_dir,
+    )
+
+    spark = e.sparkSession
+    u, v = F.col("u"), F.col("v")
+    scratch = str(spark.conf.get("spark.local.dir", "/tmp")).split(",")[0]
+    base = f"{scratch}/sg_ccstar_{_uuid.uuid4().hex[:12]}"
+    _register_spill_dir(base)
+
+    def _cls(col: str) -> Column:
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(k))
+
+    e.write.parquet(f"{base}/r0")
+    cur = f"{base}/r0"
+    prev_sig = None
+    rounds = 0
+    for rnd in range(max_iter):
+        edges_r = spark.read.parquet(cur)
+        # ---- large-star, chunked by the symmetrized u
+        ls_dir = f"{base}/ls{rnd}"
+        for i in range(k):
+            both_i = (
+                edges_r.select("u", "v")
+                .union(edges_r.select(v.alias("u"), u.alias("v")))
+                .filter(_cls("u") == i)
+                .distinct()
+            )
+            mins = both_i.groupBy("u").agg(F.min("v").alias("mn"))
+            m = F.least(F.col("u"), F.col("mn"))
+            ls_i = (
+                both_i.join(mins, "u")
+                .filter(v > u)
+                .select(v.alias("u"), m.alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            ls_i.write.mode("append").parquet(ls_dir)
+        # ---- small-star, chunked by the large-star output's u
+        nxt = f"{base}/r{rnd + 1}"
+        ls_r = spark.read.parquet(ls_dir)
+        for i in range(k):
+            ls_i = ls_r.filter(_cls("u") == i).distinct()
+            mins2 = ls_i.groupBy("u").agg(F.min("v").alias("mn"))
+            ss_i = (
+                ls_i.join(mins2, "u")
+                .select(v.alias("u"), F.col("mn").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+                .distinct()
+            )
+            ss_i.write.mode("append").parquet(nxt)
+        rounds += 1
+        # ---- convergence signature over the globally-distinct edge set
+        # (per-chunk distinct == global distinct: duplicates share u)
+        nxt_r = spark.read.parquet(nxt)
+        sig_n, sig_h = 0, 0
+        for i in range(k):
+            s = (nxt_r.filter(_cls("u") == i).distinct()
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.xxhash64("u", "v")
+                            .cast("decimal(38,0)")).alias("h"))
+                 .first())
+            sig_n += int(s["n"])
+            sig_h += int(s["h"] or 0)
+        _shutil.rmtree(ls_dir, ignore_errors=True)
+        if cur != f"{base}/r0":
+            _shutil.rmtree(cur, ignore_errors=True)
+        cur = nxt
+        if prev_sig == (sig_n, sig_h):
+            break
+        prev_sig = (sig_n, sig_h)
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["chunk_classes"] = k
+    # hand back the globally-distinct converged edge set (the transient
+    # cross-chunk duplicates must not duplicate label rows)
+    return spark.read.parquet(cur).distinct()
 
 
 def decontaminate(
