@@ -53,6 +53,13 @@ def streaming_quote_enrich(
     """Enrich each trade with the latest in-tolerance quote (bid/ask/mid,
     spread, quote age) via a watermarked stream-stream interval join.
 
+    .. warning:: SPARSE-QUOTE shape. The join materializes one row per
+       (trade x in-tolerance quote) before electing — at 20k quotes/s
+       per side with a 30 s tolerance ONE micro-batch exceeded 120 s
+       (measured r8, SCALING.md). Prefer :func:`asof_enrich` (auto
+       mode), which picks this join only below a measured density
+       ceiling and the merge-based :func:`streaming_asof_enrich` above.
+
     ``window`` buckets the election aggregate's event time (required for
     the chained stateful operator to be watermark-bounded); it does NOT
     affect semantics — the group key is the trade identity, the window

@@ -1058,7 +1058,107 @@ def t_chunk_budget_sql(p):
     FROM r"""
 
 
+def t_binom_chunked_spark(spark, sf_dir, p):
+    """Chunked binomial pricer vs the DuckDB recursive-CTE oracle: the
+    chunk size is a fuzz axis, so the hash-class split, parquet spill
+    and unpersist sweep are all inside the compared computation."""
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (  # noqa: E501
+        derivatives as deriv,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir, ["part"])["part"].filter(
+        F.col("p_partkey") <= p["n"])
+    opts = t.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("s"),
+        (F.col("p_retailprice") * p["strike"]).alias("k"),
+        F.lit(0.5).alias("t_y"),
+        F.lit(0.02).alias("r"),
+        (0.15 + (F.col("p_partkey") % 30).cast("double") / 100.0)
+        .alias("sigma"),
+    )
+    return deriv.binomial_american(
+        spark, opts, n_steps=p["steps"], call=p["call"],
+        chunk_rows=p["chunk_rows"])
+
+
+def t_binom_chunked_sql(p):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions import (  # noqa: E501
+        derivatives as deriv,
+    )
+
+    opts_sql = f"""SELECT p_partkey AS id, p_retailprice AS s,
+           p_retailprice * {p["strike"]} AS k, 0.5e0 AS t_y,
+           2.0e-2 AS r,
+           1.5e-1 + CAST(p_partkey % 30 AS DOUBLE) / 100.0e0 AS sigma
+    FROM part WHERE p_partkey <= {p["n"]}"""
+    return deriv.binomial_american_sql(
+        opts_sql, n_steps=p["steps"], call=p["call"], dialect="duckdb")
+
+
+def t_cc_chunked_spark(spark, sf_dir, p):
+    """Chunked star-CC vs a CLOSED-FORM oracle: edges chain consecutive
+    dense ranks except at every gap-th boundary, so components are the
+    rank runs [m*gap, (m+1)*gap) and the cluster label is analytically
+    the run head's doc_id — an oracle independent of any CC algorithm,
+    with component diameter = gap (the adversarial axis for star
+    rounds)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (  # noqa: E501
+        dedup,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (  # noqa: E501
+        load_tables,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    rid = (d.select("doc_id")
+           .withColumn("rid", F.row_number().over(
+               Window.orderBy("doc_id")) - 1))
+    gap = p["gap"]
+    nxt = rid.select((F.col("rid") - 1).alias("rid"),
+                     F.col("doc_id").alias("doc_b"))
+    edges = (rid.filter(F.pmod("rid", F.lit(gap)) != gap - 1)
+             .join(nxt, "rid")
+             .select(F.col("doc_id").alias("doc_a"), "doc_b"))
+    labels = dedup.connected_components_star(
+        edges, d.select("doc_id"), chunk_classes=p["k"])
+    return labels.select("doc_id", "cluster")
+
+
+def t_cc_chunked_sql(p):
+    gap = p["gap"]
+    return f"""
+    WITH r AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY doc_id) - 1 AS rid
+               FROM documents),
+    heads AS (SELECT rid - (rid % {gap}) AS hrid, doc_id FROM r
+              WHERE rid % {gap} = 0)
+    SELECT r.doc_id, h.doc_id AS cluster
+    FROM r JOIN heads h ON h.hrid = r.rid - (r.rid % {gap})"""
+
+
 TARGETS.update({
+    "binom_chunked": {
+        "sample": lambda r: {"n": r.randint(25, 70),
+                             "steps": r.choice([8, 12, 16, 24]),
+                             "chunk_rows": r.randint(3, 13),
+                             "strike": r.choice([0.9, 1.0, 1.05, 1.2]),
+                             "call": r.random() < 0.5},
+        "spark": t_binom_chunked_spark, "sql": t_binom_chunked_sql,
+    },
+    "cc_star_chunked": {
+        "sample": lambda r: {"gap": r.choice([1, 2, 3, 7, 25, 80]),
+                             "k": r.randint(2, 6)},
+        "spark": t_cc_chunked_spark, "sql": t_cc_chunked_sql,
+    },
     "lsh_banding": {
         "sample": lambda r: (lambda b: {
             "h": b * r.choice([2, 3, 4]),
