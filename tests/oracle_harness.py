@@ -223,16 +223,30 @@ def duck_digest(con, sql):
 #: as k filtered passes on an integer output column instead — the
 #: ``col % k = i`` filter pushes through the GROUP BY into the scan, so
 #: per-pass memory is ~1/k of the monolithic run. Values identical.
-DUCK_DIGEST_CHUNKS: dict[str, tuple[str, int]] = {
-    "q48_winnowing_fingerprints": ("doc_id", 16),
+#: (col, k) wraps the whole query in an output filter; (col, k, table)
+#: additionally pushes the filter INTO the named source table — required
+#: when the memory explosion happens upstream of the output columns and
+#: DuckDB does not push the outer predicate itself (measured r9 on q48:
+#: the outer-filter form recomputes the full per-position md5 explosion
+#: k times and still OOMs at sf100; the source-filter form is valid
+#: because doc_id partitions every downstream operator).
+DUCK_DIGEST_CHUNKS: dict[str, tuple] = {
+    "q48_winnowing_fingerprints": ("doc_id", 64, "documents"),
 }
 
 
-def duck_digest_chunked(con, sql, col, k):
+def duck_digest_chunked(con, sql, col, k, table=None):
     """Additive (count, hashsum1, hashsum2) over ``col % k`` chunks."""
     n = s1 = s2 = 0
     for i in range(k):
-        part = f"SELECT * FROM ({sql}) WHERE ({col}) % {k} = {i}"
+        if table is None:
+            part = f"SELECT * FROM ({sql}) WHERE ({col}) % {k} = {i}"
+        else:
+            src = (f"FROM (SELECT * FROM {table} "
+                   f"WHERE ({col}) % {k} = {i}) {table}")
+            assert sql.count(f"FROM {table}") == 1, (
+                f"source-chunked digest needs exactly one 'FROM {table}'")
+            part = sql.replace(f"FROM {table}", src)
         cn, c1, c2 = duck_digest(con, part)
         n, s1, s2 = n + cn, s1 + c1, s2 + c2
     return (n, s1, s2)
@@ -251,8 +265,7 @@ def compare_query_digest(spark, con, fn, sql, name="", sf_dir=None):
             f"duck={sorted(duck_cols)}")
         return report
     if name in DUCK_DIGEST_CHUNKS:
-        col, k = DUCK_DIGEST_CHUNKS[name]
-        dd = duck_digest_chunked(con, sql, col, k)
+        dd = duck_digest_chunked(con, sql, *DUCK_DIGEST_CHUNKS[name])
     else:
         dd = duck_digest(con, sql)
     sd = spark_digest(sdf)

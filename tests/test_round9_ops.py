@@ -214,6 +214,13 @@ def test_duck_digest_chunked_matches_monolithic(sf_dir):
     assert mono[0] > 0  # non-trivial input
     assert duck_digest_chunked(con, sql, "doc_id", 16) == mono
     assert duck_digest_chunked(con, sql, "doc_id", 3) == mono
+    # source-filtered form (r9): the filter lands INSIDE the documents
+    # scan — the only form whose per-pass memory is actually 1/k (the
+    # outer-filter form recomputes the full md5 explosion every pass:
+    # DuckDB does not push the outer predicate through the unnest)
+    assert duck_digest_chunked(con, sql, "doc_id", 7, "documents") == mono
+    assert duck_digest_chunked(
+        con, sql, "doc_id", 64, "documents") == mono
 
 
 # ----------------------- as-of auto-dispatch (r8 VERDICT #2)
