@@ -232,18 +232,25 @@ def duck_digest(con, sql):
 #: because doc_id partitions every downstream operator).
 DUCK_DIGEST_CHUNKS: dict[str, tuple] = {
     "q48_winnowing_fingerprints": ("doc_id", 64, "documents"),
+    # id == p_partkey, so part-source chunking partitions the recursion:
+    # each pass prices 1/64 of the options (the DuckDB side's memory and
+    # working-set bound at sf100, mirroring the engine side's chunks)
+    "q120_binomial_american": ("id", 64, "part", "p_partkey"),
 }
 
 
-def duck_digest_chunked(con, sql, col, k, table=None):
-    """Additive (count, hashsum1, hashsum2) over ``col % k`` chunks."""
+def duck_digest_chunked(con, sql, col, k, table=None, src_col=None):
+    """Additive (count, hashsum1, hashsum2) over ``col % k`` chunks.
+    ``src_col`` names the chunk column INSIDE ``table`` when it differs
+    from the output column (e.g. q120: output ``id`` = source
+    ``p_partkey``)."""
     n = s1 = s2 = 0
     for i in range(k):
         if table is None:
             part = f"SELECT * FROM ({sql}) WHERE ({col}) % {k} = {i}"
         else:
             src = (f"FROM (SELECT * FROM {table} "
-                   f"WHERE ({col}) % {k} = {i}) {table}")
+                   f"WHERE ({src_col or col}) % {k} = {i}) {table}")
             assert sql.count(f"FROM {table}") == 1, (
                 f"source-chunked digest needs exactly one 'FROM {table}'")
             part = sql.replace(f"FROM {table}", src)

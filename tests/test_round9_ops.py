@@ -399,3 +399,23 @@ def test_star_cc_auto_dispatch_stays_monolithic_on_small_graphs(spark):
     out = dedup.connected_components_star(e, _stats=stats)
     assert "chunk_classes" not in stats  # monolithic path ran
     assert {r.cluster for r in out.collect()} == {1}
+
+
+def test_q120_source_chunked_digest_matches(sf_dir):
+    """q120's sf100 oracle config: part-source chunking must partition
+    the recursive pricing exactly (output id == source p_partkey)."""
+    import __spark_entry__ as entry
+    from tests.oracle_harness import (
+        duck_connection,
+        duck_digest,
+        duck_digest_chunked,
+    )
+
+    sql = entry.oracle_sql()["q120_binomial_american"]
+    con = duck_connection(sf_dir)
+    mono = duck_digest(con, sql)
+    assert mono[0] > 0
+    assert duck_digest_chunked(
+        con, sql, "id", 5, "part", "p_partkey") == mono
+    assert duck_digest_chunked(
+        con, sql, "id", 64, "part", "p_partkey") == mono
