@@ -239,6 +239,30 @@ DUCK_DIGEST_CHUNKS: dict[str, tuple] = {
 }
 
 
+#: Spark-side twin of DUCK_DIGEST_CHUNKS: run the engine digest as k
+#: sequential passes filtered by ``col % k`` — Catalyst pushes the
+#: deterministic partition-key predicate below the query's windows and
+#: aggregates to the parquet scan (plan-verified), so one pass's shuffle
+#: is ~1/k of the monolithic digest. Needed where the ENGINE side's
+#: scratch exceeds the box at sf100 (q48: the winnowing window sorts
+#: every document position — ~500 GB of shuffle monolithically).
+SPARK_DIGEST_CHUNKS: dict[str, tuple] = {
+    "q48_winnowing_fingerprints": ("doc_id", 24),
+}
+
+
+def spark_digest_chunked(sdf, col, k):
+    """Additive (count, hashsum1, hashsum2) over ``col % k`` passes."""
+    from pyspark.sql import functions as F
+
+    n = s1 = s2 = 0
+    for i in range(k):
+        part = sdf.filter(F.pmod(F.col(col), F.lit(k)) == i)
+        cn, c1, c2 = spark_digest(part)
+        n, s1, s2 = n + cn, s1 + c1, s2 + c2
+    return (n, s1, s2)
+
+
 def duck_digest_chunked(con, sql, col, k, table=None, src_col=None):
     """Additive (count, hashsum1, hashsum2) over ``col % k`` chunks.
     ``src_col`` names the chunk column INSIDE ``table`` when it differs
@@ -275,7 +299,10 @@ def compare_query_digest(spark, con, fn, sql, name="", sf_dir=None):
         dd = duck_digest_chunked(con, sql, *DUCK_DIGEST_CHUNKS[name])
     else:
         dd = duck_digest(con, sql)
-    sd = spark_digest(sdf)
+    if name in SPARK_DIGEST_CHUNKS:
+        sd = spark_digest_chunked(sdf, *SPARK_DIGEST_CHUNKS[name])
+    else:
+        sd = spark_digest(sdf)
     if sd[0] != dd[0]:
         report["ok"] = False
         report["errors"].append(

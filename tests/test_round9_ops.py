@@ -419,3 +419,14 @@ def test_q120_source_chunked_digest_matches(sf_dir):
         con, sql, "id", 5, "part", "p_partkey") == mono
     assert duck_digest_chunked(
         con, sql, "id", 64, "part", "p_partkey") == mono
+
+
+def test_spark_digest_chunked_matches_monolithic(spark, sf_dir):
+    import __spark_entry__ as entry
+    from tests.oracle_harness import spark_digest, spark_digest_chunked
+
+    sdf = entry.queries()["q48_winnowing_fingerprints"](spark, sf_dir)
+    mono = spark_digest(sdf)
+    assert mono[0] > 0
+    assert spark_digest_chunked(sdf, "doc_id", 5) == mono
+    assert spark_digest_chunked(sdf, "doc_id", 24) == mono
