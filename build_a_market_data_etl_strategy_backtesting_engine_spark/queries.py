@@ -8446,3 +8446,67 @@ def q174(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
         "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
     )
+
+
+@_register(
+    "q175_asof_enrich_auto",
+    f"""
+    WITH {TICKS_CTE},
+    ck AS (SELECT * FROM ticks WHERE symbol IN ('cart', 'purchase')),
+    tr AS (SELECT symbol, ts, seq, price, volume FROM ck
+           WHERE seq % 11 = 0),
+    qt AS (SELECT symbol, ts - INTERVAL 20 SECONDS AS ts,
+                  max(price) - 2.0e-2 AS bid,
+                  max(price) + 2.0e-2 AS ask
+           FROM ck GROUP BY symbol, ts),
+    j AS (SELECT t.symbol, t.ts, t.seq, t.price, t.volume,
+                 q.ts AS q_ts, q.bid, q.ask
+          FROM tr t ASOF LEFT JOIN qt q
+            ON t.symbol = q.symbol AND q.ts <= t.ts),
+    tol AS (SELECT symbol, ts, seq, price, volume,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN q_ts END AS q_ts,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN bid END AS bid,
+                   CASE WHEN q_ts >= ts - INTERVAL 2 MINUTES
+                        THEN ask END AS ask
+            FROM j)
+    SELECT symbol, epoch_us(ts) AS ts_us, seq, price, volume, bid, ask,
+           round((bid + ask) / 2.0e0, 8) AS mid,
+           round(ask - bid, 8) AS spread,
+           epoch_us(ts) - epoch_us(q_ts) AS quote_age_us
+    FROM tol
+    """,
+)
+def q175(spark, sf_dir):
+    """The UNIFIED as-of entry point (streaming/joins.py asof_enrich,
+    r9 VERDICT #2) in auto mode: estimates the hottest symbol's quote
+    density x tolerance (estimate_quote_density — one map-combinable
+    agg, one driver row per symbol) and picks the interval-join shape
+    below DEFAULT_MAX_JOIN_AMPLIFICATION, the merge shape above it.
+    Whichever implementation auto selects at this SF, the output is the
+    same ASOF-LEFT-JOIN-with-tolerance semantics the q163/q174 pairs pin
+    for the forced shapes — which is exactly what this pair verifies
+    end-to-end through the driver harness."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (
+        asof_enrich,
+    )
+
+    ck = _ticks(spark, sf_dir).filter(
+        F.col("symbol").isin("cart", "purchase"))
+    trades = ck.filter(F.col("seq") % 11 == 0)
+    quotes = (
+        ck.groupBy("symbol", "ts")
+        .agg(F.max("price").alias("_p"))
+        .select(
+            "symbol",
+            (F.col("ts") - F.expr("INTERVAL 20 SECONDS")).alias("ts"),
+            (F.col("_p") - 0.02).alias("bid"),
+            (F.col("_p") + 0.02).alias("ask"),
+        )
+    )
+    out = asof_enrich(trades, quotes, tolerance="2 minutes", mode="auto")
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
+        "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
+    )
