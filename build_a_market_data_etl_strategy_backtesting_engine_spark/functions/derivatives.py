@@ -482,8 +482,14 @@ def binomial_american(
             free = 32 << 30
         scratch_budget_bytes = min(16 << 30, max(free // 2, 1 << 30))
     if chunk_rows is None:
-        per_opt = (int(n_steps) + 1) ** 2 * 8
-        chunk_rows = max(50_000, int(scratch_budget_bytes) // per_opt)
+        # live scratch model: (n_steps+1) materialized rows per option,
+        # each carrying the array(n_steps+1) payload, TIMES ~3 for the
+        # recursion's retained shuffle files + checkpoint blocks before
+        # the async cleaner drains them (r9: sized at 1x, a 317k-option
+        # chunk at 64 steps — model 10.7 GB — still died on a 20 GB-free
+        # box inside the first chunk; the overhead is real)
+        per_opt = (int(n_steps) + 1) ** 2 * 8 * 3
+        chunk_rows = max(10_000, int(scratch_budget_bytes) // per_opt)
     if chunk_rows and n_opts > chunk_rows:
         from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.dedup import (  # noqa: E501
             _release_iteration_scratch,
