@@ -193,7 +193,8 @@ def _resolve_prefer(prefer: str | None) -> str:
     return prefer
 
 
-def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
+def decode_image_array(content: bytes, prefer: str | None = None,
+                       upsample: str = "box") -> np.ndarray:
     """Dispatch decode to an (H, W, C) uint8 array.
 
     BMP / binary PPM / PGM always decode natively (header + frombuffer —
@@ -211,6 +212,11 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
       operators/png.py: deterministic, golden-pinned — what the codec
       parity tests and fixtures run); PIL only for what they reject
       (12-bit / arithmetic-coded / CMYK JPEG, exotic PNG color modes).
+
+    ``upsample`` selects the native JPEG chroma filter ("box" default —
+    golden-pinned; "triangle" matches libjpeg/ImageIO, see
+    ``jpeg._upsample_plane``); the PIL path ignores it (PIL always
+    upsamples fancy).
 
     Either way a decode failure on one path falls through to the other;
     a payload neither path can decode raises ``ValueError`` (PIL present,
@@ -249,7 +255,7 @@ def decode_image_array(content: bytes, prefer: str | None = None) -> np.ndarray:
         )
 
         try:
-            return jpeg.decode_jpeg(bytes(content))
+            return jpeg.decode_jpeg(bytes(content), upsample=upsample)
         except NotImplementedError:
             pass  # 12-bit / arithmetic / CMYK -> PIL fallback below
         except (ValueError, IndexError, KeyError, struct.error):

@@ -430,3 +430,26 @@ def test_spark_digest_chunked_matches_monolithic(spark, sf_dir):
     assert mono[0] > 0
     assert spark_digest_chunked(sdf, "doc_id", 5) == mono
     assert spark_digest_chunked(sdf, "doc_id", 24) == mono
+
+
+def test_dispatch_threads_upsample_to_native_jpeg():
+    """decode_image_array(upsample=...) reaches the native JPEG kernel
+    (PNG/BMP have no chroma subsampling — unaffected)."""
+    import numpy as np
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        jpeg,
+        multimodal,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :8] = [255, 0, 0]
+    img[:, 8:] = [0, 0, 255]
+    payload = jpeg.encode_jpeg(img, quality=85)
+    box = multimodal.decode_image_array(payload, prefer="native")
+    tri = multimodal.decode_image_array(payload, prefer="native",
+                                        upsample="triangle")
+    assert box.shape == tri.shape == (16, 16, 3)
+    assert not np.array_equal(box, tri)  # 4:2:0 edge differs by filter
+    assert np.array_equal(
+        box, jpeg.decode_jpeg(payload))  # default stays box
