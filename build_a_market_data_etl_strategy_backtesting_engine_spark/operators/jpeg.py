@@ -550,13 +550,15 @@ def _upsample_plane(p: np.ndarray, sv: int, sh: int,
       opt-in that makes the 4:2:0 foreign-fixture comparison tight in
       full RGB, not just luma).
     """
+    # validate BEFORE the full-resolution early return so an invalid mode
+    # fails consistently on 4:4:4/grayscale too (r9 ADVICE)
+    if mode not in ("box", "triangle"):
+        raise ValueError(
+            f"upsample={mode!r}: expected 'box' or 'triangle'")
     if sv == 1 and sh == 1:
         return p
     if mode == "box":
         return np.repeat(np.repeat(p, sv, axis=0), sh, axis=1)
-    if mode != "triangle":
-        raise ValueError(
-            f"upsample={mode!r}: expected 'box' or 'triangle'")
     return _tri_axis(_tri_axis(p, sv, 0), sh, 1)
 
 

@@ -372,10 +372,12 @@ def image_features(media: DataFrame, prefer: str | None = None) -> DataFrame:
     # fail-fast on the driver: a typo'd prefer/env must not become a
     # silent all-rows decode_ok=false run (r8 ADVICE). When prefer is
     # None the executors re-resolve their own env (which may legitimately
-    # differ from the driver's); an invalid executor value raises
-    # TypeError there — outside the per-row catch tuple below.
+    # differ from the driver's), so validate WITHOUT rebinding — the
+    # closure must ship prefer=None, not the driver's env resolution
+    # (r9 ADVICE). An invalid executor value raises TypeError there —
+    # outside the per-row catch tuple below.
     if prefer is not None or os.environ.get(PREFER_ENV) is not None:
-        prefer = _resolve_prefer(prefer)
+        _resolve_prefer(prefer)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

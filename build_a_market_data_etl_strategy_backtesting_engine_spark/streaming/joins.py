@@ -352,7 +352,6 @@ def estimate_quote_density(
 
 
 def select_asof_mode(
-    trades: DataFrame,
     quotes: DataFrame,
     tolerance: str = "5 minutes",
     density_sample: DataFrame | None = None,
@@ -362,13 +361,15 @@ def select_asof_mode(
 ) -> str:
     """Pick ``"join"`` or ``"merge"`` for :func:`asof_enrich`'s auto mode.
 
-    The estimate source is ``density_sample`` when given (required to get
-    a join on a streaming pair — a stream cannot be eagerly sampled),
-    else the batch ``quotes`` frame itself. With NO estimable source
-    (streaming quotes, no sample) the answer is ``"merge"``: its
-    O(trades + quotes) cost is density-independent, so it is the only
-    safe blind default — the join shape's failure mode is a micro-batch
-    that never finishes (measured r8)."""
+    The decision depends ONLY on the quotes side (the trades side never
+    enters the amplification model — r9 ADVICE dropped the misleading
+    ``trades`` parameter). The estimate source is ``density_sample`` when
+    given (required to get a join on a streaming pair — a stream cannot
+    be eagerly sampled), else the batch ``quotes`` frame itself. With NO
+    estimable source (streaming quotes, no sample) the answer is
+    ``"merge"``: its O(trades + quotes) cost is density-independent, so
+    it is the only safe blind default — the join shape's failure mode is
+    a micro-batch that never finishes (measured r8)."""
     sample = density_sample
     if sample is None and not quotes.isStreaming:
         sample = quotes
@@ -420,7 +421,7 @@ def asof_enrich(
             "'merge'")
     if mode == "auto":
         mode = select_asof_mode(
-            trades, quotes, tolerance,
+            quotes, tolerance,
             density_sample=density_sample,
             max_join_amplification=max_join_amplification,
             ts_col=ts_col, symbol_col=symbol_col)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -273,11 +274,14 @@ def duck_digest_chunked(con, sql, col, k, table=None, src_col=None):
         if table is None:
             part = f"SELECT * FROM ({sql}) WHERE ({col}) % {k} = {i}"
         else:
+            # word-boundary match so 'FROM part' never rewrites a longer
+            # identifier like 'FROM partsupp' (r9 ADVICE)
+            pat = re.compile(rf"FROM {table}\b")
             src = (f"FROM (SELECT * FROM {table} "
                    f"WHERE ({src_col or col}) % {k} = {i}) {table}")
-            assert sql.count(f"FROM {table}") == 1, (
+            assert len(pat.findall(sql)) == 1, (
                 f"source-chunked digest needs exactly one 'FROM {table}'")
-            part = sql.replace(f"FROM {table}", src)
+            part = pat.sub(src, sql)
         cn, c1, c2 = duck_digest(con, part)
         n, s1, s2 = n + cn, s1 + c1, s2 + c2
     return (n, s1, s2)

@@ -254,12 +254,12 @@ def test_asof_auto_selects_join_on_sparse_merge_on_dense(spark):
 
     trades, sparse_q, dense_q = _enrich_frames(spark)
     # sparse: ~1.33 quotes/min x 2 min tolerance ~ 2.7 << 32 -> join
-    assert sjoins.select_asof_mode(trades, sparse_q, "2 minutes") == "join"
+    assert sjoins.select_asof_mode(sparse_q, "2 minutes") == "join"
     # dense: 40 quotes/s x 120 s ~ 4800 >> 32 -> merge
-    assert sjoins.select_asof_mode(trades, dense_q, "2 minutes") == "merge"
+    assert sjoins.select_asof_mode(dense_q, "2 minutes") == "merge"
     # the ceiling is a parameter, not a constant
     assert sjoins.select_asof_mode(
-        trades, dense_q, "2 minutes", max_join_amplification=1e7) == "join"
+        dense_q, "2 minutes", max_join_amplification=1e7) == "join"
 
 
 def test_asof_auto_output_matches_forced_modes(spark):
@@ -296,11 +296,17 @@ def test_asof_forced_join_on_dense_feed_warns(spark):
     with pytest.warns(UserWarning, match="quote density"):
         sjoins.asof_enrich(trades, dense_q, tolerance="2 minutes",
                            mode="join")
-    # sparse feed: no warning
+    # sparse feed: no warning. Error ONLY on UserWarning — a blanket
+    # simplefilter("error") also errored a py4j socket's GC-time
+    # ResourceWarning inside the block, surfacing as an unraisable
+    # exception (the r9 suite's one warning). Collect pending finalizers
+    # first so no stale socket is destroyed inside the filter window.
+    import gc
     import warnings as _w
 
+    gc.collect()
     with _w.catch_warnings():
-        _w.simplefilter("error")
+        _w.simplefilter("error", UserWarning)
         sjoins.asof_enrich(trades, sparse_q, tolerance="2 minutes",
                            mode="join")
 
@@ -318,13 +324,13 @@ def test_asof_streaming_without_sample_defaults_to_merge(spark):
         F.col("timestamp").alias("ts"), F.lit("A").alias("symbol"),
         F.col("value").alias("seq"), F.lit(100.0).alias("price"),
         F.lit(1.0).alias("volume"))
-    assert sjoins.select_asof_mode(st, sq, "1 minute") == "merge"
+    assert sjoins.select_asof_mode(sq, "1 minute") == "merge"
     # a static density sample re-enables the join choice on sparse feeds
     _, sparse_q, dense_q = _enrich_frames(spark)
     assert sjoins.select_asof_mode(
-        st, sq, "2 minutes", density_sample=sparse_q) == "join"
+        sq, "2 minutes", density_sample=sparse_q) == "join"
     assert sjoins.select_asof_mode(
-        st, sq, "2 minutes", density_sample=dense_q) == "merge"
+        sq, "2 minutes", density_sample=dense_q) == "merge"
 
 
 def test_asof_enrich_rejects_unknown_mode(spark):

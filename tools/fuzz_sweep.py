@@ -1145,7 +1145,91 @@ def t_cc_chunked_sql(p):
     FROM r JOIN heads h ON h.hrid = r.rid - (r.rid % {gap})"""
 
 
+def t_asof_auto_spark(spark, sf_dir, p):
+    """auto-dispatch boundary fuzz (r9 VERDICT #7): randomize the quote
+    density (qmod x tol) AND the amplification ceiling around the
+    dispatch boundary, then pin ALL THREE modes (auto + both forced) of
+    the same frame against one SQL oracle — transitively auto == join ==
+    merge, with the boundary crossed in both directions across seeds."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (  # noqa: E501
+        asof_enrich,
+    )
+
+    ck = _ticks(spark, sf_dir).filter(F.col("symbol") == "click")
+    trades = ck.filter(F.col("seq") % p["mod"] == 0)
+    quotes = (
+        ck.filter(F.pmod("seq", F.lit(p["qmod"])) == 0)
+        .groupBy("symbol", "ts")
+        .agg(F.max("price").alias("_p"))
+        .select(
+            "symbol",
+            (F.col("ts") - F.expr(f"INTERVAL {p['shift']} SECONDS"))
+            .alias("ts"),
+            (F.col("_p") - 0.01).alias("bid"),
+            (F.col("_p") + 0.01).alias("ask"),
+        )
+    )
+    tol = f"{p['tol']} seconds"
+    outs = []
+    with warnings.catch_warnings():
+        # forcing "join" above the sampled ceiling legitimately warns
+        warnings.simplefilter("ignore", UserWarning)
+        for m in ("auto", "join", "merge"):
+            out = asof_enrich(trades, quotes, tolerance=tol, mode=m,
+                              max_join_amplification=p["amp"])
+            outs.append(out.withColumn("mode", F.lit(m)))
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return u.select(
+        "mode", "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
+        "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us")
+
+
+def t_asof_auto_sql(p):
+    mod, qmod, shift, tol = p["mod"], p["qmod"], p["shift"], p["tol"]
+    return f"""
+    WITH {_ticks_cte()},
+    ck AS (SELECT * FROM ticks WHERE symbol = 'click'),
+    tr AS (SELECT symbol, ts, seq, price, volume FROM ck
+           WHERE seq % {mod} = 0),
+    qt AS (SELECT symbol, ts - INTERVAL {shift} SECONDS AS ts,
+                  max(price) - 1.0e-2 AS bid,
+                  max(price) + 1.0e-2 AS ask
+           FROM ck WHERE seq % {qmod} = 0 GROUP BY symbol, ts),
+    j AS (SELECT t.symbol, t.ts, t.seq, t.price, t.volume,
+                 q.ts AS q_ts, q.bid, q.ask
+          FROM tr t ASOF LEFT JOIN qt q
+            ON t.symbol = q.symbol AND q.ts <= t.ts),
+    tol AS (SELECT symbol, ts, seq, price, volume,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN q_ts END AS q_ts,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN bid END AS bid,
+                   CASE WHEN q_ts >= ts - INTERVAL {tol} SECONDS
+                        THEN ask END AS ask
+            FROM j)
+    SELECT m.mode, symbol, epoch_us(ts) AS ts_us, seq, price, volume,
+           bid, ask,
+           round((bid + ask) / 2.0e0, 8) AS mid,
+           round(ask - bid, 8) AS spread,
+           epoch_us(ts) - epoch_us(q_ts) AS quote_age_us
+    FROM tol CROSS JOIN (VALUES ('auto'), ('join'), ('merge'))
+        AS m(mode)"""
+
+
 TARGETS.update({
+    "asof_auto": {
+        "sample": lambda r: {"mod": r.choice([5, 10, 20]),
+                             "qmod": r.choice([1, 2, 5]),
+                             "shift": r.choice([10, 30, 90]),
+                             "tol": r.choice([5, 30, 120, 600]),
+                             "amp": r.choice([1.0, 4.0, 32.0, 256.0,
+                                              1e6])},
+        "spark": t_asof_auto_spark, "sql": t_asof_auto_sql,
+    },
     "binom_chunked": {
         "sample": lambda r: {"n": r.randint(25, 70),
                              "steps": r.choice([8, 12, 16, 24]),
