@@ -219,6 +219,44 @@ def _contaminated(load1_start: float) -> bool:
     return load1_start > LOAD1_CONTAMINATION_THRESHOLD
 
 
+#: self-deferral target — below the contamination threshold so a run
+#: that starts right at the target has headroom before the flag trips.
+LOAD1_IDLE_TARGET = 1.5
+DEFER_MAX_S = 180.0
+DEFER_POLL_S = 5.0
+
+
+def defer_until_idle(max_wait_s: float = DEFER_MAX_S,
+                     target: float = LOAD1_IDLE_TARGET,
+                     poll_s: float = DEFER_POLL_S,
+                     loadavg=None, sleep=time.sleep) -> dict:
+    """Bounded pre-run deferral (r9 VERDICT #2): poll the 1-min loadavg
+    until it drops below ``target`` or ``max_wait_s`` elapses, so the
+    COMMITTED bench artifact is the cross-round-comparable one instead of
+    only a NOTES idle rep. Returns a provenance dict recording what was
+    waited and whether the box ever went idle — a gave-up run still
+    executes (and still self-flags contaminated downstream); deferral
+    changes when we measure, never whether.
+
+    ``loadavg``/``sleep`` are injectable for the mocked-loadavg test."""
+    load = loadavg if loadavg is not None else (
+        lambda: os.getloadavg()[0])
+    start = load()
+    cur = start
+    waited = 0.0
+    while cur > target and waited < max_wait_s:
+        step = min(poll_s, max_wait_s - waited)
+        sleep(step)
+        waited += step
+        cur = load()
+    return {
+        "load1_initial": round(start, 2),
+        "load1_final": round(cur, 2),
+        "waited_s": round(waited, 1),
+        "gave_up": cur > target,
+    }
+
+
 BENCHES = {
     "clean_ohlcv": bench_clean_ohlcv,
     "backtest_metrics": bench_backtest_metrics,
@@ -239,6 +277,15 @@ BENCHES = {
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # self-defer BEFORE any Spark work so ambient load (another round's
+    # leftover job, a CI neighbor) can clear; bounded so the driver's
+    # bench step never hangs
+    deferral = defer_until_idle()
+    if deferral["waited_s"] > 0:
+        print(f"bench: deferred {deferral['waited_s']}s for load1 "
+              f"{deferral['load1_initial']} -> {deferral['load1_final']}"
+              f"{' (gave up)' if deferral['gave_up'] else ''}",
+              file=sys.stderr)
     spark = get_spark("bench", master=f"local[{cpus}]")
     # Warm-up: parquet footers + one untimed pass of the first workload so
     # the timed numbers measure steady-state execution, not whole-stage
@@ -334,6 +381,9 @@ def main():
             # comparison rule is enforced by the tool, not by whoever
             # reads SCALING.md
             "contaminated": contaminated,
+            # bounded pre-run idle wait (r9 VERDICT #2): what the tool
+            # waited for the box to go idle before the first workload
+            "deferral": deferral,
         },
         "config": {
             "spark": spark.version,
