@@ -130,6 +130,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     doc_id_col: str = "doc_id",
     max_band_df: int | None = None,
+    chunk_ranges: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any full band become candidate
@@ -148,9 +149,11 @@ def lsh_candidate_pairs(
     same band key the join already shuffles on.
 
     At 100TB the band tables are written bucketed by band hash so repeated
-    dedup runs skip the shuffle."""
+    dedup runs skip the shuffle. ``chunk_ranges`` passes through to the
+    sequential band-range execution (see ``lsh_pairs_from_bands``)."""
     banded = band_table(signatures, num_hashes, bands, doc_id_col)
-    return lsh_pairs_from_bands(banded, max_band_df=max_band_df)
+    return lsh_pairs_from_bands(banded, max_band_df=max_band_df,
+                                chunk_ranges=chunk_ranges)
 
 
 def band_table(
@@ -187,10 +190,29 @@ def band_table(
 def lsh_pairs_from_bands(
     banded: DataFrame,
     max_band_df: int | None = None,
+    chunk_ranges: int | None = None,
 ) -> DataFrame:
     """Pair-generation half of ``lsh_candidate_pairs``: takes a (doc,
     band, bh) frame — freshly computed or re-opened from a bucketed
-    table — applies the optional stop-band cap, and joins."""
+    table — applies the optional stop-band cap, and joins.
+
+    ``chunk_ranges`` (r10, the chunked-execution pattern's third target —
+    after the binomial pricer and the star-CC rounds): when > 1, the
+    band-bucket space is partitioned into that many ``xxhash64(band, bh)``
+    hash classes and the pair join runs as SEQUENTIAL per-class passes
+    over a parquet-spilled band table, each pass's output appended to a
+    pair spill; a final per-``(doc_a, doc_b)``-class combine sums the
+    per-pass partial ``n_shared_bands``. A pair lives in EXACTLY the
+    band buckets that generate it and every row of one bucket shares the
+    bucket's hash class, so the passes partition the pair-join work with
+    no pair lost or double-counted after the combine — the output is
+    row-identical to the monolithic join (pinned by pytest). The live
+    shuffle of one pass is ~1/chunk_ranges of the monolithic join, which
+    is the whole point: the monolithic pair join is the one stage of the
+    near-dup pipeline that doc-chunking cannot partition (a pair spans
+    doc classes), measured disk-dead at sf100 on a 20 GB-free box (r9).
+    The stop-band cap stays exact: all rows of a (band, bh) bucket land
+    in one pass, so the per-pass document frequency IS the global one."""
     if max_band_df is not None:
         bdf = banded.groupBy("band", "bh").agg(
             F.count(F.lit(1)).alias("_df"))
@@ -199,6 +221,8 @@ def lsh_pairs_from_bands(
                         ["band", "bh"])
             .select("doc", "band", "bh")
         )
+    if chunk_ranges is not None and chunk_ranges > 1:
+        return _lsh_pairs_chunked(banded, int(chunk_ranges))
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = (
@@ -209,6 +233,78 @@ def lsh_pairs_from_bands(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     return pairs
+
+
+def estimate_band_pair_multiplicity(banded: DataFrame) -> int:
+    """EXACT pre-combine output cardinality of the band pair join:
+    sum over (band, bh) buckets of C(d, 2). One map-combinable agg over
+    the band table — knowable BEFORE the join runs, which is what makes
+    the chunked pair join auto-sizable (the join's input is tiny; its
+    OUTPUT is the scratch bound)."""
+    row = (banded.groupBy("band", "bh")
+           .agg(F.count(F.lit(1)).alias("d"))
+           .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("m"))
+           .first())
+    return int(row["m"] or 0)
+
+
+def _lsh_pairs_chunked(banded: DataFrame, k: int) -> DataFrame:
+    """Sequential band-range pair join (see ``lsh_pairs_from_bands``).
+
+    Phases, each bounded to ~1/k of the monolithic join's live scratch:
+
+    1. spill the (doc, band, bh) table to parquet once (16 B/row zstd);
+    2. for each ``xxhash64(band, bh) % k`` class: self-join that class's
+       buckets only, aggregate partial per-pair band counts, append to a
+       pair spill — ONE pass's shuffle is bounded by its class's
+       C(d, 2) sum;
+    3. for each ``xxhash64(doc_a, doc_b) % k`` class: sum the partials
+       (a pair surfacing in several bands may land in several passes;
+       its combine rows all share the pair hash, so the per-class
+       groupBy is exactly the global one), append to the result spill.
+
+    Returns a DataFrame scanning the result spill (cleaned at process
+    exit, same contract as the chunked pricer's spill dirs)."""
+    import uuid as _uuid
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.derivatives import (  # noqa: E501
+        _register_spill_dir,
+    )
+
+    spark = banded.sparkSession
+    scratch = str(spark.conf.get("spark.local.dir", "/tmp")).split(",")[0]
+    base = f"{scratch}/sg_lshpairs_{_uuid.uuid4().hex[:12]}"
+    _register_spill_dir(base)
+
+    banded.write.parquet(f"{base}/bands")
+    bands_r = spark.read.parquet(f"{base}/bands")
+    cls = F.pmod(F.xxhash64("band", "bh"), F.lit(k))
+    partial_schema = None
+    for i in range(k):
+        b_i = bands_r.filter(cls == i)
+        a = b_i.alias("a")
+        b_ = b_i.alias("b")
+        p_i = (
+            a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+        partial_schema = p_i.schema
+        p_i.write.mode("append").parquet(f"{base}/partial")
+    # explicit schema: an all-empty spill dir has no part files to infer
+    # from, and the contract is an EMPTY pair frame, not a read error
+    partials = spark.read.schema(partial_schema).parquet(f"{base}/partial")
+    pcls = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(k))
+    for j in range(k):
+        (partials.filter(pcls == j)
+         .groupBy("doc_a", "doc_b")
+         .agg(F.sum("n_shared_bands").cast("long")
+              .alias("n_shared_bands"))
+         .write.mode("append").parquet(f"{base}/pairs"))
+    return spark.read.schema(partial_schema).parquet(f"{base}/pairs")
 
 
 def minhash_similarity(
@@ -367,6 +463,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def chunked_jaccard_edges(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    chunk_classes: int = 1,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Verify stage of the near-dup pipeline with bounded live scratch:
+    exact n-gram Jaccard over the candidate pairs, thresholded to the
+    edge set fed to connected components — executed as ``chunk_classes``
+    SEQUENTIAL ``xxhash64(doc_a, doc_b)`` hash-class passes.
+
+    The verify join's intermediate is Σ_pairs |grams(doc)| rows — the
+    gram-amplified twin of the pair join, and the second stage of the
+    r9 sf100 disk death. Jaccard of one pair depends only on that pair's
+    two gram sets, so the pair space partitions freely by pair hash; per
+    pass, docs are first semi-joined to the pass's candidate ids so the
+    gram explode touches only documents that pass actually verifies
+    (grams per doc are identical whatever subset they're computed in —
+    per-class verify == monolithic verify, pinned by pytest).
+
+    ``chunk_classes=1`` is the plain monolithic expression (returned
+    lazily, no spill); > 1 spills the per-class edges to parquet and
+    returns a frame scanning the spill."""
+    def _edges(p: DataFrame, d: DataFrame) -> DataFrame:
+        jac = ngram_jaccard_pairs(d, p, n, text_col, doc_id_col)
+        return (jac.filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b"))
+
+    if chunk_classes <= 1:
+        return _edges(candidate_pairs, docs)
+
+    import uuid as _uuid
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.derivatives import (  # noqa: E501
+        _register_spill_dir,
+    )
+
+    spark = docs.sparkSession
+    scratch = str(spark.conf.get("spark.local.dir", "/tmp")).split(",")[0]
+    base = f"{scratch}/sg_jacverify_{_uuid.uuid4().hex[:12]}"
+    _register_spill_dir(base)
+    pcls = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(chunk_classes))
+    schema = None
+    for j in range(chunk_classes):
+        p_j = candidate_pairs.filter(pcls == j)
+        ids = (p_j.select(F.col("doc_a").alias(doc_id_col))
+               .union(p_j.select(F.col("doc_b").alias(doc_id_col)))
+               .distinct())
+        d_j = docs.join(ids, doc_id_col, "left_semi")
+        e_j = _edges(p_j, d_j)
+        schema = e_j.schema
+        e_j.write.mode("append").parquet(f"{base}/edges")
+    return spark.read.schema(schema).parquet(f"{base}/edges")
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(
@@ -422,6 +576,46 @@ def embedding_near_dups(
                 (dot / (na * nb)).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def spill_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
+    """Materialize ``df`` ONCE to a process-lifetime parquet spill and
+    return a frame scanning it — the chunked-execution building block
+    for inputs that sequential passes re-filter many times (re-scanning
+    a parquet spill is ~free; re-computing a join pipeline per pass is
+    not). The dir is swept at interpreter exit, same contract as the
+    chunked pricer's spills."""
+    import uuid as _uuid
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.functions.derivatives import (  # noqa: E501
+        _register_spill_dir,
+    )
+
+    spark = df.sparkSession
+    scratch = str(spark.conf.get("spark.local.dir", "/tmp")).split(",")[0]
+    path = f"{scratch}/sg_{tag}_{_uuid.uuid4().hex[:12]}"
+    _register_spill_dir(path)
+    df.write.parquet(path)
+    return spark.read.schema(df.schema).parquet(path)
+
+
+def box_scratch_budget(spark, override: int | None = None) -> int:
+    """Box-adaptive live-scratch budget shared by every chunked-execution
+    operator (binomial pricer, star-CC rounds, band pair join):
+    ``min(16 GiB, free/2)`` on the Spark scratch volume, floor 1 GiB —
+    the r9-measured rule that kept the 2M-option pricer alive on a
+    20 GB-free box."""
+    if override is not None:
+        return int(override)
+    import shutil as _sh
+
+    scratch = str(spark.conf.get(
+        "spark.local.dir", "/tmp")).split(",")[0]
+    try:
+        free = _sh.disk_usage(scratch).free
+    except OSError:
+        free = 32 << 30
+    return min(16 << 30, max(free // 2, 1 << 30))
 
 
 def _release_iteration_scratch(df: DataFrame) -> None:
@@ -566,16 +760,8 @@ def connected_components_star(
     )
     if chunk_classes is None:
         spark = edges.sparkSession
-        if scratch_budget_bytes is None:
-            import shutil as _sh
-
-            scratch = str(spark.conf.get(
-                "spark.local.dir", "/tmp")).split(",")[0]
-            try:
-                free = _sh.disk_usage(scratch).free
-            except OSError:
-                free = 32 << 30
-            scratch_budget_bytes = min(16 << 30, max(free // 2, 1 << 30))
+        scratch_budget_bytes = box_scratch_budget(
+            spark, scratch_budget_bytes)
         # ~300 B of live shuffle/spill per canonical edge per round
         # (symmetrize x2, three join/agg stages, row overhead) — the
         # estimate that retrodicts the measured 53 GB at ~180M edges

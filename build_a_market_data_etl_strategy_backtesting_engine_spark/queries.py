@@ -1304,22 +1304,16 @@ def _minhash_bands_sql() -> str:
     """
 
 
-def _banded_same_source_cand(d):
-    """Bounded candidate generation for the near-dup verify/cluster
-    pipelines (q80/q135/q139/q146): a pair is a candidate iff the docs
-    share >= 1 md5 minhash band (the q29 LSH path) AND a source. The
-    r4-era per-source all-pairs join was quadratic within a source group
-    — the 10x rehearsal hung on it (10k docs/source -> 50M pairs per
-    source); band buckets are uniform hashes, so the candidate set stays
-    near-linear and the verify stage touches candidates only, matching
-    the candidates->verify architecture the engine ships everywhere
-    else. md5-portable, so the DuckDB twins build the identical set."""
+def _md5_band_table(d):
+    """(doc_id, band, bh) md5 minhash band table of the near-dup
+    pipelines — the q29 LSH shape (4+4 bands over 8 md5 minhashes),
+    md5-portable so the DuckDB twins build the identical buckets."""
     sh_ = dedup_ops.char_shingles(d, 5)
     mins = sh_.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{h}")))).alias(f"m{h}")
           for h in range(_MINHASH_PERMS)]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id", F.lit(0).alias("band"),
         F.md5(F.concat_ws("|", *[f"m{h}" for h in range(4)])).alias("bh"),
     ).unionByName(
@@ -1329,15 +1323,10 @@ def _banded_same_source_cand(d):
             .alias("bh"),
         )
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+
+def _same_source_filter(pairs, d):
+    """Keep candidate pairs whose docs share a source; attach it."""
     src = d.select("doc_id", "source")
     return (
         pairs
@@ -1348,6 +1337,95 @@ def _banded_same_source_cand(d):
         .filter(F.col("_sa") == F.col("_sb"))
         .select("doc_a", "doc_b", F.col("_sa").alias("source"))
     )
+
+
+def _banded_same_source_cand(d):
+    """Bounded candidate generation for the near-dup verify/cluster
+    pipelines (q80/q135/q139/q146): a pair is a candidate iff the docs
+    share >= 1 md5 minhash band (the q29 LSH path) AND a source. The
+    r4-era per-source all-pairs join was quadratic within a source group
+    — the 10x rehearsal hung on it (10k docs/source -> 50M pairs per
+    source); band buckets are uniform hashes, so the candidate set stays
+    near-linear and the verify stage touches candidates only, matching
+    the candidates->verify architecture the engine ships everywhere
+    else. md5-portable, so the DuckDB twins build the identical set."""
+    bands = _md5_band_table(d)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _same_source_filter(pairs, d)
+
+
+#: above this many documents the monolithic candidate pair-join +
+#: gram-verify is known disk-dead on the build box (r9: sf100's 5M docs
+#: died at 20 GB free; sf10's 500k passed) — the shared near-dup edge
+#: pipeline switches to sequential band-range / pair-class passes.
+_DUP_EDGES_MONO_MAX_DOCS = 1_000_000
+#: initial live-scratch constants for the chunk auto-sizer (measured at
+#: sf100 r10; see SCALING.md): bytes of live shuffle per pre-combine
+#: candidate pair in the band join, and per candidate-pair gram row in
+#: the verify join.
+_PAIR_JOIN_LIVE_B = 96
+_VERIFY_LIVE_B_PER_GRAM = 160
+
+
+def _dup_edges(d, chunk_ranges=None, verify_classes=None):
+    """Same-source 3-gram-Jaccard >= 0.05 near-dup EDGE SET shared by
+    q80/q135/q139/q146 — candidates (md5 LSH bands) -> exact-Jaccard
+    verify -> (doc_a, doc_b).
+
+    Monolithic (the exact historical plan) below
+    ``_DUP_EDGES_MONO_MAX_DOCS``; above it — or when ``chunk_ranges`` /
+    ``$SPARK_GRAFT_CAND_CHUNKS`` forces it — the r10 chunked-execution
+    path: the band pair join runs as sequential band-hash-range passes
+    (operators/dedup.py lsh_pairs_from_bands) and the gram verify as
+    sequential pair-hash-class passes (chunked_jaccard_edges), each
+    bounded to ~the box scratch budget, with pass counts auto-sized from
+    the EXACT pre-join pair multiplicity (sum of C(d,2) over band
+    buckets — knowable before the join) and the spilled pair count.
+    Chunked == monolithic is pinned by pytest at sf0.001."""
+    import os as _os
+
+    if chunk_ranges is None:
+        env = _os.environ.get("SPARK_GRAFT_CAND_CHUNKS")
+        if env:
+            chunk_ranges = int(env)
+    if chunk_ranges is None and d.count() <= _DUP_EDGES_MONO_MAX_DOCS:
+        chunk_ranges = 1
+    if chunk_ranges == 1:
+        cand = _banded_same_source_cand(d)
+        jac = dedup_ops.ngram_jaccard_pairs(
+            d, cand.select("source", "doc_a", "doc_b"), n=3)
+        return (jac.filter(F.col("jaccard") >= 0.05)
+                .select("doc_a", "doc_b"))
+
+    spark = d.sparkSession
+    budget = dedup_ops.box_scratch_budget(spark)
+    bands = _md5_band_table(d).withColumnRenamed("doc_id", "doc")
+    if chunk_ranges is None:
+        mult = dedup_ops.estimate_band_pair_multiplicity(bands)
+        chunk_ranges = min(64, max(2, -(-(mult * _PAIR_JOIN_LIVE_B)
+                                        // budget)))
+    pairs = dedup_ops.lsh_pairs_from_bands(
+        bands, chunk_ranges=int(chunk_ranges))
+    # spill the source-filtered candidates once: the verify classes
+    # re-filter this frame chunk_classes times
+    cand = dedup_ops.spill_frame(
+        _same_source_filter(pairs.select("doc_a", "doc_b"), d), "cand")
+    if verify_classes is None:
+        n_pairs = cand.count()  # cheap: scans the candidate spill
+        g_avg = (d.agg(F.avg("n_chars")).first()[0] or 0.0) / 6.0
+        verify_classes = min(64, max(1, -(-int(
+            n_pairs * 2 * g_avg * _VERIFY_LIVE_B_PER_GRAM) // budget)))
+    return dedup_ops.chunked_jaccard_edges(
+        d, cand, n=3, threshold=0.05,
+        chunk_classes=int(verify_classes))
 
 
 @_register(
@@ -3908,10 +3986,7 @@ def q80(spark, sf_dir):
     reachability — a genuinely independent formulation of the same
     fixpoint."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _banded_same_source_cand(d)
-    j = dedup_ops.ngram_jaccard_pairs(
-        d, cand.select("source", "doc_a", "doc_b"), n=3)
-    edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    edges = _dup_edges(d)
     return dedup_ops.connected_components(edges, d.select("doc_id"))
 
 
@@ -6307,10 +6382,7 @@ def q135(spark, sf_dir):
     candidates -> verify -> cluster -> keep-list pipeline a corpus dedup
     actually ships, with the drop set auditable via is_canonical = 0."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _banded_same_source_cand(d)
-    jac = dedup_ops.ngram_jaccard_pairs(
-        d, cand.select("source", "doc_a", "doc_b"), n=3)
-    edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    edges = _dup_edges(d)
     cc = dedup_ops.connected_components(edges, d.select("doc_id"))
     out = dedup_ops.resolve_duplicates(
         d.select("doc_id", "n_chars"), cc, quality_col="n_chars"
@@ -6575,10 +6647,7 @@ def q139(spark, sf_dir):
     are worth re-crawling. Same cluster/election pipeline, one extra
     map-combinable agg."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _banded_same_source_cand(d)
-    jac = dedup_ops.ngram_jaccard_pairs(
-        d, cand.select("source", "doc_a", "doc_b"), n=3)
-    edges = jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    edges = _dup_edges(d)
     cc = dedup_ops.connected_components(edges, d.select("doc_id"))
     res = dedup_ops.resolve_duplicates(
         d.select("doc_id", "source", "n_chars"), cc,
@@ -6987,10 +7056,7 @@ def q146(spark, sf_dir):
     100 TB-adversarial-graph path. Same recursive-CTE reachability
     oracle — both implementations must land on the identical fixpoint."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _banded_same_source_cand(d)
-    j = dedup_ops.ngram_jaccard_pairs(
-        d, cand.select("source", "doc_a", "doc_b"), n=3)
-    edges = j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b")
+    edges = _dup_edges(d)
     return dedup_ops.connected_components_star(edges, d.select("doc_id"))
 
 
