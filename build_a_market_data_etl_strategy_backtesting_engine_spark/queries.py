@@ -8576,3 +8576,69 @@ def q175(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
         "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
     )
+
+
+@_register(
+    "q176_asof_enrich_sharded",
+    f"""
+    WITH {TICKS_CTE},
+    ck AS (SELECT * FROM ticks WHERE symbol IN ('view', 'click')),
+    tr AS (SELECT symbol, ts, seq, price, volume FROM ck
+           WHERE seq % 7 = 0),
+    qt AS (SELECT symbol, ts - INTERVAL 35 SECONDS AS ts,
+                  max(price) - 3.0e-2 AS bid,
+                  max(price) + 3.0e-2 AS ask
+           FROM ck GROUP BY symbol, ts),
+    j AS (SELECT t.symbol, t.ts, t.seq, t.price, t.volume,
+                 q.ts AS q_ts, q.bid, q.ask
+          FROM tr t ASOF LEFT JOIN qt q
+            ON t.symbol = q.symbol AND q.ts <= t.ts),
+    tol AS (SELECT symbol, ts, seq, price, volume,
+                   CASE WHEN q_ts >= ts - INTERVAL 90 SECONDS
+                        THEN q_ts END AS q_ts,
+                   CASE WHEN q_ts >= ts - INTERVAL 90 SECONDS
+                        THEN bid END AS bid,
+                   CASE WHEN q_ts >= ts - INTERVAL 90 SECONDS
+                        THEN ask END AS ask
+            FROM j)
+    SELECT symbol, epoch_us(ts) AS ts_us, seq, price, volume, bid, ask,
+           round((bid + ask) / 2.0e0, 8) AS mid,
+           round(ask - bid, 8) AS spread,
+           epoch_us(ts) - epoch_us(q_ts) AS quote_age_us
+    FROM tol
+    """,
+)
+def q176(spark, sf_dir):
+    """Hot-symbol SHARDED as-of enrichment (streaming/joins.py
+    asof_enrich_sharded, r9 VERDICT #5): shard_hot_symbols replicates
+    trades across 3 shards and hash-splits quotes (xxhash64 % 3), each
+    (symbol, shard) merges independently on its own task — lifting the
+    measured single-hot-symbol per-task ceiling (SCALING.md r9: ~217k
+    union rows/s at 1 symbol vs ~530k at 20) — and elect_sharded
+    collapses replicas with the merge's own election order (latest q_ts,
+    then lexicographic (bid, ask) max) in one JVM-side max_by. The
+    oracle is the same ASOF-LEFT-JOIN-with-tolerance shape as the
+    unsharded pairs (q163/q174/q175): sharding must be invisible in the
+    output."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (
+        asof_enrich_sharded,
+    )
+
+    ck = _ticks(spark, sf_dir).filter(
+        F.col("symbol").isin("view", "click"))
+    trades = ck.filter(F.col("seq") % 7 == 0)
+    quotes = (
+        ck.groupBy("symbol", "ts")
+        .agg(F.max("price").alias("_p"))
+        .select(
+            "symbol",
+            (F.col("ts") - F.expr("INTERVAL 35 SECONDS")).alias("ts"),
+            (F.col("_p") - 0.03).alias("bid"),
+            (F.col("_p") + 0.03).alias("ask"),
+        )
+    )
+    out = asof_enrich_sharded(trades, quotes, 3, tolerance="90 seconds")
+    return out.select(
+        "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
+        "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
+    )

@@ -35,9 +35,16 @@ __all__ = [
     "streaming_quote_enrich",
     "streaming_asof_enrich",
     "asof_enrich",
+    "asof_enrich_sharded",
+    "shard_hot_symbols",
+    "elect_sharded",
     "estimate_quote_density",
     "select_asof_mode",
 ]
+
+#: shard-tag separator inside the symbol key — ASCII unit separator,
+#: which no exchange ticker contains
+HOT_SHARD_SEP = "\x1f"
 
 
 def streaming_quote_enrich(
@@ -448,3 +455,154 @@ def asof_enrich(
         trades, quotes, tolerance=tolerance, watermark=watermark,
         window=window, ts_col=ts_col, symbol_col=symbol_col,
         seq_col=seq_col)
+
+
+# --------------------------------------------- hot-symbol shard + elect
+
+def shard_hot_symbols(
+    trades: DataFrame,
+    quotes: DataFrame,
+    n_shards: int,
+    hot_symbols: list[str] | None = None,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-stage for :func:`asof_enrich_sharded`: lift the merge path's
+    single-hot-symbol ceiling by splitting ONE symbol's merge work
+    across ``n_shards`` parallel tasks.
+
+    The merge as-of serializes each symbol onto one task (SCALING.md r9
+    measured the ceiling: 1 symbol sustains ~217k union rows/s vs ~530k
+    at 20 symbols). Dense-feed regimes are quote-dominated, so the
+    shard splits the QUOTES ``n_shards`` ways (deterministic
+    ``xxhash64(ts, bid, ask) % n``) and REPLICATES the trades into every
+    shard — per shard the merge costs ``O(trades + quotes/n)``, and the
+    per-trade global answer is recoverable because the prevailing quote
+    lives in exactly one shard: the replica that landed in that shard
+    carries it, and :func:`elect_sharded` takes the max over replicas
+    with the merge's own tie-break (latest ``q_ts``, then lexicographic
+    ``(bid, ask)``). Sharding the trades instead would be wrong without
+    replicating quotes (a trade must see ALL quotes) and replicating
+    quotes is the expensive side by regime.
+
+    ``hot_symbols=None`` shards every symbol; a list shards only those
+    (other symbols pass through on shard 0 with NO trade replication —
+    the fan-out cost is paid exactly where the ceiling is).
+
+    Works on batch and streaming frames alike (stateless column ops).
+    Returns ``(trades', quotes')`` whose symbol key is
+    ``symbol + HOT_SHARD_SEP + shard`` — feed them to
+    :func:`streaming_asof_enrich`, then :func:`elect_sharded`.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards}: expected >= 1")
+    sym = F.col(symbol_col)
+    all_shards = F.array(*[F.lit(i) for i in range(n_shards)])
+    if hot_symbols is None:
+        t_shards = all_shards
+        q_shard = F.pmod(
+            F.xxhash64(F.col(ts_col), F.col("bid"), F.col("ask")),
+            F.lit(n_shards)).cast("int")
+    else:
+        hot = sym.isin(list(hot_symbols))
+        t_shards = F.when(hot, all_shards).otherwise(F.array(F.lit(0)))
+        q_shard = F.when(
+            hot,
+            F.pmod(F.xxhash64(F.col(ts_col), F.col("bid"), F.col("ask")),
+                   F.lit(n_shards)).cast("int"),
+        ).otherwise(F.lit(0))
+
+    def _tag(df: DataFrame, shard) -> DataFrame:
+        return df.withColumn(
+            symbol_col,
+            F.concat(sym, F.lit(HOT_SHARD_SEP), shard.cast("string")))
+
+    t = trades.withColumn("_shard", F.explode(t_shards))
+    t = _tag(t, F.col("_shard")).drop("_shard")
+    q = _tag(quotes, q_shard)
+    return t, q
+
+
+def elect_sharded(
+    enriched: DataFrame,
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Post-stage for :func:`asof_enrich_sharded`: collapse the
+    ``n_shards`` enriched replicas of each trade back to the global
+    as-of answer.
+
+    Each shard enriched the trade against ITS quotes only; the global
+    prevailing quote is the best of the shard candidates under exactly
+    the merge's election order — a quote beats no-quote, later ``q_ts``
+    beats earlier (equivalently: smaller ``quote_age_us``, the trade's
+    ``ts`` being fixed), equal ``q_ts`` breaks by lexicographic
+    ``(bid, ask)`` max. One ``max_by`` per trade identity
+    ``(symbol, ts, seq)`` — JVM-side, no Python.
+
+    Streaming frames get ``withWatermark(ts)`` before the aggregation
+    (grouping includes the watermarked event-time column, so append
+    mode emits each trade's election once the watermark passes its
+    ``ts``). ``watermark`` is ignored for batch frames.
+    """
+    df = enriched
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    base_sym = F.split_part(
+        F.col(symbol_col), F.lit(HOT_SHARD_SEP), F.lit(1))
+    # election key: has-quote first, then latest q_ts (= smallest age),
+    # then (bid, ask) — nulls only occur in all-null candidates, where
+    # the coalesced key makes every replica equal (payloads equal too)
+    key = F.struct(
+        F.col("quote_age_us").isNotNull().cast("int").alias("has_q"),
+        (-F.coalesce(F.col("quote_age_us"), F.lit(0))).alias("neg_age"),
+        F.coalesce(F.col("bid"), F.lit(float("-inf"))).alias("bid"),
+        F.coalesce(F.col("ask"), F.lit(float("-inf"))).alias("ask"),
+    )
+    payload = F.struct("price", "volume", "bid", "ask", "mid", "spread",
+                       "quote_age_us")
+    return (
+        df.withColumn(symbol_col, base_sym)
+        .groupBy(symbol_col, ts_col, seq_col)
+        .agg(F.max_by(payload, key).alias("_w"))
+        .select(
+            symbol_col, ts_col, seq_col,
+            "_w.price", "_w.volume", "_w.bid", "_w.ask", "_w.mid",
+            "_w.spread", "_w.quote_age_us")
+    )
+
+
+def asof_enrich_sharded(
+    trades: DataFrame,
+    quotes: DataFrame,
+    n_shards: int,
+    tolerance: str = "5 minutes",
+    hot_symbols: list[str] | None = None,
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Merge-based as-of enrichment with the hot-symbol ceiling lifted:
+    :func:`shard_hot_symbols` → :func:`streaming_asof_enrich` →
+    :func:`elect_sharded`, output schema and semantics identical to the
+    unsharded merge (pinned batch==sharded and batch==stream by test).
+
+    Use when ONE instrument's union feed exceeds the per-task merge
+    ceiling (~217k rows/s measured on this box, SCALING.md r9): with
+    quotes split ``n_shards`` ways the per-task rate drops to
+    ``trades + quotes/n``, at the cost of replicating the (small by
+    regime) trades stream ``n_shards``-fold and one extra shuffle for
+    the election. ``n_shards=1`` degenerates to the plain merge plus a
+    no-op election."""
+    t, q = shard_hot_symbols(
+        trades, quotes, n_shards, hot_symbols=hot_symbols,
+        ts_col=ts_col, symbol_col=symbol_col)
+    enr = streaming_asof_enrich(
+        t, q, tolerance=tolerance, ts_col=ts_col,
+        symbol_col=symbol_col, seq_col=seq_col)
+    return elect_sharded(
+        enr, watermark=watermark, ts_col=ts_col,
+        symbol_col=symbol_col, seq_col=seq_col)

@@ -1,182 +1,166 @@
-"""Round-10 operators: the chunked-execution pattern's third target —
-the LSH candidate PAIR-JOIN and the n-gram Jaccard verify, each as
-sequential hash-class passes over parquet spills (r9 VERDICT #1: the
-pair space partitions by BAND even though it does not by doc).
+"""Round-10 operators: hot-symbol sharding for the merge as-of path.
 
-Every test pins chunked == monolithic row-for-row: the chunking is an
-execution strategy, never a semantics change."""
+SCALING.md r9 measured the merge's single-hot-symbol ceiling (~217k
+union rows/s on one task vs ~530k at 20 symbols) and told users to
+"salt by feed-shard and re-merge"; r9 VERDICT #5 asks for that as a
+tested operator. shard_hot_symbols replicates trades across n shards
+and hash-splits quotes; elect_sharded collapses replicas with the
+merge's own election order (latest q_ts, then lexicographic (bid, ask));
+asof_enrich_sharded composes them. Parity pins: sharded == unsharded
+merge == interval join in batch, and stream == batch through the
+chained stateful plan (applyInPandasWithState -> watermark -> max_by).
+"""
 
+import os
+
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
-    dedup,
-)
-from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
-    load_tables,
+from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming import (
+    joins as sjoins,
 )
 
 
-def _docs(spark, sf_dir):
-    return load_tables(spark, sf_dir, ["documents"])["documents"]
+def _frames(n_trades=30, n_quotes=500, symbols=("A", "B")):
+    """Trades every 60s; quotes every 4s with a >tolerance dead zone in
+    [600s, 900s] (null pass-through) and an equal-ts duplicate every 7th
+    quote (the (bid, ask) tie-break)."""
+    t0 = pd.Timestamp("2024-01-01")
+    trows, qrows = [], []
+    for sym in symbols:
+        for i in range(n_trades):
+            trows.append({
+                "ts": t0 + pd.Timedelta(seconds=60 * i), "symbol": sym,
+                "seq": i, "price": 100.0 + i, "volume": 10.0,
+            })
+        for i in range(n_quotes):
+            if 600 <= i * 4 <= 900:
+                continue
+            q_ts = t0 + pd.Timedelta(seconds=4 * i)
+            px = 100 + (i % 11) * 0.01
+            qrows.append({"ts": q_ts, "symbol": sym,
+                          "bid": round(px - 0.01, 4),
+                          "ask": round(px + 0.01, 4)})
+            if i % 7 == 0:
+                qrows.append({"ts": q_ts, "symbol": sym,
+                              "bid": round(px - 0.02, 4),
+                              "ask": round(px + 0.03, 4)})
+    return pd.DataFrame(trows), pd.DataFrame(qrows)
 
 
-def _md5_bands(spark, sf_dir):
-    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
-        queries as q,
-    )
-
-    return q._md5_band_table(_docs(spark, sf_dir)).withColumnRenamed(
-        "doc_id", "doc")
+def _sorted(df):
+    return (df.toPandas().sort_values(["symbol", "seq"])
+            .reset_index(drop=True))
 
 
-def _rows(df, cols):
-    return sorted(tuple(r) for r in df.select(*cols).collect())
+def test_sharded_matches_unsharded_batch(spark):
+    tpdf, qpdf = _frames()
+    T, Q = spark.createDataFrame(tpdf), spark.createDataFrame(qpdf)
+    base = _sorted(sjoins.streaming_asof_enrich(T, Q,
+                                                tolerance="3 minutes"))
+    assert base["bid"].isna().sum() > 0  # dead zone exercised the nulls
+    for n in (1, 3, 4):
+        got = _sorted(sjoins.asof_enrich_sharded(T, Q, n,
+                                                 tolerance="3 minutes"))
+        pd.testing.assert_frame_equal(
+            base, got[base.columns.tolist()].astype(
+                base.dtypes.to_dict()))
+    # interval-join variant agrees too (transitively pins the election)
+    join = _sorted(sjoins.streaming_quote_enrich(T, Q,
+                                                 tolerance="3 minutes"))
+    pd.testing.assert_frame_equal(
+        base, join[base.columns.tolist()].astype(base.dtypes.to_dict()))
 
 
-# ------------------------------------------------- chunked pair join
-
-def test_lsh_pairs_chunked_equals_monolithic(spark, sf_dir):
-    bands = _md5_bands(spark, sf_dir)
-    mono = dedup.lsh_pairs_from_bands(bands)
-    cols = ["doc_a", "doc_b", "n_shared_bands"]
-    expected = _rows(mono, cols)
-    assert expected, "fixture must produce candidate pairs"
-    for k in (2, 3, 7):
-        chunked = dedup.lsh_pairs_from_bands(bands, chunk_ranges=k)
-        assert _rows(chunked, cols) == expected
-        assert [f.dataType for f in chunked.schema.fields] == [
-            f.dataType for f in mono.schema.fields]
-
-
-def test_lsh_pairs_chunked_respects_stop_band_cap(spark, sf_dir):
-    bands = _md5_bands(spark, sf_dir)
-    cols = ["doc_a", "doc_b", "n_shared_bands"]
-    mono = dedup.lsh_pairs_from_bands(bands, max_band_df=2)
-    chunked = dedup.lsh_pairs_from_bands(bands, max_band_df=2,
-                                         chunk_ranges=3)
-    assert _rows(chunked, cols) == _rows(mono, cols)
-
-
-def test_lsh_pairs_chunked_empty_input_returns_empty_frame(spark):
-    # docs with no shared bands: every band bucket is a singleton, the
-    # pair join is empty in every pass — the spill read must come back
-    # as an EMPTY frame (explicit schema), not an inference error
-    bands = spark.createDataFrame(
-        [(i, b, f"uniq-{i}-{b}") for i in range(5) for b in (0, 1)],
-        "doc long, band int, bh string")
-    out = dedup.lsh_pairs_from_bands(bands, chunk_ranges=3)
-    assert out.count() == 0
-    assert out.columns == ["doc_a", "doc_b", "n_shared_bands"]
+def test_sharded_hot_symbols_list_limits_fanout(spark):
+    tpdf, qpdf = _frames()
+    T, Q = spark.createDataFrame(tpdf), spark.createDataFrame(qpdf)
+    t2, q2 = sjoins.shard_hot_symbols(T, Q, 4, hot_symbols=["A"])
+    # only the hot symbol's trades are replicated
+    counts = {r["s"]: r["n"] for r in t2.select(
+        F.split_part("symbol", F.lit(sjoins.HOT_SHARD_SEP),
+                     F.lit(1)).alias("s")).groupBy("s").agg(
+        F.count("*").alias("n")).collect()}
+    n_t = len(tpdf) // 2
+    assert counts == {"A": 4 * n_t, "B": n_t}
+    # quotes are split, never replicated; cold symbols all on shard 0
+    assert q2.count() == len(qpdf)
+    shards = {r["symbol"].split(sjoins.HOT_SHARD_SEP)[1]
+              for r in q2.filter(
+                  F.col("symbol").startswith("B")).collect()}
+    assert shards == {"0"}
+    a_shards = {r["symbol"].split(sjoins.HOT_SHARD_SEP)[1]
+                for r in q2.filter(
+                    F.col("symbol").startswith("A")).collect()}
+    assert len(a_shards) > 1  # the hot symbol actually spread
+    # end-to-end parity with the selective list
+    base = _sorted(sjoins.streaming_asof_enrich(T, Q,
+                                                tolerance="3 minutes"))
+    got = _sorted(sjoins.asof_enrich_sharded(T, Q, 4, hot_symbols=["A"],
+                                             tolerance="3 minutes"))
+    pd.testing.assert_frame_equal(
+        base, got[base.columns.tolist()].astype(base.dtypes.to_dict()))
 
 
-def test_estimate_band_pair_multiplicity_exact():
-    # bucket sizes 3, 2, 1 -> C(3,2)+C(2,2)+C(1,2) = 3+1+0 = 4
-    import build_a_market_data_etl_strategy_backtesting_engine_spark as eng
-
-    spark = eng.get_spark("pytest", master="local[4]",
-                          shuffle_partitions=4)
-    bands = spark.createDataFrame(
-        [(1, 0, "x"), (2, 0, "x"), (3, 0, "x"),
-         (4, 0, "y"), (5, 0, "y"),
-         (6, 1, "x")],
-        "doc long, band int, bh string")
-    assert dedup.estimate_band_pair_multiplicity(bands) == 4
-    empty = bands.filter(F.lit(False))
-    assert dedup.estimate_band_pair_multiplicity(empty) == 0
+def test_sharded_rejects_bad_shard_count(spark):
+    tpdf, qpdf = _frames(n_trades=2, n_quotes=4)
+    T, Q = spark.createDataFrame(tpdf), spark.createDataFrame(qpdf)
+    with pytest.raises(ValueError, match="n_shards"):
+        sjoins.shard_hot_symbols(T, Q, 0)
 
 
-def test_estimate_matches_actual_pair_multiplicity(spark, sf_dir):
-    # the estimator is EXACT: sum of per-pair n_shared_bands == sum C(d,2)
-    bands = _md5_bands(spark, sf_dir)
-    est = dedup.estimate_band_pair_multiplicity(bands)
-    actual = (dedup.lsh_pairs_from_bands(bands)
-              .agg(F.sum("n_shared_bands")).first()[0] or 0)
-    assert est == actual
+def test_sharded_stream_equals_batch(spark, tmp_path):
+    """The chained stateful plan (per-shard applyInPandasWithState ->
+    withWatermark -> grouped max_by election) in append mode: the
+    election row for a trade emits once the watermark passes its ts, so
+    the fixture appends a far-future sentinel batch to flush the tail."""
+    tpdf, qpdf = _frames(symbols=("A",))
+    t0 = pd.Timestamp("2024-01-01")
+    td, qd = tmp_path / "t", tmp_path / "q"
+    td.mkdir(), qd.mkdir()
+    cuts = [0, 600, 1200, 1800, 10 ** 9]
+    iso_t = tpdf.assign(ts=tpdf.ts.map(pd.Timestamp.isoformat))
+    iso_q = qpdf.assign(ts=qpdf.ts.map(pd.Timestamp.isoformat))
+    for k in range(4):
+        lo = t0 + pd.Timedelta(seconds=cuts[k])
+        hi = t0 + pd.Timedelta(seconds=cuts[k + 1])
+        iso_t[(tpdf.ts >= lo) & (tpdf.ts < hi)].to_json(
+            td / f"b{k}.json", orient="records", lines=True)
+        iso_q[(qpdf.ts >= lo) & (qpdf.ts < hi)].to_json(
+            qd / f"b{k}.json", orient="records", lines=True)
+    far = (t0 + pd.Timedelta(days=2)).isoformat()
+    pd.DataFrame([{"ts": far, "symbol": "ZZZ", "seq": 10 ** 9,
+                   "price": 1.0, "volume": 1.0}]).to_json(
+        td / "b9.json", orient="records", lines=True)
+    pd.DataFrame([{"ts": far, "symbol": "ZZZ", "bid": 1.0,
+                   "ask": 2.0}]).to_json(
+        qd / "b9.json", orient="records", lines=True)
+    from tests.test_streaming import _stamp_dir
+    _stamp_dir(td)
+    _stamp_dir(qd)
 
-
-# ------------------------------------------------- chunked verify
-
-def test_chunked_jaccard_edges_equals_monolithic(spark, sf_dir):
-    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
-        queries as q,
-    )
-
-    d = _docs(spark, sf_dir)
-    cand = q._banded_same_source_cand(d)
-    mono = dedup.chunked_jaccard_edges(d, cand, n=3, threshold=0.05,
-                                       chunk_classes=1)
-    expected = _rows(mono, ["doc_a", "doc_b"])
-    assert expected, "fixture must produce verified edges"
-    for k in (2, 5):
-        chunked = dedup.chunked_jaccard_edges(
-            d, cand, n=3, threshold=0.05, chunk_classes=k)
-        assert _rows(chunked, ["doc_a", "doc_b"]) == expected
-
-
-# ------------------------------------------------- full pipeline
-
-def test_dup_edges_chunked_equals_monolithic(spark, sf_dir):
-    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
-        queries as q,
-    )
-
-    d = _docs(spark, sf_dir)
-    mono = q._dup_edges(d)  # sf0.001 is far below the auto threshold
-    expected = _rows(mono, ["doc_a", "doc_b"])
-    assert expected
-    chunked = q._dup_edges(d, chunk_ranges=3, verify_classes=2)
-    assert _rows(chunked, ["doc_a", "doc_b"]) == expected
-    # auto verify-class sizing path (verify_classes=None) on the
-    # chunked branch
-    auto = q._dup_edges(d, chunk_ranges=2)
-    assert _rows(auto, ["doc_a", "doc_b"]) == expected
-
-
-def test_dup_edges_env_forces_chunking(spark, sf_dir, monkeypatch):
-    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
-        queries as q,
-    )
-
-    d = _docs(spark, sf_dir)
-    expected = _rows(q._dup_edges(d), ["doc_a", "doc_b"])
-    monkeypatch.setenv("SPARK_GRAFT_CAND_CHUNKS", "4")
-    forced = q._dup_edges(d)
-    assert _rows(forced, ["doc_a", "doc_b"]) == expected
-
-
-def test_spill_frame_roundtrip(spark):
-    df = spark.range(100).select(
-        F.col("id"), (F.col("id") * 2).alias("v"))
-    back = dedup.spill_frame(df, "testspill")
-    # nullability legitimately widens through a parquet round-trip;
-    # names and types must survive exactly
-    assert [(f.name, f.dataType) for f in back.schema.fields] == [
-        (f.name, f.dataType) for f in df.schema.fields]
-    assert sorted(r.v for r in back.collect()) == [
-        i * 2 for i in range(100)]
-
-
-def test_box_scratch_budget_bounds(spark):
-    b = dedup.box_scratch_budget(spark)
-    assert (1 << 30) <= b <= (16 << 30)
-    assert dedup.box_scratch_budget(spark, override=123) == 123
-
-
-# ----------------------------------------- cluster queries unchanged
-
-@pytest.mark.parametrize("qname", ["q80_dup_clusters",
-                                   "q135_dedup_resolution",
-                                   "q146_dup_clusters_star"])
-def test_cluster_queries_identical_under_forced_chunking(
-        spark, sf_dir, qname, monkeypatch):
-    """End-to-end: the four near-dup cluster queries produce identical
-    rows with the chunked edge pipeline forced on — the refactor to the
-    shared _dup_edges helper is observable-output-neutral."""
-    import __spark_entry__ as entry
-
-    fn = entry.queries()[qname]
-    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
-    monkeypatch.setenv("SPARK_GRAFT_CAND_CHUNKS", "3")
-    forced = sorted(map(tuple, fn(spark, sf_dir).collect()))
-    assert forced == base
+    st = (spark.readStream.format("json")
+          .schema("ts timestamp, symbol string, seq long, price double, "
+                  "volume double")
+          .option("maxFilesPerTrigger", 1).load(str(td)))
+    sq = (spark.readStream.format("json")
+          .schema("ts timestamp, symbol string, bid double, ask double")
+          .option("maxFilesPerTrigger", 1).load(str(qd)))
+    out = sjoins.asof_enrich_sharded(
+        st, sq, 3, tolerance="3 minutes", hot_symbols=["A"],
+        watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("sharded_r10")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM sharded_r10 WHERE symbol <> 'ZZZ'")
+           .toPandas().sort_values(["symbol", "seq"])
+           .reset_index(drop=True))
+    T = spark.createDataFrame(tpdf)
+    Q = spark.createDataFrame(qpdf)
+    base = _sorted(sjoins.streaming_asof_enrich(T, Q,
+                                                tolerance="3 minutes"))
+    assert len(got) == len(base) == 30
+    pd.testing.assert_frame_equal(got.astype(base.dtypes.to_dict()),
+                                  base)
+    assert got["bid"].isna().sum() > 0

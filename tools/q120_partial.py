@@ -1,0 +1,105 @@
+"""q120 sf100 PARTIAL digest evidence (r9 VERDICT #3).
+
+q120 (20M American options through the chunked binomial pricer) is
+wall-bounded at sf100, not disk-bounded: the full run is ~80 min Spark
+plus an hours-long single-threaded DuckDB oracle. Rather than leaving
+the claim extrapolated, this tool runs the FIRST K of the 64 source
+chunks (``p_partkey % 64 = i`` — the same partition both sides' chunked
+digests use, tests/oracle_harness.py DUCK_DIGEST_CHUNKS) and compares
+the per-chunk (count, hashsum1, hashsum2) tuples directly. K matched
+chunks = a measured 1/64-resolution sample of the full digest equality,
+plus measured s/chunk constants for the SCALING.md attribution.
+
+Run:  python3 tools/q120_partial.py [--sf-dir /tmp/sf100] [--k 20]
+          [--out /tmp/q120_partial.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NAME = "q120_binomial_american"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/sf100")
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/q120_partial.jsonl")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.session import (
+        get_spark,
+    )
+    from tests.oracle_harness import (
+        DUCK_DIGEST_CHUNKS,
+        duck_connection,
+        duck_digest,
+        spark_digest,
+    )
+
+    col, k_total, table, src_col = DUCK_DIGEST_CHUNKS[NAME]
+    spark = get_spark("q120-partial")
+    con = duck_connection(args.sf_dir)
+    sql = q.oracle_queries()[NAME]
+    fn = q.spark_queries()[NAME]
+
+    import re
+
+    pat = re.compile(rf"FROM {table}\b")
+    assert len(pat.findall(sql)) == 1
+
+    done = set()
+    if os.path.exists(args.out):
+        for line in open(args.out):
+            try:
+                done.add(json.loads(line)["chunk"])
+            except (ValueError, KeyError):
+                pass
+
+    n_match = 0
+    for i in range(args.k):
+        if i in done:
+            print(f"[skip-done] chunk {i}", flush=True)
+            n_match += 1
+            continue
+        sdf = fn(spark, args.sf_dir).filter(
+            F.pmod(F.col(col), F.lit(k_total)) == i)
+        t0 = time.time()
+        sd = spark_digest(sdf)
+        t_spark = round(time.time() - t0, 1)
+        src = (f"FROM (SELECT * FROM {table} "
+               f"WHERE ({src_col or col}) % {k_total} = {i}) {table}")
+        t0 = time.time()
+        dd = duck_digest(con, pat.sub(src, sql))
+        t_duck = round(time.time() - t0, 1)
+        ok = sd == dd
+        n_match += ok
+        rec = {"chunk": i, "ok": ok, "spark": sd, "duck": dd,
+               "spark_s": t_spark, "duck_s": t_duck}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[{'PASS' if ok else 'FAIL'}] chunk {i}/{k_total}: "
+              f"rows={sd[0]} spark {t_spark}s duck {t_duck}s", flush=True)
+        if not ok:
+            print(f"  spark={sd} duck={dd}", flush=True)
+            return 1
+    print(f"{n_match}/{args.k} chunks digest-matched "
+          f"(of {k_total} total)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,7 +120,8 @@ def bench_streaming_backtest(spark, rate: int, seconds: float, work: str):
 
 def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
                                  work: str, n_symbols: int = 20,
-                                 tag: str = "enrich"):
+                                 tag: str = "enrich",
+                                 n_shards: int = 1):
     """Stream-stream as-of at scale (r6 VERDICT carry): trades and quotes
     as two independent rate streams through the merge-based
     streaming_asof_enrich -> noop sink. The rate is PER SIDE; the
@@ -154,12 +155,26 @@ def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
     # the merge-based as-of: the interval-join variant is structurally
     # unable to sustain dense quotes (cost = trades x in-tolerance
     # quotes; measured r8: one batch > 120 s at 20k/s/side, tol 30 s)
-    out = streaming_asof_enrich(trades, quotes, tolerance="30 seconds")
+    if n_shards > 1:
+        # r9 VERDICT #5: the hot-symbol ceiling lift — replicate trades
+        # across shards, hash-split quotes, elect per trade downstream
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.streaming.joins import (  # noqa: E501
+            asof_enrich_sharded,
+        )
+
+        out = asof_enrich_sharded(trades, quotes, n_shards,
+                                  tolerance="30 seconds",
+                                  watermark="5 seconds")
+    else:
+        out = streaming_asof_enrich(trades, quotes,
+                                    tolerance="30 seconds")
     q = (out.writeStream.format("noop")
          .option("checkpointLocation", f"{work}/ck_{tag}")
          .outputMode("append").start())
     res = _run_until(q, seconds)
     res["n_symbols"] = n_symbols
+    if n_shards > 1:
+        res["n_shards"] = n_shards
     return res
 
 
@@ -259,6 +274,13 @@ def main():
             out["quote_enrich_hot"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work, n_symbols=1,
                 tag="enrich_hot")
+        if "quote_enrich_hot_sharded" in todo:
+            # the same single hot symbol through shard_hot_symbols(4):
+            # quotes split 4 ways, trades replicated, per-trade election
+            # downstream — the ceiling-lift row for SCALING.md
+            out["quote_enrich_hot_sharded"] = bench_streaming_quote_enrich(
+                spark, args.rate, args.seconds, work, n_symbols=1,
+                tag="enrich_hot_sharded", n_shards=4)
         if "jdbc_exactly_once" in todo:
             out["jdbc_exactly_once"] = bench_jdbc_exactly_once(
                 spark, args.jdbc_rate, max(args.seconds, 16.0), work)
