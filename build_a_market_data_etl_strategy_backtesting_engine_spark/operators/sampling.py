@@ -33,6 +33,9 @@ __all__ = [
     "stratified_fixed_n",
     "pack_token_budget",
     "mixture_rates",
+    "dsir_bucket_logratios",
+    "dsir_importance_weights",
+    "dsir_resample",
 ]
 
 #: bucket space for rate thresholds (rate 0.1234 -> threshold 1234)
@@ -292,3 +295,148 @@ def portable_uniform_sql(key_sql: str) -> str:
     for j in range(2, 9):
         v = f"({v} * 16 + {digit.format(k=key_sql, j=j)})"
     return f"((CAST({v} AS DOUBLE) + 0.5e0) / {float(1 << 32):.1f})"
+
+
+# ------------------------------------------------- DSIR (Xie et al. 2023)
+#
+# Data Selection via Importance Resampling: score every raw document by
+# the log-likelihood ratio of a TARGET-domain hashed-n-gram bag-of-words
+# model over the RAW-corpus model, then sample k documents with
+# probability proportional to the importance weight (Gumbel top-k — the
+# log-space form of the Efraimidis-Spirakis scheme weighted_sample
+# already uses). Public technique; the reference engine has no
+# counterpart (pure beyond-reference LLM-pipeline operator).
+
+
+def _dsir_grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Word unigram + bigram multiset per document — the same feature
+    space as the hashed quality classifier (operators/text.py
+    hashed_ngram_score), so the two share oracle-verified gram SQL."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.text import (  # noqa: E501
+        _word_grams,
+    )
+
+    grams = F.concat(_word_grams(text_col, 1), _word_grams(text_col, 2))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+
+
+def dsir_bucket_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-point hashed-n-gram log-likelihood-ratio table
+    ``(bucket, tc, rc, lr_x1e6)``: per md5 bucket, the Laplace-smoothed
+    target-vs-raw log ratio
+
+        lr = (ln(tc+1) - ln(t_tot+B)) - (ln(rc+1) - ln(r_tot+B))
+
+    scaled by 1e6 and rounded to BIGINT. The fixed-point representation
+    is the q112 lesson applied forward: per-document weights are then
+    EXACT integer sums (order-free, engine-exact); floats are derived
+    from the integers at the edge only.
+
+    Scale shape: two map-side gram explosions -> two map-combinable
+    bucket aggs (B rows each) -> one B-row join. B <= 65536 (the
+    portable bucket space); the result broadcasts everywhere it's used.
+    """
+    spark = raw.sparkSession
+    tg = _dsir_grams(target, text_col, id_col)
+    rg = _dsir_grams(raw, text_col, id_col)
+
+    def counts(g, name):
+        return (g.select(portable_bucket(F.col("gram"),
+                                         n_buckets).alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
+
+    dom = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    j = (
+        dom.join(counts(tg, "tc"), "bucket", "left")
+        .join(counts(rg, "rc"), "bucket", "left")
+        .crossJoin(F.broadcast(tg.agg(
+            F.count(F.lit(1)).alias("t_tot"))))
+        .crossJoin(F.broadcast(rg.agg(
+            F.count(F.lit(1)).alias("r_tot"))))
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            "t_tot", "r_tot",
+        )
+    )
+    lr = (
+        (F.log(F.col("tc") + 1) - F.log(F.col("t_tot") + n_buckets))
+        - (F.log(F.col("rc") + 1) - F.log(F.col("r_tot") + n_buckets))
+    )
+    return j.select(
+        "bucket", "tc", "rc",
+        F.round(lr * F.lit(1000000.0), 0).cast("long").alias("lr_x1e6"),
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-raw-document DSIR importance weight: the sum of the bucket
+    log ratios over the document's gram multiset (the document's
+    log-likelihood ratio under the two hashed models). Emits
+    ``(doc_id, n_grams, lr_sum_x1e6, logw)`` — the sum is an exact
+    BIGINT (order-free across engines); ``logw`` = lr_sum/1e6 rounded
+    at the edge.
+
+    Scale shape: gram explode is map-side; the ratio table
+    (``n_buckets`` rows) broadcast-joins onto the stream; one
+    map-combinable per-doc agg. No Python, no skew (md5 buckets are
+    uniform)."""
+    lrs = dsir_bucket_logratios(raw, target, n_buckets,
+                                text_col=text_col, id_col=id_col)
+    per = _dsir_grams(raw, text_col, id_col).select(
+        "doc_id",
+        portable_bucket(F.col("gram"), n_buckets).alias("bucket"))
+    return (
+        per.join(F.broadcast(lrs.select("bucket", "lr_x1e6")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum("lr_x1e6").alias("lr_sum_x1e6"))
+        .withColumn("logw",
+                    F.round(F.col("lr_sum_x1e6") / F.lit(1000000.0), 6))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 1024,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection: k raw documents sampled without replacement with
+    probability proportional to exp(importance weight) — Gumbel top-k
+    (key = logw + Gumbel(0,1)), the log-space equivalent of the A-ES
+    exponential-race key, immune to exp() underflow on very negative
+    weights. The Gumbel noise derives from md5(doc_id:seed), so the
+    draw is deterministic, retry-stable, and oracle-replayable.
+
+    Top-k is a TakeOrderedAndProject (map-side partial top-k, k rows to
+    one reduce) — no global sort at 100 TB."""
+    w = dsir_importance_weights(raw, target, n_buckets,
+                                text_col=text_col, id_col=id_col)
+    u = _portable_uniform(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("lr_sum_x1e6") / F.lit(1000000.0) + gumbel, 6)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )

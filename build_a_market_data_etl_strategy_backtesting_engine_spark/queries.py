@@ -8642,3 +8642,112 @@ def q176(spark, sf_dir):
         "symbol", F.unix_micros("ts").alias("ts_us"), "seq",
         "price", "volume", "bid", "ask", "mid", "spread", "quote_age_us",
     )
+
+
+_DSIR_BUCKET = sampling_ops.portable_bucket_sql("gram", 1024)
+
+# shared gram CTEs for the DSIR pairs: documents split into a target
+# domain proxy (doc_id % 19 = 0) and the raw pool (everything else);
+# unigrams + bigrams exactly as q112 (operators/text.py _word_grams)
+_DSIR_CTES = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+    tt AS (SELECT * FROM t WHERE doc_id % 19 = 0),
+    rr AS (SELECT * FROM t WHERE doc_id % 19 <> 0),
+    tg AS (SELECT doc_id, unnest(toks) AS gram FROM tt
+           UNION ALL
+           SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i : i + 1], ' '))
+                  ELSE [] END) AS gram
+           FROM tt),
+    rg AS (SELECT doc_id, unnest(toks) AS gram FROM rr
+           UNION ALL
+           SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i : i + 1], ' '))
+                  ELSE [] END) AS gram
+           FROM rr),
+    tc AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS tc
+           FROM tg GROUP BY 1),
+    rc AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS rc
+           FROM rg GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM tg) AS t_tot,
+                   (SELECT count(*) FROM rg) AS r_tot),
+    dom AS (SELECT CAST(unnest(range(1024)) AS INT) AS bucket),
+    lr AS (SELECT dom.bucket,
+                  CAST(round(((ln(coalesce(tc, 0) + 1)
+                               - ln(t_tot + 1024))
+                              - (ln(coalesce(rc, 0) + 1)
+                                 - ln(r_tot + 1024)))
+                             * 1000000.0e0) AS BIGINT) AS lr_x1e6
+           FROM dom LEFT JOIN tc USING (bucket)
+                    LEFT JOIN rc USING (bucket)
+           CROSS JOIN tot),
+    per AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM rg),
+    w AS (SELECT doc_id, count(*) AS n_grams,
+                 sum(lr_x1e6) AS lr_sum_x1e6,
+                 round(sum(lr_x1e6) / 1000000.0e0, 6) AS logw
+          FROM per JOIN lr USING (bucket) GROUP BY doc_id)
+"""
+
+
+@_register(
+    "q177_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_grams, lr_sum_x1e6, logw FROM w
+    """,
+)
+def q177(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py
+    dsir_importance_weights — Xie et al. 2023, Data Selection via
+    Importance Resampling): hashed unigram+bigram bag-of-words models of
+    a target domain (doc_id % 19 = 0 proxy) and the raw pool, Laplace
+    smoothing, per-document log-likelihood ratio. The per-bucket log
+    ratio is FIXED-POINT (x1e6 BIGINT, the q112 lesson), so the per-doc
+    sum is exact and order-free in both engines; only the edge `logw`
+    is float. Scale shape: map-side gram explode, two B-row combinable
+    aggs, broadcast B-row join, one per-doc agg."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    target = d.filter(F.col("doc_id") % 19 == 0)
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    return dsir_importance_weights(raw, target, n_buckets=1024)
+
+
+@_register(
+    "q178_dsir_resample",
+    f"""
+    WITH {_DSIR_CTES},
+    keyed AS (SELECT doc_id, n_grams, lr_sum_x1e6, logw,
+                     round(lr_sum_x1e6 / 1000000.0e0
+                           + (-ln(-ln({sampling_ops.portable_uniform_sql(
+                               "CAST(doc_id AS VARCHAR) || ':7'")}))),
+                           6) AS gumbel_key
+              FROM w)
+    SELECT doc_id, n_grams, lr_sum_x1e6, logw, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 200
+    """,
+)
+def q178(spark, sf_dir):
+    """DSIR selection (operators/sampling.py dsir_resample): Gumbel
+    top-k over the q177 weights — key = logw + Gumbel(0,1) with the
+    noise derived from md5(doc_id:seed), the log-space equivalent of
+    the A-ES exponential race (weighted_sample), underflow-free for
+    very negative weights. Deterministic, retry-stable, and
+    oracle-replayable; top-k is TakeOrderedAndProject (no global
+    sort)."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    target = d.filter(F.col("doc_id") % 19 == 0)
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    return dsir_resample(raw, target, k=200, n_buckets=1024, seed=7)

@@ -164,3 +164,71 @@ def test_sharded_stream_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got.astype(base.dtypes.to_dict()),
                                   base)
     assert got["bid"].isna().sum() > 0
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_corpora(spark):
+    """Target domain: 'alpha beta gamma' style docs. Raw pool: half
+    target-like, half off-domain noise."""
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(10)],
+        "doc_id long, text string")
+    raw_rows = []
+    for i in range(20):
+        if i < 10:
+            raw_rows.append((100 + i, "alpha beta gamma beta alpha"))
+        else:
+            raw_rows.append((100 + i, f"zeta eta theta iota kappa{i}"))
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    return raw, target
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, target = _dsir_corpora(spark)
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_importance_weights(raw, target,
+                                          n_buckets=256).collect()}
+    assert len(w) == 20
+    like = [w[100 + i] for i in range(10)]
+    noise = [w[110 + i] for i in range(10)]
+    assert min(like) > max(noise)
+
+
+def test_dsir_logratio_zero_when_target_equals_raw(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        dsir_bucket_logratios,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "one two three four") for i in range(8)],
+        "doc_id long, text string")
+    lrs = dsir_bucket_logratios(df, df, n_buckets=64)
+    rows = lrs.collect()
+    assert len(rows) == 64  # full bucket domain, zero-count rows included
+    assert all(r["lr_x1e6"] == 0 for r in rows)
+
+
+def test_dsir_resample_is_deterministic_and_weighted(spark):
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    raw, target = _dsir_corpora(spark)
+    a = [r["doc_id"] for r in dsir_resample(raw, target, k=5,
+                                            n_buckets=256).collect()]
+    b = [r["doc_id"] for r in dsir_resample(raw, target, k=5,
+                                            n_buckets=256).collect()]
+    assert a == b and len(a) == 5
+    # a different seed redraws the Gumbel noise
+    c = [r["doc_id"] for r in dsir_resample(raw, target, k=5,
+                                            n_buckets=256,
+                                            seed=99).collect()]
+    assert len(c) == 5
+    # heavy importance weights dominate the draw: most picks target-like
+    assert sum(1 for d in a if d < 110) >= 4
