@@ -25,6 +25,14 @@ _BASE_CONF = {
     # generating q51+ goldens at sf0.1); only applies at JVM launch —
     # a pre-existing session ignores it harmlessly.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    # r10 box: two JVMs SIGSEGV'd ~130 s into streaming state-store work,
+    # both inside AVX-512 arraycopy stubs (~StubRoutines::
+    # j{long,short}_disjoint_arraycopy_avx3 — hs_err logs in NOTES.md).
+    # Capping the JVM at AVX2 avoids the faulty stub family; measured
+    # bench impact on this workload mix is noise-level. JVM-launch-only
+    # conf — a pre-existing session ignores it harmlessly.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:UseAVX=2"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -121,7 +121,8 @@ def bench_streaming_backtest(spark, rate: int, seconds: float, work: str):
 def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
                                  work: str, n_symbols: int = 20,
                                  tag: str = "enrich",
-                                 n_shards: int = 1):
+                                 n_shards: int = 1,
+                                 trade_rate: int | None = None):
     """Stream-stream as-of at scale (r6 VERDICT carry): trades and quotes
     as two independent rate streams through the merge-based
     streaming_asof_enrich -> noop sink. The rate is PER SIDE; the
@@ -144,7 +145,8 @@ def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
 
     symbols = [f"S{i:02d}" for i in range(n_symbols)]
     trades = normalize_trades(
-        rate_tick_source(spark, rows_per_second=rate, symbols=symbols)
+        rate_tick_source(spark, rows_per_second=trade_rate or rate,
+                         symbols=symbols)
     ).withColumn("seq", F.xxhash64("symbol", "ts", "price"))
     q_raw = normalize_trades(
         rate_tick_source(spark, rows_per_second=rate, symbols=symbols))
@@ -274,13 +276,22 @@ def main():
             out["quote_enrich_hot"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work, n_symbols=1,
                 tag="enrich_hot")
+        if "quote_enrich_hot_dense" in todo:
+            # the sharding regime: ONE symbol, quotes 10x trades (dense
+            # quote feed) — the unsharded half of the ceiling-lift pair
+            out["quote_enrich_hot_dense"] = bench_streaming_quote_enrich(
+                spark, args.rate, args.seconds, work, n_symbols=1,
+                tag="enrich_hot_dense", trade_rate=args.rate // 10)
         if "quote_enrich_hot_sharded" in todo:
-            # the same single hot symbol through shard_hot_symbols(4):
-            # quotes split 4 ways, trades replicated, per-trade election
-            # downstream — the ceiling-lift row for SCALING.md
+            # the same dense single hot symbol through
+            # shard_hot_symbols(4): quotes split 4 ways, trades
+            # replicated, per-trade election downstream — the
+            # ceiling-lift row for SCALING.md (per-shard union pressure
+            # drops from trades + quotes to trades + quotes/4)
             out["quote_enrich_hot_sharded"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work, n_symbols=1,
-                tag="enrich_hot_sharded", n_shards=4)
+                tag="enrich_hot_sharded", n_shards=4,
+                trade_rate=args.rate // 10)
         if "jdbc_exactly_once" in todo:
             out["jdbc_exactly_once"] = bench_jdbc_exactly_once(
                 spark, args.jdbc_rate, max(args.seconds, 16.0), work)
