@@ -18,6 +18,8 @@ full crypto digest — ~5x cheaper in the shingle hot loop).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -248,6 +250,26 @@ def estimate_band_pair_multiplicity(banded: DataFrame) -> int:
     return int(row["m"] or 0)
 
 
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Scope guard: disable Catalyst's auto-broadcast inside a chunked
+    sequential pass loop. The pass inputs scan zstd-parquet SPILLS whose
+    size stats wildly undersell their in-memory row count, so the
+    planner promotes multi-GB build sides to broadcast hash joins —
+    measured killing q135 at sf10/sf30 three different ways in r10
+    (maxResultSize, driver heap OOM, 'Not enough memory to build and
+    broadcast', a 2 GiB broadcast-exchange allocation). The chunked
+    passes are scratch-bounded shuffle jobs BY DESIGN; explicit
+    F.broadcast() hints inside the scope still win when a side really
+    is tiny."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def _lsh_pairs_chunked(banded: DataFrame, k: int) -> DataFrame:
     """Sequential band-range pair join (see ``lsh_pairs_from_bands``).
 
@@ -280,30 +302,33 @@ def _lsh_pairs_chunked(banded: DataFrame, k: int) -> DataFrame:
     bands_r = spark.read.parquet(f"{base}/bands")
     cls = F.pmod(F.xxhash64("band", "bh"), F.lit(k))
     partial_schema = None
-    for i in range(k):
-        b_i = bands_r.filter(cls == i)
-        a = b_i.alias("a")
-        b_ = b_i.alias("b")
-        p_i = (
-            a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        )
-        partial_schema = p_i.schema
-        p_i.write.mode("append").parquet(f"{base}/partial")
-    # explicit schema: an all-empty spill dir has no part files to infer
-    # from, and the contract is an EMPTY pair frame, not a read error
-    partials = spark.read.schema(partial_schema).parquet(f"{base}/partial")
-    pcls = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(k))
-    for j in range(k):
-        (partials.filter(pcls == j)
-         .groupBy("doc_a", "doc_b")
-         .agg(F.sum("n_shared_bands").cast("long")
-              .alias("n_shared_bands"))
-         .write.mode("append").parquet(f"{base}/pairs"))
+    with _no_auto_broadcast(spark):
+        for i in range(k):
+            b_i = bands_r.filter(cls == i)
+            a = b_i.alias("a")
+            b_ = b_i.alias("b")
+            p_i = (
+                a.join(b_, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bh") == F.col("b.bh"))
+                       & (F.col("a.doc") < F.col("b.doc")))
+                .groupBy(F.col("a.doc").alias("doc_a"),
+                         F.col("b.doc").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            )
+            partial_schema = p_i.schema
+            p_i.write.mode("append").parquet(f"{base}/partial")
+        # explicit schema: an all-empty spill dir has no part files to
+        # infer from, and the contract is an EMPTY pair frame, not a
+        # read error
+        partials = spark.read.schema(partial_schema).parquet(
+            f"{base}/partial")
+        pcls = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(k))
+        for j in range(k):
+            (partials.filter(pcls == j)
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum("n_shared_bands").cast("long")
+                  .alias("n_shared_bands"))
+             .write.mode("append").parquet(f"{base}/pairs"))
     return spark.read.schema(partial_schema).parquet(f"{base}/pairs")
 
 
@@ -509,15 +534,16 @@ def chunked_jaccard_edges(
     _register_spill_dir(base)
     pcls = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(chunk_classes))
     schema = None
-    for j in range(chunk_classes):
-        p_j = candidate_pairs.filter(pcls == j)
-        ids = (p_j.select(F.col("doc_a").alias(doc_id_col))
-               .union(p_j.select(F.col("doc_b").alias(doc_id_col)))
-               .distinct())
-        d_j = docs.join(ids, doc_id_col, "left_semi")
-        e_j = _edges(p_j, d_j)
-        schema = e_j.schema
-        e_j.write.mode("append").parquet(f"{base}/edges")
+    with _no_auto_broadcast(spark):
+        for j in range(chunk_classes):
+            p_j = candidate_pairs.filter(pcls == j)
+            ids = (p_j.select(F.col("doc_a").alias(doc_id_col))
+                   .union(p_j.select(F.col("doc_b").alias(doc_id_col)))
+                   .distinct())
+            d_j = docs.join(ids, doc_id_col, "left_semi")
+            e_j = _edges(p_j, d_j)
+            schema = e_j.schema
+            e_j.write.mode("append").parquet(f"{base}/edges")
     return spark.read.schema(schema).parquet(f"{base}/edges")
 
 

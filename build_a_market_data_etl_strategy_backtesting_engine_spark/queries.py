@@ -1415,9 +1415,15 @@ def _dup_edges(d, chunk_ranges=None, verify_classes=None):
     pairs = dedup_ops.lsh_pairs_from_bands(
         bands, chunk_ranges=int(chunk_ranges))
     # spill the source-filtered candidates once: the verify classes
-    # re-filter this frame chunk_classes times
-    cand = dedup_ops.spill_frame(
-        _same_source_filter(pairs.select("doc_a", "doc_b"), d), "cand")
+    # re-filter this frame chunk_classes times. No-auto-broadcast guard:
+    # `pairs` scans a zstd pair spill whose stats undersell it — the
+    # planner must not promote it to a build side (r10: measured 2 GiB
+    # broadcast-exchange death at sf10); the source join shuffles, which
+    # is also the only shape that survives billion-doc corpora.
+    with dedup_ops._no_auto_broadcast(spark):
+        cand = dedup_ops.spill_frame(
+            _same_source_filter(pairs.select("doc_a", "doc_b"), d),
+            "cand")
     if verify_classes is None:
         n_pairs = cand.count()  # cheap: scans the candidate spill
         g_avg = (d.agg(F.avg("n_chars")).first()[0] or 0.0) / 6.0

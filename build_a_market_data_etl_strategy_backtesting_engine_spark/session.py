@@ -33,6 +33,11 @@ _BASE_CONF = {
     # conf — a pre-existing session ignores it harmlessly.
     "spark.driver.extraJavaOptions": os.environ.get(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:UseAVX=2"),
+    # q135@sf30 (r10): a chunked-verify pass died at the 1 GiB default —
+    # an auto-broadcast build side whose zstd-parquet size estimate
+    # undershot its serialized rows. 4g is a quarter of the 12g driver;
+    # launch-time conf, pre-existing sessions unaffected.
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
