@@ -1389,7 +1389,10 @@ def _dup_edges(d, chunk_ranges=None, verify_classes=None):
     bounded to ~the box scratch budget, with pass counts auto-sized from
     the EXACT pre-join pair multiplicity (sum of C(d,2) over band
     buckets — knowable before the join) and the spilled pair count.
-    Chunked == monolithic is pinned by pytest at sf0.001."""
+    Chunked == monolithic is pinned by tests/test_chunked_pairs.py at
+    sf0.001 (13 parity tests: pair join at 3 chunk counts, cap parity,
+    verify parity, estimator exactness, env-forced, 3 cluster queries
+    end-to-end)."""
     import os as _os
 
     if chunk_ranges is None:
