@@ -257,6 +257,61 @@ def defer_until_idle(max_wait_s: float = DEFER_MAX_S,
     }
 
 
+def box_calibration(reps: int = 4, mb: int = 64, hasher=None) -> dict:
+    """Fixed pure-CPU box-speed constant (r10 VERDICT #3): SHA-256 over a
+    deterministic buffer, measured single-thread and all-threads, recorded
+    in every bench's provenance. The r9->r10 idle-to-idle total shifted
+    ~22% uniformly across ALL workloads — including pure-JVM paths the
+    diff never touched — which the judge attributed to the BOX (reboot /
+    frequency state), not the engine; without a calibration constant that
+    attribution cannot be made from committed artifacts. sha256 is
+    C-speed, deterministic, releases the GIL on large buffers (so the
+    all-threads figure really exercises every core), and has no JIT or
+    allocator warm-up to confound it.
+
+    ``hasher`` is injectable for the ordering test."""
+    import concurrent.futures as cf
+    import hashlib
+
+    make = hasher if hasher is not None else hashlib.sha256
+    buf = bytes(range(256)) * (mb * 4096)  # mb MiB, deterministic
+
+    def one():
+        h = make()
+        for _ in range(reps):
+            h.update(buf)
+        return h
+
+    one()  # untimed: page the buffer in
+    t0 = time.perf_counter()
+    one()
+    single_s = time.perf_counter() - t0
+    n = os.cpu_count() or 1
+    with cf.ThreadPoolExecutor(n) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(lambda _i: one(), range(n)))
+        multi_s = time.perf_counter() - t0
+    total_mb = reps * mb
+    return {
+        "sha256_mb_per_s_1t": round(total_mb / single_s, 1),
+        "sha256_mb_per_s_all": round(n * total_mb / multi_s, 1),
+        "threads": n,
+    }
+
+
+def preflight(defer=None, load1=None, calibrate=None):
+    """Everything that must happen BEFORE any Spark work, in this exact
+    order: (1) bounded idle deferral; (2) the contamination-gate loadavg
+    sample; (3) the pure-CPU calibration. The ordering is load-bearing —
+    sampling load1 after the session spin-up gates on the bench's own
+    heat (r10 VERDICT #2), and calibrating after Spark starts contends
+    with executor threads. Injectable for the ordering test."""
+    deferral = (defer or defer_until_idle)()
+    load_start = (load1 or _load1)()
+    calibration = (calibrate or box_calibration)()
+    return deferral, load_start, calibration
+
+
 BENCHES = {
     "clean_ohlcv": bench_clean_ohlcv,
     "backtest_metrics": bench_backtest_metrics,
@@ -280,7 +335,12 @@ def main():
     # self-defer BEFORE any Spark work so ambient load (another round's
     # leftover job, a CI neighbor) can clear; bounded so the driver's
     # bench step never hangs
-    deferral = defer_until_idle()
+    # Preflight order is load-bearing (r10 VERDICT #2): deferral, THEN
+    # the contamination-gate sample, THEN calibration — all before any
+    # Spark work, so the gate reads ambient load, not the bench's own
+    # 32-core spin-up heat (old placement pushed 1.43 -> 3.89 and
+    # re-flagged a successfully-deferred run contaminated).
+    deferral, load_start, calibration = preflight()
     if deferral["waited_s"] > 0:
         print(f"bench: deferred {deferral['waited_s']}s for load1 "
               f"{deferral['load1_initial']} -> {deferral['load1_final']}"
@@ -295,6 +355,7 @@ def main():
     spark.sql("SELECT count(*) FROM events").collect()
     bench_clean_ohlcv(spark, sf_dir)
     bench_backtest_metrics(spark, sf_dir)
+    load_post_warmup = _load1()
 
     _ensure_media_corpus(spark)
     media_stats = spark.read.parquet(_MEDIA_PATH).selectExpr(
@@ -318,7 +379,6 @@ def main():
     gc_ms = {}
     load1 = {}
     codec = None
-    load_start = _load1()
     for name, fn in BENCHES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir)
@@ -374,7 +434,14 @@ def main():
         "provenance": {
             "ncpus": os.cpu_count(),
             "load1_start": load_start,
+            # the bench's own spin-up heat: loadavg right after the
+            # session + warm-up passes; NOT used for the contamination
+            # gate (r10 VERDICT #2 — the gate reads ambient load only)
+            "load1_post_warmup": load_post_warmup,
             "load1_after": load1,
+            # fixed pure-CPU constant for cross-round box-speed
+            # normalization (r10 VERDICT #3)
+            "calibration": calibration,
             "gc_ms_warm": gc_ms,
             # self-arbitrated (r8 VERDICT #6): True when the pre-run
             # loadavg exceeds the idle threshold, so the cross-round

@@ -51,6 +51,69 @@ def test_defer_gives_up_at_the_bound_and_never_oversleeps():
     assert d["load1_final"] == 4.0
 
 
+def test_preflight_samples_load_after_deferral_before_calibration():
+    """r10 VERDICT #2: the contamination gate must read AMBIENT load —
+    sampled immediately after the deferral returns and before any other
+    work (the old placement, after the 32-core session spin-up + warm-up
+    passes, gated on the bench's own heat: deferral exited at 1.43,
+    load_start read 3.89)."""
+    b = _bench()
+    order = []
+
+    def defer():
+        order.append("defer")
+        return {"waited_s": 0.0, "gave_up": False,
+                "load1_initial": 0.1, "load1_final": 0.1}
+
+    def load1():
+        order.append("load1")
+        return 0.42
+
+    def calibrate():
+        order.append("calibrate")
+        return {"sha256_mb_per_s_1t": 1.0}
+
+    deferral, load_start, calibration = b.preflight(
+        defer=defer, load1=load1, calibrate=calibrate)
+    assert order == ["defer", "load1", "calibrate"]
+    assert load_start == 0.42
+    assert deferral["gave_up"] is False
+    assert calibration == {"sha256_mb_per_s_1t": 1.0}
+
+
+def test_main_source_orders_preflight_before_spark_and_keeps_fields():
+    """Belt-and-braces on the wiring main() itself: preflight() is called
+    before get_spark(), and provenance carries the split fields —
+    load1_start (the gate) and load1_post_warmup (the bench's own heat,
+    informational only)."""
+    import pathlib
+
+    src = (pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+           ).read_text()
+    body = src.split("def main():", 1)[1]
+    assert body.index("preflight()") < body.index("get_spark(")
+    assert '"load1_post_warmup"' in body
+    assert '"calibration": calibration' in body
+    # the gate consumes the preflight sample, nothing later reassigns it
+    assert body.count("load_start =") == 0  # unpacked from preflight only
+
+
+def test_box_calibration_shape_and_threads():
+    b = _bench()
+
+    class _NullHash:
+        def update(self, _buf):
+            pass
+
+    cal = b.box_calibration(reps=1, mb=1, hasher=_NullHash)
+    assert set(cal) == {"sha256_mb_per_s_1t", "sha256_mb_per_s_all",
+                        "threads"}
+    import os
+    assert cal["threads"] == os.cpu_count()
+    assert cal["sha256_mb_per_s_1t"] > 0
+    assert cal["sha256_mb_per_s_all"] > 0
+
+
 def test_defer_target_sits_below_contamination_threshold():
     b = _bench()
     # hysteresis: a run released at the target must not immediately trip

@@ -61,11 +61,16 @@ def main() -> int:
     pat = re.compile(rf"FROM {table}\b")
     assert len(pat.findall(sql)) == 1
 
+    # resume set: only chunks whose digest MATCHED may be skipped —
+    # skipping a failed chunk and counting it matched would corrupt the
+    # evidence artifact (r10 ADVICE); failed chunks re-run
     done = set()
     if os.path.exists(args.out):
         for line in open(args.out):
             try:
-                done.add(json.loads(line)["chunk"])
+                rec = json.loads(line)
+                if rec.get("ok") is True:
+                    done.add(rec["chunk"])
             except (ValueError, KeyError):
                 pass
 

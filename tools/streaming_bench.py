@@ -145,8 +145,13 @@ def bench_streaming_quote_enrich(spark, rate: int, seconds: float,
 
     symbols = [f"S{i:02d}" for i in range(n_symbols)]
     trades = normalize_trades(
-        rate_tick_source(spark, rows_per_second=trade_rate or rate,
-                         symbols=symbols)
+        rate_tick_source(
+            spark,
+            # explicit 0 is a user error, None means "match the quote
+            # rate" — `or` treated trade_rate=0 as unset and silently
+            # benched trades at the full quote rate (r10 ADVICE)
+            rows_per_second=trade_rate if trade_rate is not None else rate,
+            symbols=symbols)
     ).withColumn("seq", F.xxhash64("symbol", "ts", "price"))
     q_raw = normalize_trades(
         rate_tick_source(spark, rows_per_second=rate, symbols=symbols))
@@ -281,7 +286,7 @@ def main():
             # quote feed) — the unsharded half of the ceiling-lift pair
             out["quote_enrich_hot_dense"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work, n_symbols=1,
-                tag="enrich_hot_dense", trade_rate=args.rate // 10)
+                tag="enrich_hot_dense", trade_rate=max(1, args.rate // 10))
         if "quote_enrich_hot_sharded" in todo:
             # the same dense single hot symbol through
             # shard_hot_symbols(4): quotes split 4 ways, trades
@@ -291,7 +296,7 @@ def main():
             out["quote_enrich_hot_sharded"] = bench_streaming_quote_enrich(
                 spark, args.rate, args.seconds, work, n_symbols=1,
                 tag="enrich_hot_sharded", n_shards=4,
-                trade_rate=args.rate // 10)
+                trade_rate=max(1, args.rate // 10))
         if "jdbc_exactly_once" in todo:
             out["jdbc_exactly_once"] = bench_jdbc_exactly_once(
                 spark, args.jdbc_rate, max(args.seconds, 16.0), work)
