@@ -1415,8 +1415,13 @@ def _dup_edges(d, chunk_ranges=None, verify_classes=None):
         mult = dedup_ops.estimate_band_pair_multiplicity(bands)
         chunk_ranges = min(64, max(2, -(-(mult * _PAIR_JOIN_LIVE_B)
                                         // budget)))
+    # hot-bucket peel (r11): one bucket's pairs may alone exceed a
+    # pass's scratch share (sf100: d=45,864 -> 1.05e9 pairs ~100 GB);
+    # any bucket over the per-pass pair budget is subdivided by doc
+    # hash inside _lsh_pairs_chunked instead of riding its bucket class
     pairs = dedup_ops.lsh_pairs_from_bands(
-        bands, chunk_ranges=int(chunk_ranges))
+        bands, chunk_ranges=int(chunk_ranges),
+        hot_pair_budget=budget // _PAIR_JOIN_LIVE_B)
     # spill the source-filtered candidates once: the verify classes
     # re-filter this frame chunk_classes times. No-auto-broadcast guard:
     # `pairs` scans a zstd pair spill whose stats undersell it — the

@@ -240,6 +240,51 @@ DUCK_DIGEST_CHUNKS: dict[str, tuple] = {
 }
 
 
+#: View-SHADOW chunking (r11, r10 VERDICT #6): for oracle SQL that
+#: references its source table at SEVERAL sites (q135: documents appears
+#: in the token CTE, the shingle CTE, the CC seed and the resolution
+#: join — the single-site regex rewrite above can't touch it), each pass
+#: shadows the table with a filtered TEMP view so EVERY reference sees
+#: the same chunk class. Valid ONLY when the query semantically
+#: partitions by the chunk expression: q135's edge stage requires
+#: a.source = b.source (candidate pairs crossing sources are dropped
+#: before any edge forms), so connected components never span sources
+#: and every output row (doc_id, cluster, n_members, is_canonical) is
+#: computable within its doc's source class. Without this, q135's
+#: monolithic DuckDB side spills >60 GB of all-pairs scratch at sf10 and
+#: dies on temp disk (SCALING.md r10 ladder).
+#: k=16 over the corpus's 20 uniform sources puts 1-2 sources (~1/10 of
+#: the all-pairs scratch) in each pass — sf10's >60 GB monolithic spill
+#: becomes ~6 GB/pass.
+DUCK_DIGEST_SHADOW_CHUNKS: dict[str, tuple] = {
+    "q135_dedup_resolution": ("documents", "hash(source)", 16),
+}
+
+
+def duck_digest_shadow_chunked(con, sql, table, chunk_expr, k):
+    """Additive (count, hashsum1, hashsum2) over k passes, each running
+    the UNMODIFIED sql with ``table`` shadowed by a temp view filtered
+    to ``chunk_expr % k = i`` (DuckDB resolves temp names before main,
+    and dropping the temp view restores the original — pinned by
+    tests/test_digest.py)."""
+    # catalog-qualified base reference: the temp catalog ALSO has a
+    # schema named main, so a bare main.{table} inside the shadow view
+    # re-resolves to the shadow itself (binder: "infinite recursion")
+    cat = con.execute("SELECT current_catalog()").fetchone()[0]
+    n = s1 = s2 = 0
+    for i in range(k):
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW {table} AS "
+            f"SELECT * FROM {cat}.main.{table} "
+            f"WHERE ({chunk_expr}) % {k} = {i}")
+        try:
+            cn, c1, c2 = duck_digest(con, sql)
+        finally:
+            con.execute(f"DROP VIEW temp.{table}")
+        n, s1, s2 = n + cn, s1 + c1, s2 + c2
+    return (n, s1, s2)
+
+
 #: Spark-side twin of DUCK_DIGEST_CHUNKS: run the engine digest as k
 #: sequential passes filtered by ``col % k`` — Catalyst pushes the
 #: deterministic partition-key predicate below the query's windows and
@@ -301,6 +346,9 @@ def compare_query_digest(spark, con, fn, sql, name="", sf_dir=None):
         return report
     if name in DUCK_DIGEST_CHUNKS:
         dd = duck_digest_chunked(con, sql, *DUCK_DIGEST_CHUNKS[name])
+    elif name in DUCK_DIGEST_SHADOW_CHUNKS:
+        dd = duck_digest_shadow_chunked(
+            con, sql, *DUCK_DIGEST_SHADOW_CHUNKS[name])
     else:
         dd = duck_digest(con, sql)
     if name in SPARK_DIGEST_CHUNKS:

@@ -130,3 +130,31 @@ def test_digest_agrees_with_collect_compare_on_real_pairs(spark):
         rep = compare_query_digest(spark, con, sq[name], oq[name],
                                    name, SF_DIR)
         assert rep["ok"], (name, rep["errors"])
+
+
+def test_shadow_chunked_digest_equals_monolithic():
+    """View-shadow chunking (r11): q135's oracle partitions by source
+    (same-source edge filter), so running the UNMODIFIED SQL k times
+    with `documents` shadowed by hash(source)%k temp views must sum to
+    the monolithic digest — and the shadow must restore cleanly."""
+    from build_a_market_data_etl_strategy_backtesting_engine_spark import (
+        queries as q,
+    )
+    from oracle_harness import duck_digest_shadow_chunked
+
+    con = duck_connection(SF_DIR)
+    sql = q.oracle_queries()["q135_dedup_resolution"]
+    mono = duck_digest(con, sql)
+    assert mono[0] > 0
+    for k in (2, 8):
+        assert duck_digest_shadow_chunked(
+            con, sql, "documents", "hash(source)", k) == mono
+    # the shadow restored the original view: monolithic still matches
+    assert duck_digest(con, sql) == mono
+
+
+def test_shadow_chunk_registration_is_wired():
+    from oracle_harness import DUCK_DIGEST_SHADOW_CHUNKS
+
+    table, expr, k = DUCK_DIGEST_SHADOW_CHUNKS["q135_dedup_resolution"]
+    assert table == "documents" and "source" in expr and k >= 2
