@@ -35,8 +35,6 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/q120_partial.jsonl")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from build_a_market_data_etl_strategy_backtesting_engine_spark import (
         queries as q,
     )
@@ -74,16 +72,38 @@ def main() -> int:
             except (ValueError, KeyError):
                 pass
 
+    # ENGINE-side chunking must filter the SOURCE, not the output: the
+    # chunked binomial pricer materializes its induction through internal
+    # parquet spills, so an output-level pmod filter runs only AFTER all
+    # 20M options were priced — measured r11: one "chunk" cost the full
+    # run. q120 loads only `part`, and id == p_partkey, so a per-chunk
+    # dir holding part filtered to p_partkey % k = i prices exactly the
+    # chunk (the same partition the DuckDB side's source filter uses).
+    import duckdb
+
+    chunk_root = "/tmp/q120_chunks"
+    os.makedirs(chunk_root, exist_ok=True)
+
+    def chunk_dir(i: int) -> str:
+        cdir = os.path.join(chunk_root, f"k{k_total}_c{i}")
+        pq = os.path.join(cdir, f"{table}.parquet")
+        if not os.path.exists(pq):
+            os.makedirs(cdir, exist_ok=True)
+            duckdb.connect().execute(
+                f"COPY (SELECT * FROM "
+                f"read_parquet('{args.sf_dir}/{table}.parquet') "
+                f"WHERE ({src_col or col}) % {k_total} = {i}) "
+                f"TO '{pq}' (FORMAT PARQUET)")
+        return cdir
+
     n_match = 0
     for i in range(args.k):
         if i in done:
             print(f"[skip-done] chunk {i}", flush=True)
             n_match += 1
             continue
-        sdf = fn(spark, args.sf_dir).filter(
-            F.pmod(F.col(col), F.lit(k_total)) == i)
         t0 = time.time()
-        sd = spark_digest(sdf)
+        sd = spark_digest(fn(spark, chunk_dir(i)))
         t_spark = round(time.time() - t0, 1)
         src = (f"FROM (SELECT * FROM {table} "
                f"WHERE ({src_col or col}) % {k_total} = {i}) {table}")
