@@ -287,6 +287,13 @@ def _no_auto_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+#: tasks each (band, bh) bucket's pair-join output spreads across inside
+#: a chunked pass — bounds the per-task partial-agg hash map to
+#: ~pass_output / max(shuffle_partitions, _PAIR_SALT) entries whatever
+#: the bucket skew (see _pair_partial in _lsh_pairs_chunked).
+_PAIR_SALT = 32
+
+
 def _spill_scan(spark, schema, path) -> DataFrame:
     """Read back a chunked-operator spill for EXTERNAL consumption with a
     per-plan ``merge`` join hint attached (r10 ADVICE): zstd pair spills'
@@ -351,11 +358,24 @@ def _lsh_pairs_chunked(banded: DataFrame, k: int,
     bands_r = spark.read.parquet(f"{base}/bands")
 
     def _pair_partial(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
-        a = a_side.alias("a")
-        b_ = b_side.alias("b")
+        # b-side salt (r11, measured at sf100): a pass's shuffle hashes on
+        # (band, bh), so ONE bucket's whole join output — and the partial
+        # hash-agg over it — lands in ONE task (the hottest bucket's
+        # 1.05e9/42 pairs per pass OOM'd a 12g heap at hot pass 5).
+        # Salting the b side by doc hash and exploding the (small) a side
+        # spreads every bucket's pair space across _PAIR_SALT tasks;
+        # output rows are identical (each (a, b) pair matches exactly the
+        # one salt equal to hash(b) % S).
+        a = a_side.withColumn(
+            "_ps", F.explode(F.sequence(F.lit(0),
+                                        F.lit(_PAIR_SALT - 1)))).alias("a")
+        b_ = b_side.withColumn(
+            "_ps", F.pmod(F.xxhash64("doc"),
+                          F.lit(_PAIR_SALT)).cast("int")).alias("b")
         return (
             a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a._ps") == F.col("b._ps"))
                    & (F.col("a.doc") < F.col("b.doc")))
             .groupBy(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))

@@ -1399,7 +1399,14 @@ def _dup_edges(d, chunk_ranges=None, verify_classes=None):
         env = _os.environ.get("SPARK_GRAFT_CAND_CHUNKS")
         if env:
             chunk_ranges = int(env)
-    if chunk_ranges is None and d.count() <= _DUP_EDGES_MONO_MAX_DOCS:
+    # bounded cardinality probe (r10 VERDICT minor): the mono-vs-chunked
+    # decision needs only "more than threshold docs or not", so count a
+    # LIMIT threshold+1 instead of the full table — the probe job's scan
+    # stops after ~1M rows whatever the corpus size (at 100 TB the old
+    # full count was itself a full-table job)
+    if chunk_ranges is None and (
+            d.limit(_DUP_EDGES_MONO_MAX_DOCS + 1).count()
+            <= _DUP_EDGES_MONO_MAX_DOCS):
         chunk_ranges = 1
     if chunk_ranges == 1:
         cand = _banded_same_source_cand(d)

@@ -122,10 +122,18 @@ def main() -> int:
     cold_r = spark.read.schema(banded.schema).parquet(f"{base}/cold")
 
     def pair_partial(a_side, b_side):
-        a = a_side.alias("a")
-        b_ = b_side.alias("b")
+        # mirrors dedup._lsh_pairs_chunked's salted pass join (r11): the
+        # b-side doc-hash salt spreads one bucket's join output across
+        # _PAIR_SALT tasks — without it the hottest bucket's per-pass
+        # 25M-pair partial agg OOM'd a 12g heap at hot pass 5
+        s = dedup._PAIR_SALT
+        a = a_side.withColumn(
+            "_ps", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))).alias("a")
+        b_ = b_side.withColumn(
+            "_ps", F.pmod(F.xxhash64("doc"), F.lit(s)).cast("int")).alias("b")
         return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.bh") == F.col("b.bh"))
+                       & (F.col("a._ps") == F.col("b._ps"))
                        & (F.col("a.doc") < F.col("b.doc")))
                 .groupBy(F.col("a.doc").alias("doc_a"),
                          F.col("b.doc").alias("doc_b"))
