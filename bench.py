@@ -214,6 +214,28 @@ def _load1() -> float:
 #: showed a ~4 loadavg tail inflating every workload ~25% uniformly.
 LOAD1_CONTAMINATION_THRESHOLD = 2.0
 
+#: Reference all-threads calibration constant (r11 VERDICT #4): the
+#: committed r11 idle-baseline sha256 throughput of THIS build box
+#: (SCALING.md bench-provenance section). normalized_total rescales a
+#: run's total to this box state so cross-round comparisons need no
+#: hand arithmetic. NOTE the direction: a slower box state (smaller
+#: cal_run) INFLATES wall totals, so normalizing multiplies by
+#: cal_run / CAL_REF (r11 VERDICT #4 wrote the inverse ratio — that
+#: would double the penalty instead of removing it).
+CAL_REF_ALL_MB_S = 26258.0
+
+
+def normalized_total(total: float, calibration: dict) -> float | None:
+    """``total`` rescaled to the reference box state, or None when the
+    calibration sample is missing/zero. First-order model: every
+    workload's wall scales ~1/box_speed (the r9->r10 ~22% uniform shift
+    and the r11 34% same-day swing both moved ALL workloads together,
+    including untouched pure-JVM paths)."""
+    cal = (calibration or {}).get("sha256_mb_per_s_all") or 0.0
+    if cal <= 0:
+        return None
+    return round(total * cal / CAL_REF_ALL_MB_S, 3)
+
 
 def _contaminated(load1_start: float) -> bool:
     return load1_start > LOAD1_CONTAMINATION_THRESHOLD
@@ -420,6 +442,11 @@ def main():
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
+        # total rescaled to the r11 reference box state (r11 VERDICT #4)
+        # so cross-round deltas read off committed artifacts directly;
+        # see normalized_total() for the direction of the ratio
+        "normalized_total": normalized_total(total, calibration),
+        "cal_ref_all_mb_s": CAL_REF_ALL_MB_S,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,

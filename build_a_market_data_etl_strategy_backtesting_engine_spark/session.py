@@ -51,9 +51,19 @@ _BASE_CONF = {
     # On a REAL cluster the SIGSEGV-prone streaming state-store path runs
     # in EXECUTORS, which driver.extraJavaOptions never reaches — pin them
     # symmetrically (r10 VERDICT #7). Harmless on local[N] (no separate
-    # executor JVMs launch).
+    # executor JVMs launch). UNLIKE the driver pin, the executor option is
+    # prefixed with IgnoreUnrecognizedVMOptions (r11 ADVICE): the platform
+    # gate samples the DRIVER host's arch, which says nothing about the
+    # executors' — on a mixed-arch cluster (x86 driver, aarch64 executors)
+    # a bare -XX:UseAVX=2 would abort EVERY executor JVM launch. With the
+    # prefix, an aarch64 executor ignores the pin (it doesn't have the
+    # faulty AVX-512 stubs anyway) while x86 executors still apply it.
+    # The inverse mix (aarch64 driver, x86 executors) resolves to no pin —
+    # set SPARK_GRAFT_EXECUTOR_JAVA_OPTS explicitly there.
     "spark.executor.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_EXECUTOR_JAVA_OPTS", _default_jvm_opts()),
+        "SPARK_GRAFT_EXECUTOR_JAVA_OPTS",
+        ("-XX:+IgnoreUnrecognizedVMOptions " + _default_jvm_opts())
+        if _default_jvm_opts() else ""),
     # q135@sf30 (r10): a chunked-verify pass died at the 1 GiB default —
     # an auto-broadcast build side whose zstd-parquet size estimate
     # undershot its serialized rows. 4g is a quarter of the 12g driver;
@@ -98,14 +108,15 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    conf = dict(_BASE_CONF)
+    # platform-gated opts resolve empty off-x86: omit them from the BASE
+    # conf only (r11 ADVICE — a user-supplied empty string in extra_conf
+    # is an intentional value and must reach the builder)
+    conf = {k: v for k, v in _BASE_CONF.items() if v != ""}
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
-        if v == "":  # platform-gated opts resolve empty off-x86: omit
-            continue
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -258,3 +258,43 @@ def test_cluster_queries_identical_under_forced_chunking(
     monkeypatch.setenv("SPARK_GRAFT_CAND_CHUNKS", "3")
     forced = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert forced == base
+
+
+# ----------------------------------------- sized cold-pass salt (r12)
+
+def test_sized_pair_salt_boundaries():
+    """Cold-pass salt sizing (r11 VERDICT #5 / ADVICE): 1 (no a-side
+    explode) when the largest cold bucket's pair count fits one task's
+    partial-agg target, then ceil-scaled, capped at the measured
+    _PAIR_SALT."""
+    t = dedup._PAIR_AGG_TARGET_ROWS
+    assert dedup._sized_pair_salt(0) == 1
+    assert dedup._sized_pair_salt(t) == 1
+    assert dedup._sized_pair_salt(t + 1) == 2
+    assert dedup._sized_pair_salt(3 * t) == 3
+    # sf100's measured budget-capped cold max (~1.79e8) still hits the
+    # protective cap — the r11 ledger's cold rows stay comparable
+    assert dedup._sized_pair_salt(178_956_970) == dedup._PAIR_SALT
+    assert dedup._sized_pair_salt(10**15) == dedup._PAIR_SALT
+
+
+def test_small_sf_cold_passes_skip_salt_explode(spark, sf_dir):
+    """At small SFs every cold bucket fits the per-task target, so the
+    cold salt collapses to 1 — the salt-free plain self-join branch of
+    _pair_partial (no 32x a-side explode, the r11 fixed constant's cost
+    on every cold pass) — and output must stay identical to monolithic.
+    The salt value itself is pinned from the fixture's actual max cold
+    bucket, so this test fails if the sizing ever stops engaging."""
+    bands = _md5_bands(spark, sf_dir)
+    budget = dedup.box_scratch_budget(spark)
+    max_bpairs = int(
+        bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max(F.expr("CAST(d AS BIGINT) * (d - 1) DIV 2")))
+        .first()[0] or 0)
+    assert 0 < max_bpairs <= budget // 96  # all-cold fixture
+    assert dedup._sized_pair_salt(max_bpairs) == 1  # branch engaged
+    out = dedup.lsh_pairs_from_bands(
+        bands, chunk_ranges=3, hot_pair_budget=budget // 96)
+    mono = dedup.lsh_pairs_from_bands(bands)
+    cols = ["doc_a", "doc_b", "n_shared_bands"]
+    assert _rows(out, cols) == _rows(mono, cols)

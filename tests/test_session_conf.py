@@ -29,7 +29,63 @@ def test_avx_pin_absent_off_x86():
 def test_base_conf_pins_driver_and_executor_symmetrically():
     d = sess._BASE_CONF["spark.driver.extraJavaOptions"]
     e = sess._BASE_CONF["spark.executor.extraJavaOptions"]
-    assert d == e  # whatever the platform/env resolved, both JVMs get it
+    if d:
+        # the executor side carries the SAME pin, but prefixed with
+        # IgnoreUnrecognizedVMOptions (r11 ADVICE): the platform gate
+        # samples the DRIVER arch only — on a mixed-arch cluster an
+        # aarch64 executor must ignore the x86-only flag, not abort
+        assert e == f"-XX:+IgnoreUnrecognizedVMOptions {d}"
+    else:
+        assert e == ""
+
+
+def test_executor_opts_tolerant_on_mixed_arch_cluster():
+    """An aarch64 JVM launched with the executor option string must not
+    see a bare unrecognized -XX flag: IgnoreUnrecognizedVMOptions has to
+    come FIRST (HotSpot applies it to subsequent options)."""
+    import importlib
+
+    with mock.patch.object(sess.platform, "machine",
+                           return_value="x86_64"):
+        fresh = importlib.reload(sess)
+        e = fresh._BASE_CONF["spark.executor.extraJavaOptions"]
+        assert e.split()[0] == "-XX:+IgnoreUnrecognizedVMOptions"
+        assert "-XX:UseAVX=2" in e
+        # the driver keeps the bare pin: a loud failure where we KNOW
+        # the arch is the one the pin targets
+        assert fresh._BASE_CONF[
+            "spark.driver.extraJavaOptions"] == "-XX:UseAVX=2"
+    importlib.reload(sess)
+
+
+def test_extra_conf_empty_string_reaches_builder():
+    """get_spark's empty-value skip is scoped to _BASE_CONF's
+    platform-gated keys (r11 ADVICE): a user-supplied empty string in
+    extra_conf is an intentional value (clearing a Spark default) and
+    must survive to the builder's conf map."""
+    captured = {}
+
+    class FakeBuilder:
+        def appName(self, *_):
+            return self
+
+        def master(self, *_):
+            return self
+
+        def config(self, k, v):
+            captured[k] = v
+            return self
+
+        def getOrCreate(self):
+            raise RuntimeError("stop-before-jvm")
+
+    with mock.patch.object(
+            sess.SparkSession, "builder", FakeBuilder()):
+        try:
+            sess.get_spark("t", extra_conf={"spark.test.flag": ""})
+        except RuntimeError:
+            pass
+    assert captured.get("spark.test.flag") == ""
 
 
 def test_env_overrides_are_separate_knobs(monkeypatch):

@@ -80,8 +80,17 @@ def main() -> int:
     # dir holding part filtered to p_partkey % k = i prices exactly the
     # chunk (the same partition the DuckDB side's source filter uses).
     import duckdb
+    import hashlib
 
-    chunk_root = "/tmp/q120_chunks"
+    # cache keyed by sf_dir digest (r11 ADVICE): a bare k{K}_c{i} key
+    # reused a chunk built from a DIFFERENT sf_dir (or a parquet left
+    # truncated by an interrupted COPY) and silently poisoned the
+    # evidence comparison. The digest scopes the cache to one dataset;
+    # the temp-file-then-rename write means only COMPLETE chunk files
+    # are ever visible at the cached path.
+    sf_key = hashlib.sha256(
+        os.path.realpath(args.sf_dir).encode()).hexdigest()[:12]
+    chunk_root = f"/tmp/q120_chunks/{sf_key}"
     os.makedirs(chunk_root, exist_ok=True)
 
     def chunk_dir(i: int) -> str:
@@ -89,11 +98,13 @@ def main() -> int:
         pq = os.path.join(cdir, f"{table}.parquet")
         if not os.path.exists(pq):
             os.makedirs(cdir, exist_ok=True)
+            tmp = f"{pq}.tmp.{os.getpid()}"
             duckdb.connect().execute(
                 f"COPY (SELECT * FROM "
                 f"read_parquet('{args.sf_dir}/{table}.parquet') "
                 f"WHERE ({src_col or col}) % {k_total} = {i}) "
-                f"TO '{pq}' (FORMAT PARQUET)")
+                f"TO '{tmp}' (FORMAT PARQUET)")
+            os.rename(tmp, pq)
         return cdir
 
     n_match = 0
