@@ -99,48 +99,79 @@ def main() -> int:
         f"read_parquet('{args.sf_dir}/documents.parquet'))").fetchall()
     con0.close()
     cls_of = {s: int(c) for s, c in src_cls}
+
+    # resume: if THIS out file already holds a completed phase-1 for the
+    # same K, reuse the measured per-class stats instead of re-building
+    # the sf100 band table (~15 min) just to re-derive known constants
+    cached: dict[int, dict] = {}
+    if os.path.exists(args.out):
+        same_k, done_stats = False, False
+        for line in open(args.out):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("phase") == "class_map":
+                same_k = rec.get("k") == K
+                cached.clear()
+            elif rec.get("phase") == "class_stats" and same_k:
+                cached[int(rec["c"])] = {
+                    "mult": int(rec["mult"]),
+                    "n_docs": int(rec.get("n_docs", 0)),
+                    "sum_chars": int(rec.get("sum_chars", 0))}
+            elif rec.get("phase") == "stats_done" and same_k:
+                done_stats = True
+        if not done_stats:
+            cached.clear()
+
     emit({"phase": "class_map", "k": K, "n_sources": len(cls_of),
-          "classes_used": sorted(set(cls_of.values()))})
+          "classes_used": sorted(set(cls_of.values())),
+          "stats_cached": bool(cached)})
 
     spark = get_spark("q135-classes")
     budget = dedup.box_scratch_budget(spark)
-    d = load_tables(spark, args.sf_dir, ["documents"])["documents"]
-    t0 = time.time()
-    bands = q._md5_band_table(d)
-    cls_expr = F.coalesce(*(
-        [F.when(F.col("source") == s, F.lit(c)) for s, c in cls_of.items()]
-        + [F.lit(-1)]))
-    doc_cls = d.select("doc_id", cls_expr.alias("c"),
-                       F.col("n_chars"))
-    per_cls = (
-        bands.join(doc_cls.select("doc_id", "c"), "doc_id")
-        .groupBy("band", "bh", "c")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .groupBy("c")
-        .agg(F.sum(F.expr("CAST(d AS BIGINT) * (d - 1) DIV 2"))
-             .alias("mult"))
-    )
-    docs_cls = doc_cls.groupBy("c").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"))
-    stats = {int(r["c"]): {"mult": int(r["mult"] or 0)}
-             for r in per_cls.collect()}
-    for r in docs_cls.collect():
-        stats.setdefault(int(r["c"]), {"mult": 0}).update(
-            n_docs=int(r["n_docs"]), sum_chars=int(r["sum_chars"]))
-    wall = round(time.time() - t0, 1)
-    for c in sorted(stats):
-        s = stats[c]
-        emit({"phase": "class_stats", "c": c, "mult": s["mult"],
-              "n_docs": s.get("n_docs", 0),
-              "sum_chars": s.get("sum_chars", 0),
-              "duck_feasible": s["mult"] <= args.duck_max_pairs})
-    emit({"phase": "stats_done", "wall_s": wall,
-          "total_mult": sum(s["mult"] for s in stats.values()),
-          "budget_bytes": budget,
-          "duck_max_pairs": args.duck_max_pairs,
-          "n_feasible": sum(1 for s in stats.values()
-                            if s["mult"] <= args.duck_max_pairs)})
+
+    if cached:
+        stats = cached
+    else:
+        d = load_tables(spark, args.sf_dir, ["documents"])["documents"]
+        t0 = time.time()
+        bands = q._md5_band_table(d)
+        cls_expr = F.coalesce(*(
+            [F.when(F.col("source") == s, F.lit(c))
+             for s, c in cls_of.items()]
+            + [F.lit(-1)]))
+        doc_cls = d.select("doc_id", cls_expr.alias("c"),
+                           F.col("n_chars"))
+        per_cls = (
+            bands.join(doc_cls.select("doc_id", "c"), "doc_id")
+            .groupBy("band", "bh", "c")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .groupBy("c")
+            .agg(F.sum(F.expr("CAST(d AS BIGINT) * (d - 1) DIV 2"))
+                 .alias("mult"))
+        )
+        docs_cls = doc_cls.groupBy("c").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"))
+        stats = {int(r["c"]): {"mult": int(r["mult"] or 0)}
+                 for r in per_cls.collect()}
+        for r in docs_cls.collect():
+            stats.setdefault(int(r["c"]), {"mult": 0}).update(
+                n_docs=int(r["n_docs"]), sum_chars=int(r["sum_chars"]))
+        wall = round(time.time() - t0, 1)
+        for c in sorted(stats):
+            s = stats[c]
+            emit({"phase": "class_stats", "c": c, "mult": s["mult"],
+                  "n_docs": s.get("n_docs", 0),
+                  "sum_chars": s.get("sum_chars", 0),
+                  "duck_feasible": s["mult"] <= args.duck_max_pairs})
+        emit({"phase": "stats_done", "wall_s": wall,
+              "total_mult": sum(s["mult"] for s in stats.values()),
+              "budget_bytes": budget,
+              "duck_max_pairs": args.duck_max_pairs,
+              "n_feasible": sum(1 for s in stats.values()
+                                if s["mult"] <= args.duck_max_pairs)})
     if args.stats_only:
         return 0
 
@@ -210,8 +241,21 @@ def main() -> int:
         t0 = time.time()
         try:
             dd = duck_digest(con, sql)
+        except Exception as e:  # noqa: BLE001
+            # a temp-limit (or OOM) abort on ONE class must not kill the
+            # run — the class is recorded as oracle-infeasible on this
+            # box (the engine side DID complete: sd is evidence of that)
+            # and the sweep moves to the next class. A real DIGEST
+            # MISMATCH below still aborts the run.
+            t_duck = round(time.time() - t0, 1)
+            emit({"phase": "class_digest", "c": c, "mult": mult,
+                  "n_docs": stats[c].get("n_docs", 0), "ok": False,
+                  "spark": sd, "duck": None, "engine_chunks": k_c,
+                  "spark_s": t_spark, "duck_s": t_duck,
+                  "duck_err": f"{type(e).__name__}: {e}"[:300]})
+            continue
         finally:
-            con.execute("DROP VIEW temp.documents")
+            con.execute("DROP VIEW IF EXISTS temp.documents")
         t_duck = round(time.time() - t0, 1)
         ok = sd == dd
         n_ok += ok
