@@ -32,6 +32,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf100")
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--from-chunk", type=int, default=0,
+                    help="first chunk index to run — lets two instances "
+                    "split the remaining range into disjoint halves "
+                    "(separate --out files, merged afterward)")
     ap.add_argument("--out", default="/tmp/q120_partial.jsonl")
     args = ap.parse_args()
 
@@ -108,7 +112,7 @@ def main() -> int:
         return cdir
 
     n_match = 0
-    for i in range(args.k):
+    for i in range(args.from_chunk, args.k):
         if i in done:
             print(f"[skip-done] chunk {i}", flush=True)
             n_match += 1
