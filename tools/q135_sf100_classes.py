@@ -213,6 +213,10 @@ def main() -> int:
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
     con.execute(f"SET max_temp_directory_size='{args.duck_temp_gb}GiB'")
+    # the digest is (count, sum(h1), sum(h2)) — order-free — so DuckDB
+    # may stream/reorder freely; preserving insertion order forces
+    # buffering that multiplies temp on the pair join + DISTINCT
+    con.execute("SET preserve_insertion_order=false")
     cat = con.execute("SELECT current_catalog()").fetchone()[0]
 
     todo = [c for c in sorted(stats, key=lambda c: stats[c]["mult"])
