@@ -60,6 +60,12 @@ def main() -> int:
     ap.add_argument("--duck-temp-gb", type=int, default=45)
     ap.add_argument("--max-run", type=int, default=0,
                     help="max classes to digest-run (0 = all feasible)")
+    ap.add_argument("--engine-chunks", type=int, default=0,
+                    help="force SPARK_GRAFT_CAND_CHUNKS for the engine "
+                    "side (0 = auto-size from the class's pair mult; "
+                    "the auto floor of 2 under-chunked a 225M-pair "
+                    "class into 12g-heap OOM — pass 8+ when sharing "
+                    "the box)")
     ap.add_argument("--stats-only", action="store_true")
     ap.add_argument("--out", default="/tmp/q135_classes.jsonl")
     args = ap.parse_args()
@@ -230,7 +236,8 @@ def main() -> int:
         # from THIS class's exact multiplicity (the class dirs hold
         # ~1/K of the docs, under the auto-dispatch threshold, but the
         # pair mass is what needs chunking)
-        k_c = min(64, max(2, -(-(mult * q._PAIR_JOIN_LIVE_B) // budget)))
+        k_c = (args.engine_chunks or
+               min(64, max(2, -(-(mult * q._PAIR_JOIN_LIVE_B) // budget))))
         os.environ["SPARK_GRAFT_CAND_CHUNKS"] = str(k_c)
         t0 = time.time()
         try:
