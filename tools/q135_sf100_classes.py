@@ -111,7 +111,10 @@ def main() -> int:
     # the sf100 band table (~15 min) just to re-derive known constants
     cached: dict[int, dict] = {}
     if os.path.exists(args.out):
-        same_k, done_stats = False, False
+        # keep the last COMPLETE (class_map .. stats_done) block for this
+        # K; phase-2-only resumes append a bare class_map with no stats
+        # after it, which must not invalidate an earlier complete block
+        same_k, cur = False, {}
         for line in open(args.out):
             try:
                 rec = json.loads(line)
@@ -119,16 +122,14 @@ def main() -> int:
                 continue
             if rec.get("phase") == "class_map":
                 same_k = rec.get("k") == K
-                cached.clear()
+                cur = {}
             elif rec.get("phase") == "class_stats" and same_k:
-                cached[int(rec["c"])] = {
+                cur[int(rec["c"])] = {
                     "mult": int(rec["mult"]),
                     "n_docs": int(rec.get("n_docs", 0)),
                     "sum_chars": int(rec.get("sum_chars", 0))}
-            elif rec.get("phase") == "stats_done" and same_k:
-                done_stats = True
-        if not done_stats:
-            cached.clear()
+            elif rec.get("phase") == "stats_done" and same_k and cur:
+                cached = dict(cur)
 
     emit({"phase": "class_map", "k": K, "n_sources": len(cls_of),
           "classes_used": sorted(set(cls_of.values())),
