@@ -58,6 +58,13 @@ def main() -> int:
                     "attempt the DuckDB side (measured ~260-430 B "
                     "temp/pair at sf10)")
     ap.add_argument("--duck-temp-gb", type=int, default=45)
+    ap.add_argument("--duck-memory-gb", type=int, default=0,
+                    help="explicit DuckDB memory_limit (GiB); 0 = "
+                    "DuckDB's default 80%% of RAM. Class 8's first "
+                    "attempt offloaded 50 GiB to temp and died on the "
+                    "temp cap while ~60 GiB of RAM sat free — pin the "
+                    "limit to the box's actual free RAM so the working "
+                    "set stays resident and temp only takes overflow")
     ap.add_argument("--max-run", type=int, default=0,
                     help="max classes to digest-run (0 = all feasible)")
     ap.add_argument("--engine-chunks", type=int, default=0,
@@ -187,12 +194,20 @@ def main() -> int:
     sql = q.oracle_queries()[NAME]
 
     done = set()
+    engine_done: dict[int, dict] = {}
     if os.path.exists(args.out):
         for line in open(args.out):
             try:
                 rec = json.loads(line)
-                if rec.get("phase") == "class_digest" and rec.get("ok"):
+                if rec.get("phase") != "class_digest":
+                    continue
+                if rec.get("ok"):
                     done.add(rec["c"])
+                elif rec.get("spark") and rec.get("duck") is None:
+                    # engine side completed, oracle side aborted (temp/
+                    # memory): reuse the recorded engine digest on retry
+                    # instead of re-running hours of Spark
+                    engine_done[rec["c"]] = rec
             except (ValueError, KeyError):
                 pass
 
@@ -224,6 +239,8 @@ def main() -> int:
     # may stream/reorder freely; preserving insertion order forces
     # buffering that multiplies temp on the pair join + DISTINCT
     con.execute("SET preserve_insertion_order=false")
+    if args.duck_memory_gb:
+        con.execute(f"SET memory_limit='{args.duck_memory_gb}GiB'")
     cat = con.execute("SELECT current_catalog()").fetchone()[0]
 
     todo = [c for c in sorted(stats, key=lambda c: stats[c]["mult"])
@@ -237,15 +254,24 @@ def main() -> int:
         # from THIS class's exact multiplicity (the class dirs hold
         # ~1/K of the docs, under the auto-dispatch threshold, but the
         # pair mass is what needs chunking)
-        k_c = (args.engine_chunks or
-               min(64, max(2, -(-(mult * q._PAIR_JOIN_LIVE_B) // budget))))
-        os.environ["SPARK_GRAFT_CAND_CHUNKS"] = str(k_c)
-        t0 = time.time()
-        try:
-            sd = spark_digest(fn(spark, class_dir(c)))
-        finally:
-            os.environ.pop("SPARK_GRAFT_CAND_CHUNKS", None)
-        t_spark = round(time.time() - t0, 1)
+        if c in engine_done:
+            prev = engine_done[c]
+            sd = tuple(prev["spark"])
+            k_c = prev.get("engine_chunks")
+            t_spark = prev.get("spark_s")
+            print(f"[reuse] class {c}: engine digest from prior record "
+                  f"({t_spark}s, chunks={k_c})", flush=True)
+        else:
+            k_c = (args.engine_chunks or
+                   min(64,
+                       max(2, -(-(mult * q._PAIR_JOIN_LIVE_B) // budget))))
+            os.environ["SPARK_GRAFT_CAND_CHUNKS"] = str(k_c)
+            t0 = time.time()
+            try:
+                sd = spark_digest(fn(spark, class_dir(c)))
+            finally:
+                os.environ.pop("SPARK_GRAFT_CAND_CHUNKS", None)
+            t_spark = round(time.time() - t0, 1)
         con.execute(
             f"CREATE OR REPLACE TEMP VIEW documents AS "
             f"SELECT * FROM {cat}.main.documents "
