@@ -725,6 +725,13 @@ def embedding_near_dups(
     import numpy as np
 
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        # empty input (a legitimate corpus slice in chunked/sampled
+        # runs) has no pairs — and no row to probe the dimension from
+        return embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))

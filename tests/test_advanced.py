@@ -1155,3 +1155,15 @@ def test_audio_features_pcm_decode(spark):
     assert got.rms == pytest.approx(amp / np.sqrt(2), rel=2e-3)
     assert got.peak == pytest.approx(amp, rel=2e-3)
     assert rows[2].n_samples == 0 and rows[2].rms == 0.0
+
+
+def test_embedding_near_dups_empty_input(spark):
+    # an empty corpus slice (legitimate in chunked/sampled runs —
+    # found live by tools/qpair_chunk_sample.py on an sf1 chunk with
+    # no vectors) must yield an empty pair frame, not a NoneType crash
+    # on the dimension probe
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    near = dedup.embedding_near_dups(emb, threshold=0.5, n_planes=4)
+    assert near.columns == ["id_a", "id_b", "cosine"]
+    assert near.count() == 0
