@@ -750,22 +750,27 @@ def embedding_near_dups(
         "", *[(dot_const(F.col("v"), planes[i]) > 0).cast("int").cast("string")
               for i in range(n_planes)]
     )
-    bucketed = df.withColumn("bucket", bucket)
+    # the norm is a per-VECTOR quantity: hoist it before the self-join
+    # so each of the O(pairs) rows evaluates ONE array aggregate (the
+    # dot product) instead of three — at sf100 that is 2M norm
+    # aggregates instead of 9.7e9. sqrt(sum(v*v)) on the same array is
+    # the identical float sequence wherever it runs, and the final
+    # dot/(na*nb) keeps the same operand order, so cosines (and the
+    # cross-engine digests) are bit-identical to the unhoisted form.
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    bucketed = df.withColumn("bucket", bucket).withColumn("nv", norm)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.zip_with(F.col("a.v"), F.col("a.v"),
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.zip_with(F.col("b.v"), F.col("b.v"),
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
-                (dot / (na * nb)).alias("cosine"))
+                (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -1193,28 +1198,28 @@ def semantic_dedup(
     cluster member, NULL for the cluster's first vector) and ``pruned``.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # per-vector norm hoisted before the within-cluster self-join (one
+    # array aggregate per PAIR instead of three — see
+    # embedding_near_dups); bit-identical: same float sequence on the
+    # same array, same operand order in the division
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
     base = embeddings.select(
         F.col(cluster_col).alias("_cl"), F.col(id_col).alias("_id"),
-        v.alias("_v"),
+        v.alias("_v"), norm.alias("_nv"),
     )
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("a._v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
-    nb = F.sqrt(F.aggregate(
-        F.zip_with(F.col("b._v"), F.col("b._v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
     prior_sims = (
         a.join(b, (F.col("a._cl") == F.col("b._cl"))
                & (F.col("b._id") < F.col("a._id")))
         .select(F.col("a._id").alias("_id"),
-                (dot / (na * nb)).alias("_sim"))
+                (dot / (F.col("a._nv") * F.col("b._nv"))).alias("_sim"))
         .groupBy("_id")
         .agg(F.max("_sim").alias("max_prior_sim"))
     )

@@ -57,13 +57,23 @@ def all_pairs_topk(
     """Top-k neighbors for EVERY query row: broadcast the (small) query set,
     score all pairs, rank per query. For large query sets, pre-bucket both
     sides with sign-LSH (dedup.embedding_near_dups idiom) instead."""
+    # squared norms are per-SIDE quantities: hoist them before the
+    # cross join so each of the |E|x|Q| scored rows evaluates one array
+    # aggregate (the dot) instead of three. The pair expression stays
+    # dot / sqrt(aa * bb) — the cosine() helper's exact float sequence
+    # (sqrt of the PRODUCT, not a product of sqrts), so results are
+    # bit-identical to the unhoisted form.
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         _as_double(F.col(query_vec_col)).alias("qv"),
-    )
-    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    ).withColumn("qn2", _dot(F.col("qv"), F.col("qv")))
+    e = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn2", _dot(F.col("v"), F.col("v")))
     scored = e.crossJoin(F.broadcast(q)).select(
-        "qid", id_col, cosine(F.col("v"), F.col("qv")).alias("cosine")
+        "qid", id_col,
+        (_dot(F.col("v"), F.col("qv"))
+         / F.sqrt(F.col("vn2") * F.col("qn2"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
