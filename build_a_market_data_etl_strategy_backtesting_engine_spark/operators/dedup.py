@@ -225,11 +225,24 @@ def lsh_pairs_from_bands(
     cold passes size theirs from the actual max cold bucket via
     ``_sized_pair_salt`` (1 — no a-side explode — at small SFs)."""
     if max_band_df is not None:
-        bdf = banded.groupBy("band", "bh").agg(
-            F.count(F.lit(1)).alias("_df"))
+        # Stop-band cap as a WINDOW count over (band, bh), not a separate
+        # count-agg + join (r12 optimization, guide §2.4): the old bdf
+        # branch was a second full computation of everything upstream of
+        # ``banded`` (scan -> shingle explode -> minhash aggs -> banding;
+        # column pruning made its subtree differ from the join sides', so
+        # ReuseExchange never fired and the bench plan computed the
+        # signature pipeline FOUR times: a-side, b-side, and one bdf
+        # branch under each). The window rides the same
+        # hashpartitioning(band, bh) exchange the pair self-join needs
+        # anyway, and because both join sides now canonicalize to the
+        # SAME subtree, that exchange is planned once and reused. Skew:
+        # a hot (band, bh) bucket already lands in one task in the join's
+        # own sort, so the window adds no new straggler beyond the join's.
+        # Output rows identical: same ``count <= max_band_df`` predicate.
+        w_df = Window.partitionBy("band", "bh")
         banded = (
-            banded.join(bdf.where(F.col("_df") <= max_band_df),
-                        ["band", "bh"])
+            banded.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_band_df)
             .select("doc", "band", "bh")
         )
     if chunk_ranges is not None and chunk_ranges > 1:
