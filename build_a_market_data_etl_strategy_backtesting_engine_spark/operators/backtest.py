@@ -98,27 +98,35 @@ def backtest_signals(
         position.alias("position"),
     )
     # lag(position) feeds both trade and strategy_returns — materialize it
-    # once (Catalyst computes one window expression per reference)
-    prev_pos = F.coalesce(F.col("_prev_pos"), F.lit(0.0))
+    # once (Catalyst computes one window expression per reference).
+    # (r12) One select per window LAYER instead of one withColumn per
+    # kernel step: every withColumn is a full Catalyst analysis pass over
+    # the whole upstream lineage, and the 7-step chain cost more driver
+    # time than the kernel's own execution at bench scale (guide §7.3).
+    # Layer 1 materializes the two lag results every later step reads;
+    # layer 2 is pure scalar arithmetic plus the equity cumprod window.
+    # Expressions, evaluation order and output columns are IDENTICAL.
     returns = F.coalesce(F.col("price") / F.lag("price", 1).over(w) - 1, F.lit(0.0))
-    out = (
-        out.withColumn("_prev_pos", F.lag("position", 1).over(w))
-        .withColumn("trade", F.col("position") - prev_pos)
-        .withColumn("returns", returns)
-        .withColumn("strategy_returns", prev_pos * F.col("returns"))
-        .withColumn(
-            "costs",
-            F.abs(F.col("trade")) * F.lit(float(commission) + float(slippage)),
-        )
-        .withColumn("net_returns", F.col("strategy_returns") - F.col("costs"))
-        .withColumn(
-            "equity",
-            F.exp(F.sum(F.log1p("net_returns")).over(w_all))
-            * F.lit(float(initial_cash)),
-        )
-        .drop("_prev_pos")
+    out = out.select(
+        "*",
+        F.lag("position", 1).over(w).alias("_prev_pos"),
+        returns.alias("returns"),
     )
-    return out
+    prev_pos = F.coalesce(F.col("_prev_pos"), F.lit(0.0))
+    trade = F.col("position") - prev_pos
+    strategy_returns = prev_pos * F.col("returns")
+    costs = F.abs(trade) * F.lit(float(commission) + float(slippage))
+    net = strategy_returns - costs
+    return out.select(
+        "symbol", "ts", "price", "signal", "position",
+        trade.alias("trade"),
+        "returns",
+        strategy_returns.alias("strategy_returns"),
+        costs.alias("costs"),
+        net.alias("net_returns"),
+        (F.exp(F.sum(F.log1p(net)).over(w_all)) * F.lit(float(initial_cash))
+         ).alias("equity"),
+    )
 
 
 def backtest_multi_asset(

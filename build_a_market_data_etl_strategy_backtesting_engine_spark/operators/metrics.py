@@ -71,29 +71,39 @@ def compute_metrics(
     w = Window.partitionBy(*group).orderBy(ts_col)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    # (r12) staging columns are added in THREE withColumns batches (one
+    # Catalyst analysis pass each) instead of seven withColumn calls —
+    # each call re-analyzes the whole upstream lineage (the full backtest
+    # kernel) and construction cost dominated execution at bench scale
+    # (guide §7.3). Batch boundaries follow the window-dependency layers;
+    # every expression and window spec is unchanged, and the aggregation
+    # output is order-insensitive to staging-column placement.
+    batch1: dict[str, Column] = {}
+    batch2: dict[str, Column] = {}
+    batch3: dict[str, Column] = {}
+
     # drawdown pre-pass: equity (or synthetic cumprod equity), running max
     if equity_col in cols:
         eq = F.col(equity_col)
     else:
         eq = F.exp(F.sum(F.log1p(returns_col)).over(w_all))
-    df = df.withColumn("_eq", eq)
-    df = df.withColumn("_runmax", F.max("_eq").over(w_all))
-    df = df.withColumn("_dd", (F.col("_eq") - F.col("_runmax")) / F.col("_runmax"))
+    batch1["_eq"] = eq
+    batch2["_runmax"] = F.max("_eq").over(w_all)
+    batch3["_dd"] = (F.col("_eq") - F.col("_runmax")) / F.col("_runmax")
 
     # trade detection (metrics.py:194-206): position.diff() != 0
     if position_col in cols:
-        df = df.withColumn(
-            "_trade_flag",
+        batch1["_trade_flag"] = (
             (F.col(position_col)
              - F.coalesce(F.lag(position_col, 1).over(w), F.lit(0.0)) != 0)
-            .cast("int"),
+            .cast("int")
         )
         exposure_expr = (
             F.sum((F.col(position_col) != 0).cast("long")) / F.count(F.lit(1))
         )
         num_trades_expr = F.sum("_trade_flag")
     else:
-        df = df.withColumn("_trade_flag", F.lit(None).cast("int"))
+        batch1["_trade_flag"] = F.lit(None).cast("int")
         exposure_expr = F.lit(1.0)
         num_trades_expr = F.sum((F.col(returns_col) != 0).cast("long"))
 
@@ -145,14 +155,14 @@ def compute_metrics(
         # existing exchange as additional sorts, and the streak maxes
         # join the main aggregation for free.
         flag = F.when(r > 0, 1).when(r < 0, -1).otherwise(0)
-        df = df.withColumn("_flag", flag)
+        batch1["_flag"] = flag
         changed = F.when(
             F.lag("_flag", 1).over(w).isNull()
             | (F.col("_flag") != F.lag("_flag", 1).over(w)), 1
         ).otherwise(0)
-        df = df.withColumn("_grp", F.sum(changed).over(w_all))
+        batch2["_grp"] = F.sum(changed).over(w_all)
         w_island = Window.partitionBy(*group, "_grp").orderBy(ts_col)
-        df = df.withColumn("_streak", F.row_number().over(w_island))
+        batch3["_streak"] = F.row_number().over(w_island)
         aggs += [
             F.coalesce(
                 F.max(F.when(F.col("_flag") == 1, F.col("_streak"))),
@@ -161,6 +171,7 @@ def compute_metrics(
                 F.max(F.when(F.col("_flag") == -1, F.col("_streak"))),
                 F.lit(0)).alias("max_consecutive_losses"),
         ]
+    df = df.withColumns(batch1).withColumns(batch2).withColumns(batch3)
     return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
 
 

@@ -157,28 +157,50 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     _SHIPPED_APPS.add(app)
 
 
+#: Lazy *plan* memo for load_tables (r12, guide §7.3 driver-side work):
+#: ``spark.read.parquet`` lists files + reads the footer schema, and the
+#: events branch re-analyzes the normalize projection — ~150 ms of pure
+#: driver work per call, paid inside every workload that loads tables.
+#: A DataFrame is an immutable lazy plan, NOT data: memoizing it keeps
+#: every execution reading the parquet bytes fresh (no result or
+#: intermediate is cached). Keyed on (application, resolved path, mtime,
+#: size) so a rewritten file or a new session never sees a stale plan.
+_TABLE_MEMO: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the driver testdata parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Views make the whole surface queryable
     through ``spark.sql`` which mirrors how the DuckDB oracle sees the data.
     """
-    from pyspark.sql import functions as F
-
     names = names or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     ensure_package_on_executors(spark)
+    app = spark.sparkContext.applicationId
     out = {}
     for n in names:
-        path = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(path):
+        path = os.path.realpath(os.path.join(sf_dir, f"{n}.parquet"))
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        key = (app, path, st.st_mtime_ns, st.st_size)
+        df = _TABLE_MEMO.get(key)
+        if df is None:
             df = spark.read.parquet(path)
             if n == "events":
                 df = _normalize_events_ts(df)
-            df.createOrReplaceTempView(n)
-            out[n] = df
+            _TABLE_MEMO[key] = df
+            # one session can only ever touch a handful of (dir, vintage)
+            # combos; guard pathological test loops all the same
+            if len(_TABLE_MEMO) > 256:
+                _TABLE_MEMO.clear()
+                _TABLE_MEMO[key] = df
+        df.createOrReplaceTempView(n)
+        out[n] = df
     return out
 
 
