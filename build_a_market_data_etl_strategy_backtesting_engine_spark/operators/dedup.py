@@ -1282,26 +1282,46 @@ def fingerprint_overlap_pairs(
         doc_id_col=doc_id_col, portable=portable,
     ).select(F.col(doc_id_col).alias("doc"), "fp")
     if max_df is not None:
-        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        # Stop-fingerprint cap as a WINDOW count over (fp), not a separate
+        # count-agg + join (r12, guide §2.4 — same transformation as the
+        # LSH stop-band cap): the dfreq branch was a second computation of
+        # scan -> gram explode -> rolling hash, and because every consumer
+        # (a-side, b-side, sizes) pruned the capped-fps subtree
+        # differently, ReuseExchange never fired — the before-plan shows
+        # the fingerprint pipeline computed 16x (plans/r12/
+        # fp_overlap_before.txt: 16 scans, 12 exchanges). The window
+        # rides the hashpartitioning(fp) exchange the pair self-join
+        # needs anyway; all consumers now canonicalize to the same
+        # subtree and the exchange is planned once and reused. Skew: a
+        # hot fp already lands in one task in the join's own sort.
+        # Output rows identical: same ``count <= max_df`` predicate.
+        w_df = Window.partitionBy("fp")
         fps = (
-            fps.join(dfreq.where(F.col("_df") <= max_df), "fp")
+            fps.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_df)
             .select("doc", "fp")
         )
-    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    # Per-doc fingerprint counts as a WINDOW carried THROUGH the pair
+    # join instead of a separate groupBy(doc) + two join-backs on
+    # doc_a/doc_b (r12, guide §2.4/§8): sizes was a third consumer of the
+    # capped-fps subtree (another full fingerprint recomputation, twice —
+    # once per join-back), and each join-back shuffled the pair table.
+    # n_fp is constant per doc, so max() over the pair group reproduces
+    # it exactly; the inner sizes joins never filtered (every paired doc
+    # has a size by construction). Both self-join sides are now the SAME
+    # subtree, so the physical exchange is planned once and reused.
+    w_doc = Window.partitionBy("doc")
+    fps = fps.withColumn("n_fp", F.count(F.lit(1)).over(w_doc))
     a, b = fps.alias("a"), fps.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"),
                  F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"),
+             F.max(F.col("a.n_fp")).alias("n_fp_a"),
+             F.max(F.col("b.n_fp")).alias("n_fp_b"))
         .where(F.col("n_shared") >= min_shared)
-    )
-    return (
-        shared.join(sizes.select(F.col("doc").alias("doc_a"),
-                                 F.col("n_fp").alias("n_fp_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"),
-                           F.col("n_fp").alias("n_fp_b")), "doc_b")
         .select(
             "doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
             (F.col("n_shared")

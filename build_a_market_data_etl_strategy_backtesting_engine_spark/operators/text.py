@@ -286,10 +286,22 @@ def exact_substring_spans(
     ).select(
         id_col, "n_tokens", "pos0", F.md5("gram").alias("h")
     )
-    dup = hits.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= min_dup
+    # Corpus-wide duplicated-hash detection as a WINDOW count over (h),
+    # not a count-agg + join-back (r12, guide §2.4 — same transformation
+    # as the LSH stop-band cap): the dup branch recomputed the whole
+    # scan -> posexplode -> md5 pipeline (pruning made its subtree differ
+    # from the probe side's, so ReuseExchange never fired), and the
+    # join-back was a second shuffle of the full hits table at scale.
+    # The window computes the same per-hash count on ONE
+    # hashpartitioning(h) exchange of hits; rows kept are identical
+    # (same ``count >= min_dup`` predicate). Skew: a boilerplate gram's
+    # rows already co-located in the old join's (h) partition.
+    w_h = W.partitionBy("h")
+    marked = (
+        hits.withColumn("c", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("c") >= min_dup)
+        .drop("c")
     )
-    marked = hits.join(dup.select("h"), "h")
     # gaps-and-islands over window-start positions: a new span starts when
     # this hit begins after every previous hit's end.
     w_ord = W.partitionBy(id_col).orderBy("pos0")

@@ -413,10 +413,11 @@ def test_quality_classifier_feature_and_scoring_shapes(spark):
 
 
 def test_exact_substring_spans_shuffle_shape(spark):
-    """ExactSubstr dedup: 3 exchanges total — corpus hash-count agg, the
-    duplicated-hash set back to the probe side (broadcast at this size;
-    uniform-key SMJ at scale), and ONE (doc_id) window sort that the two
-    downstream span aggregations reuse without further exchanges
+    """ExactSubstr dedup (r12 shape): 2 exchanges total — ONE (h)
+    shuffle whose window count replaces the old count-agg + join-back
+    (which recomputed the scan+posexplode+md5 pipeline on a second
+    subtree), and ONE (doc_id) window sort that the two downstream span
+    aggregations reuse without further exchanges
     (hashpartitioning(doc_id) already clusters every (doc_id, *) key)."""
     from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
         text as text_ops,
@@ -424,10 +425,12 @@ def test_exact_substring_spans_shuffle_shape(spark):
 
     docs = load_tables(spark, SF, ["documents"])["documents"]
     df = text_ops.exact_substring_spans(docs, window=10, min_dup=2)
-    plans.assert_max_shuffles(df, 3)
+    plans.assert_max_shuffles(df, 2)
     txt = plans.explain_str(df, "simple")
-    assert txt.count("Window") == 2          # islands flags + span ids
-    assert txt.count("Sort") == 1            # one shared (doc_id, pos) sort
+    assert txt.count("Window") == 3          # h-count + islands + span ids
+    assert txt.count("Sort") == 2            # (h) + (doc_id, pos) sorts
+    # the gram explode must appear ONCE — the old dup branch ran it twice
+    assert txt.count("Generate") == 1
 
 
 def test_split_adjustment_single_window_sort(spark):
