@@ -139,16 +139,18 @@ def with_rsi(df: DataFrame, n: int = 14, price_col: str = "close",
         df, "_rsi_prev", "_gain", "_loss", "_g", "_l")
     df = df.withColumn(c_prev, F.lag(price_col, 1).over(w))
     delta = F.col(price_col) - F.col(c_prev)
-    df = df.withColumn(c_gain, F.when(delta > 0, delta).otherwise(
-        F.when(delta.isNotNull(), F.lit(0.0))))
-    df = df.withColumn(c_loss, F.when(delta < 0, -delta).otherwise(
-        F.when(delta.isNotNull(), F.lit(0.0))))
+    df = df.withColumns({
+        c_gain: F.when(delta > 0, delta).otherwise(
+            F.when(delta.isNotNull(), F.lit(0.0))),
+        c_loss: F.when(delta < 0, -delta).otherwise(
+            F.when(delta.isNotNull(), F.lit(0.0))),
+    })
     # pandas: delta has 1 NaN then rolling(n) -> first valid at row n+1
     frame = w.rowsBetween(-(n - 1), 0)
-    df = (df.withColumn(c_g, F.when(_rn(w) >= n + 1,
-                                    F.avg(c_gain).over(frame)))
-            .withColumn(c_l, F.when(_rn(w) >= n + 1,
-                                    F.avg(c_loss).over(frame))))
+    df = df.withColumns({
+        c_g: F.when(_rn(w) >= n + 1, F.avg(c_gain).over(frame)),
+        c_l: F.when(_rn(w) >= n + 1, F.avg(c_loss).over(frame)),
+    })
     gain, loss = F.col(c_g), F.col(c_l)
     rs = gain / loss
     rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
@@ -171,11 +173,11 @@ def with_bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
     # bb_mid is reused by both bands: reference the materialized column
     # (inlining recomputes the avg window expression 3x and std 2x)
     (c_sd,) = _fresh(df, "_bb_sd")
-    df = (df.withColumn("bb_mid", rolling_mean(price_col, n, w))
-            .withColumn(c_sd, rolling_std(price_col, n, w)))
+    df = df.withColumns({"bb_mid": rolling_mean(price_col, n, w),
+                         c_sd: rolling_std(price_col, n, w)})
     mid, sd = F.col("bb_mid"), F.col(c_sd)
-    return (df.withColumn("bb_upper", mid + k * sd)
-              .withColumn("bb_lower", mid - k * sd)
+    return (df.withColumns({"bb_upper": mid + k * sd,
+                            "bb_lower": mid - k * sd})
               .drop(c_sd))
 
 
@@ -225,8 +227,10 @@ def mean_reversion_signal(df: DataFrame, n: int = 20, num_std: float = 2.0,
     # Window operator (measured r8; the CASE itself is required — ANSI
     # mode throws DIVIDE_BY_ZERO even for doubles).
     c_sd, c_mid = _fresh(df, "_mr_sd", "_mr_mid")
-    df = (df.withColumn(c_sd, rolling_std(price_col, n, w))
-            .withColumn(c_mid, rolling_mean(price_col, n, w)))
+    # one withColumns batch = one Catalyst analysis pass for both
+    # independent window results (r12, guide §7.3)
+    df = df.withColumns({c_sd: rolling_std(price_col, n, w),
+                         c_mid: rolling_mean(price_col, n, w)})
     sd = F.col(c_sd)
     # sd == 0 (constant window) implies price == mean, so pandas z is
     # 0/0 = NaN and both comparisons are False -> signal 0. Emit NULL z

@@ -1103,16 +1103,24 @@ def q25(spark, sf_dir):
 def q26(spark, sf_dir):
     """Black-Scholes pricing as pure column expressions (derivatives.py:
     97-210) — JVM-side A&S normal CDF, no UDF; the SQL twin is generated
-    from the same formula builders."""
+    from the same formula builders.
+
+    (r12) The engine side parses the SAME generated formula text via
+    ``F.expr`` instead of composing ~300 Column operations through py4j:
+    the op-by-op build cost 267 ms of pure driver time per call vs 93 ms
+    for three parses (guide §7.3). The SQL twins are composed from the
+    identical sub-expressions in the identical FP operation order, and
+    bit-equality of all three outputs against the Column builders is
+    pinned by tests/test_functions.py::test_bs_sql_twin_expr_bit_equal
+    plus the q26 oracle hash."""
     p = load_tables(spark, sf_dir, ["part"])["part"]
-    s = F.col("p_retailprice")
-    k = s * F.lit(1.05)
-    t, sig, r = F.lit(0.5), F.lit(0.3), F.lit(0.02)
+    args = ("p_retailprice", "(p_retailprice * 1.05e0)",
+            "0.5e0", "0.3e0", "0.02e0")
     return p.select(
         "p_partkey",
-        F.round(deriv.bs_call(s, k, t, sig, r), 6).alias("call_px"),
-        F.round(deriv.bs_put(s, k, t, sig, r), 6).alias("put_px"),
-        F.round(deriv.bs_gamma(s, k, t, sig, r), 8).alias("gamma"),
+        F.round(F.expr(deriv.bs_call_sql(*args)), 6).alias("call_px"),
+        F.round(F.expr(deriv.bs_put_sql(*args)), 6).alias("put_px"),
+        F.round(F.expr(deriv.bs_gamma_sql(*args)), 8).alias("gamma"),
     )
 
 

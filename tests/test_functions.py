@@ -270,3 +270,29 @@ def test_option_strategy_payoff_identities(spark):
     # margin = 4500 * 50 * |±2| * 0.10 (test_derivatives.py:246-263)
     assert row.margin == 45000.0
     assert row.margin_short == 45000.0
+
+
+def test_bs_sql_twin_expr_bit_equal(spark):
+    """The generated SQL twins, parsed by Spark via F.expr, must be
+    BIT-identical to the Column builders (r12: q26 builds its engine
+    expressions from the twin text to avoid ~300 py4j round trips per
+    call; that is only sound if both forms compute the same doubles —
+    the twins are composed from the same sub-expressions in the same FP
+    operation order, pinned here on a grid that exercises both erf signs
+    and deep ITM/OTM branches)."""
+    df = _bs_frame(spark)
+    a = ("s", "k", "t", "sigma", "r")
+    pairs = [
+        (deriv.bs_call(*(F.col(c) for c in a)), deriv.bs_call_sql(*a)),
+        (deriv.bs_put(*(F.col(c) for c in a)), deriv.bs_put_sql(*a)),
+        (deriv.bs_gamma(*(F.col(c) for c in a)), deriv.bs_gamma_sql(*a)),
+    ]
+    sel = []
+    for i, (col_form, sql_text) in enumerate(pairs):
+        sel.append(col_form.alias(f"c{i}"))
+        sel.append(F.expr(sql_text).alias(f"e{i}"))
+    out = df.select(*sel).toPandas()
+    for i in range(3):
+        got = out[f"e{i}"].values
+        exp = out[f"c{i}"].values
+        assert (got == exp).all(), f"pair {i}: {got} != {exp}"
