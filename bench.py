@@ -314,11 +314,74 @@ def box_calibration(reps: int = 4, mb: int = 64, hasher=None) -> dict:
         list(ex.map(lambda _i: one(), range(n)))
         multi_s = time.perf_counter() - t0
     total_mb = reps * mb
-    return {
+    out = {
         "sha256_mb_per_s_1t": round(total_mb / single_s, 1),
         "sha256_mb_per_s_all": round(n * total_mb / multi_s, 1),
         "threads": n,
     }
+    out.update(_memcpy_calibration(reps=reps, mb=mb))
+    return out
+
+
+def _memcpy_calibration(reps: int = 4, mb: int = 64) -> dict:
+    """Second, ADDITIVE calibration probe (r12 VERDICT #2): bulk memory
+    copy via NumPy (releases the GIL, so the all-threads figure measures
+    real memory bandwidth under contention). sha256 is compute-bound and
+    demonstrably under-corrects box-state shifts that hit bandwidth or
+    SMT/host contention (r12: sha256 moved -3.3% while untouched
+    pure-compute paths moved -14..-22%); two probes with different
+    bottlenecks make the normalization claim falsifiable from committed
+    artifacts. Never used to rescale anything — provenance only."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    src = np.arange(mb * 131072, dtype=np.float64)  # mb MiB
+    dst = np.empty_like(src)
+
+    def one():
+        for _ in range(reps):
+            np.copyto(dst, src)
+
+    one()  # untimed: fault the pages in
+    t0 = time.perf_counter()
+    one()
+    single_s = time.perf_counter() - t0
+    n = os.cpu_count() or 1
+    bufs = [(np.arange(mb * 131072, dtype=np.float64),
+             np.empty(mb * 131072, dtype=np.float64)) for _ in range(n)]
+
+    def one_i(i):
+        s, d = bufs[i]
+        for _ in range(reps):
+            np.copyto(d, s)
+
+    with cf.ThreadPoolExecutor(n) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(one_i, range(n)))
+        multi_s = time.perf_counter() - t0
+    total_mb = reps * mb
+    return {
+        "memcpy_mb_per_s_1t": round(total_mb / single_s, 1),
+        "memcpy_mb_per_s_all": round(n * total_mb / multi_s, 1),
+    }
+
+
+def _prewarm_python_workers(spark, cpus: int) -> None:
+    """Untimed warm-up of the Python-worker pool (r12 VERDICT #3): fork
+    one worker per core and pay its `import pandas/pyarrow` cost BEFORE
+    the timed region, so queries_cold measures each plan's own cold cost
+    (codegen, AQE, broadcast) instead of session-global worker spin-up —
+    event_driven's 3.8 s "cold" was ~2.7 s of worker forking that every
+    Python-path workload shares. `spark.python.worker.reuse` (default
+    true) keeps the warmed pool alive for the timed passes. The timed
+    region and the warm methodology are byte-identical; this joins the
+    existing untimed warm-up passes (parquet footers, codegen)."""
+    n = max(2 * cpus, 2)
+    df = spark.range(0, n, 1, n).selectExpr("id", "id % 7 AS g")
+    _materialize(df.mapInPandas(lambda it: it, "id long, g long"))
+    _materialize(df.groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"))
 
 
 def preflight(defer=None, load1=None, calibrate=None):
@@ -377,6 +440,7 @@ def main():
     spark.sql("SELECT count(*) FROM events").collect()
     bench_clean_ohlcv(spark, sf_dir)
     bench_backtest_metrics(spark, sf_dir)
+    _prewarm_python_workers(spark, int(cpus))
     load_post_warmup = _load1()
 
     _ensure_media_corpus(spark)
@@ -397,6 +461,8 @@ def main():
     # as the headline (that's the 100TB-relevant asymptote), cold alongside.
     timings = {}
     cold = {}
+    med3 = {}
+    warm_reps = {}
     throughput = {}
     gc_ms = {}
     load1 = {}
@@ -412,6 +478,19 @@ def main():
         gc_ms[name] = _jvm_gc_ms(spark) - g0
         load1[name] = _load1()
         timings[name] = round(dt, 3)
+        # ADDITIVE warm stability (r12 VERDICT #2): two more in-process
+        # warm reps; queries_med3 = median of the 3. The headline
+        # `queries` entry stays the FIRST warm rep (methodology
+        # unchanged); the median is the noise-robust cross-round figure
+        # on a box whose multithread throughput can swing 2x within
+        # minutes (host contention, measured r13).
+        reps = [dt]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir)
+            reps.append(time.perf_counter() - t0)
+        med3[name] = round(sorted(reps)[1], 3)
+        warm_reps[name] = [round(r, 3) for r in reps]
         if name in workload_rows and dt > 0:
             throughput[name] = round(workload_rows[name] / dt)
         if name == "codec_decode" and dt > 0:
@@ -427,6 +506,8 @@ def main():
     # is reported in its own block + timings entry, not the sum.
     total = round(sum(v for k, v in timings.items()
                       if k != "codec_decode"), 3)
+    total_med3 = round(sum(v for k, v in med3.items()
+                           if k != "codec_decode"), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
@@ -448,7 +529,13 @@ def main():
         "normalized_total": normalized_total(total, calibration),
         "cal_ref_all_mb_s": CAL_REF_ALL_MB_S,
         "unit": "sec",
+        # ADDITIVE (r12 VERDICT #2): median-of-3 warm reps per workload
+        # and its total/normalization — the noise-robust figures; the
+        # existing fields keep their first-warm-rep methodology exactly
+        "total_med3": total_med3,
+        "normalized_total_med3": normalized_total(total_med3, calibration),
         "queries": timings,
+        "queries_med3": med3,
         "queries_cold": cold,
         "rows_per_sec": throughput,
         "codec": codec,
@@ -469,6 +556,8 @@ def main():
             # fixed pure-CPU constant for cross-round box-speed
             # normalization (r10 VERDICT #3)
             "calibration": calibration,
+            # raw per-rep warm timings behind queries_med3 (additive)
+            "warm_reps": warm_reps,
             "gc_ms_warm": gc_ms,
             # self-arbitrated (r8 VERDICT #6): True when the pre-run
             # loadavg exceeds the idle threshold, so the cross-round

@@ -48,24 +48,30 @@ def curate_corpus(
     Returns surviving docs with the annotation columns attached.
     """
     d = dedup.distinct_by_content(docs, text_col, doc_id_col)
-    c = F.col(text_col)
-    toks = text_ops.tokens(text_col)
-    d = d.select(
+    # Annotation expressions as generated SQL-twin text, parsed by the
+    # JVM in ONE selectExpr (the q26 F.expr pattern, r12 VERDICT #1):
+    # the Column-API build issued ~300 py4j round trips per call (~0.4 s
+    # of driver time, dominated by predict_language). The twins mirror
+    # the Column builders' expression trees exactly — bit-equality is
+    # pinned by tests/test_functions.py::test_curate_corpus_sql_twin.
+    cs = text_ops._sql_ident(text_col)
+    toks = text_ops.tokens_sql(cs)
+    d = d.selectExpr(
         "*",
-        F.size(toks).alias("n_tokens"),
-        text_ops.bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
-        text_ops.stopword_ratio(text_col).alias("stop_ratio"),
-        (F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c))
-        .alias("alpha_ratio"),
-        text_ops.predict_language(text_col).alias("pred_lang"),
+        f"size({toks}) AS n_tokens",
+        f"{text_ops.bpe_ish_token_count_sql(cs)} AS n_bpe_tokens",
+        f"{text_ops.stopword_ratio_sql(cs)} AS stop_ratio",
+        f"(length(regexp_replace({cs}, '[^A-Za-z]', '')) / length({cs}))"
+        " AS alpha_ratio",
+        f"{text_ops.predict_language_sql(cs)} AS pred_lang",
     )
     d = d.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        f"((n_tokens >= {int(min_tokens)}) AND (n_tokens <= "
+        f"{int(max_tokens)})) AND (alpha_ratio >= "
+        f"{text_ops._sql_double(min_alpha_ratio)})"
     )
     if langs is not None:
-        d = d.filter(F.col("pred_lang").isin(list(langs)))
+        d = d.filter(f"pred_lang IN ({text_ops._sql_in(langs)})")
     return d
 
 

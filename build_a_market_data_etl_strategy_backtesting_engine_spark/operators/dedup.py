@@ -48,15 +48,25 @@ def exact_duplicates(
 def distinct_by_content(
     docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id representative of each exact-content group."""
-    from pyspark.sql import Window
+    """Keep the lowest-id representative of each exact-content group.
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(doc_id_col)
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    Built as one parsed window expression (q26 F.expr pattern): the
+    Column-API window spec + withColumn + drop cost 4 analysis passes
+    and ~40 py4j round trips per call; the SQL text parses JVM-side in
+    one. Identical tree — row_number over (md5(text), doc_id asc),
+    same ``_rn = 1`` keep predicate — pinned bit-equal by
+    tests/test_functions.py::test_curate_corpus_sql_twin."""
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    d = docs.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY md5({q(text_col)}) "
+        f"ORDER BY {q(doc_id_col)}) AS _rn",
     )
+    # drop, not select(cols): drop matches names literally, so weird
+    # (backticked) input column names survive untouched
+    return d.filter("_rn = 1").drop("_rn")
 
 
 # ------------------------------------------------------------------ shingles
@@ -240,9 +250,17 @@ def lsh_pairs_from_bands(
         # own sort, so the window adds no new straggler beyond the join's.
         # Output rows identical: same ``count <= max_band_df`` predicate.
         w_df = Window.partitionBy("band", "bh")
+        # fresh staging name (r12 ADVICE): ``banded`` is caller-provided
+        # (possibly re-opened from a bucketed table) and may carry a
+        # same-named column
+        from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.signals import (  # noqa: E501
+            _fresh,
+        )
+
+        (c_df,) = _fresh(banded, "_df")
         banded = (
-            banded.withColumn("_df", F.count(F.lit(1)).over(w_df))
-            .filter(F.col("_df") <= max_band_df)
+            banded.withColumn(c_df, F.count(F.lit(1)).over(w_df))
+            .filter(F.col(c_df) <= max_band_df)
             .select("doc", "band", "bh")
         )
     if chunk_ranges is not None and chunk_ranges > 1:

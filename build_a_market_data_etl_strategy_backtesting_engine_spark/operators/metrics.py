@@ -59,14 +59,68 @@ def compute_metrics(
     group = [symbol_col] if symbol_col else []
     cols = set(results.columns)
     df = results
-    if returns_col not in cols and equity_col in cols:
+    has_returns = returns_col in cols
+    has_equity = equity_col in cols
+    has_position = position_col in cols
+
+    # Expression-set memo (r13, guide §4/§5 — the py4j boundary exists on
+    # the driver): building this suite issues ~1,450 py4j round trips
+    # (~0.4 s measured), and Columns are immutable unresolved trees, so
+    # the SAME expression objects can be reused for every later call with
+    # the same parameters in this application — no data, no plan, no
+    # result is cached; only the unbound expression trees, exactly like
+    # the load_tables plan memo (r12). Keyed on applicationId so a new
+    # JVM/app never sees stale py4j refs.
+    try:
+        app = results.sparkSession.sparkContext.applicationId
+    except Exception:
+        app = None
+    key = (app, returns_col, equity_col, position_col, symbol_col, ts_col,
+           float(risk_free_rate), int(periods_per_year),
+           bool(include_streaks), has_returns, has_equity, has_position)
+    memo = _EXPR_MEMO.get(key) if app is not None else None
+    if memo is None:
+        memo = _build_metric_exprs(
+            returns_col, equity_col, position_col, group, ts_col,
+            risk_free_rate, periods_per_year, include_streaks,
+            has_returns, has_equity, has_position)
+        if app is not None:
+            if len(_EXPR_MEMO) > 256:
+                _EXPR_MEMO.clear()
+            _EXPR_MEMO[key] = memo
+    derived_returns, batch1, batch2, batch3, aggs = memo
+    if derived_returns is not None:
+        df = df.withColumn(returns_col, derived_returns)
+    df = df.withColumns(batch1).withColumns(batch2).withColumns(batch3)
+    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+
+
+#: memoized (derived_returns, batch1..3, aggs) expression tuples; see
+#: compute_metrics. Bounded like session._TABLE_MEMO.
+_EXPR_MEMO: dict = {}
+
+
+def _build_metric_exprs(
+    returns_col: str,
+    equity_col: str,
+    position_col: str,
+    group: list,
+    ts_col: str,
+    risk_free_rate: float,
+    periods_per_year: int,
+    include_streaks: bool,
+    has_returns: bool,
+    has_equity: bool,
+    has_position: bool,
+):
+    """Construct the metric suite's staging batches and aggregates —
+    expression code identical to the pre-r13 inline build."""
+    derived_returns = None
+    if not has_returns and has_equity:
         w = Window.partitionBy(*group).orderBy(ts_col)
-        df = df.withColumn(
-            returns_col,
-            F.coalesce(F.col(equity_col) / F.lag(equity_col, 1).over(w) - 1,
-                       F.lit(0.0)),
-        )
-        cols.add(returns_col)
+        derived_returns = F.coalesce(
+            F.col(equity_col) / F.lag(equity_col, 1).over(w) - 1,
+            F.lit(0.0))
 
     w = Window.partitionBy(*group).orderBy(ts_col)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -83,7 +137,7 @@ def compute_metrics(
     batch3: dict[str, Column] = {}
 
     # drawdown pre-pass: equity (or synthetic cumprod equity), running max
-    if equity_col in cols:
+    if has_equity:
         eq = F.col(equity_col)
     else:
         eq = F.exp(F.sum(F.log1p(returns_col)).over(w_all))
@@ -92,7 +146,7 @@ def compute_metrics(
     batch3["_dd"] = (F.col("_eq") - F.col("_runmax")) / F.col("_runmax")
 
     # trade detection (metrics.py:194-206): position.diff() != 0
-    if position_col in cols:
+    if has_position:
         batch1["_trade_flag"] = (
             (F.col(position_col)
              - F.coalesce(F.lag(position_col, 1).over(w), F.lit(0.0)) != 0)
@@ -171,8 +225,7 @@ def compute_metrics(
                 F.max(F.when(F.col("_flag") == -1, F.col("_streak"))),
                 F.lit(0)).alias("max_consecutive_losses"),
         ]
-    df = df.withColumns(batch1).withColumns(batch2).withColumns(batch3)
-    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+    return derived_returns, batch1, batch2, batch3, aggs
 
 
 def consecutive_streaks(

@@ -82,6 +82,88 @@ def predict_language(text: Column | str) -> Column:
     return best.otherwise(F.lit("unknown"))
 
 
+# --------------------------------------------------------------- SQL twins
+#
+# Driver-side plan construction is real work at 100 TB scale too (guide
+# §5: the driver is the scale bottleneck): composing predict_language &
+# friends op-by-op through the Column API issues hundreds of py4j round
+# trips per call (~0.4 s measured for predict_language alone). The
+# generators below emit the SAME expressions as SQL text, parsed by the
+# JVM in ONE selectExpr call — the q26 F.expr pattern (r12). Each twin
+# mirrors its Column builder's tree exactly (left-assoc AND chains, IN
+# lists, two-arg split) so the analyzed expression — and the results —
+# are identical; tests/test_functions.py pins curate_corpus bit-equal.
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted Spark SQL string literal. Backslashes must be
+    doubled (default escapedStringLiterals=false processes escapes) so
+    the parsed literal is byte-identical to the Python string the Column
+    API would embed unprocessed."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quoted identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_double(v: float) -> str:
+    """A SQL literal that parses as DoubleType with the exact bits of
+    ``v``. A bare ``0.5`` parses as DECIMAL(1,1) in Spark SQL — a
+    different type and comparison semantics than the Column API's
+    ``lit(0.5)`` — so always emit scientific notation (17 significant
+    digits round-trips any double exactly)."""
+    return f"{float(v):.17e}"
+
+
+def _sql_in(vals) -> str:
+    return ", ".join(_sql_str(v) for v in vals)
+
+
+def tokens_sql(col_sql: str, pattern: str = " ") -> str:
+    """SQL twin of :func:`tokens`."""
+    return f"split({col_sql}, {_sql_str(pattern)})"
+
+
+def bpe_ish_token_count_sql(col_sql: str) -> str:
+    """SQL twin of :func:`bpe_ish_token_count`."""
+    punct = _sql_str(r"([.,;:!?()])")
+    ws = _sql_str(r"\s+")
+    spaced = f"regexp_replace({col_sql}, {punct}, {_sql_str(' $1 ')})"
+    return f"size(filter(split(trim({spaced}), {ws}), x -> x != ''))"
+
+
+def stopword_ratio_sql(col_sql: str, lang: str = "en") -> str:
+    """SQL twin of :func:`stopword_ratio`."""
+    toks = tokens_sql(col_sql)
+    stop = STOPWORDS.get(lang, STOPWORDS["en"])
+    return (f"(size(filter({toks}, x -> x IN ({_sql_in(stop)}))) "
+            f"/ size({toks}))")
+
+
+def lang_score_sql(col_sql: str, lang: str) -> str:
+    """SQL twin of :func:`lang_score`."""
+    toks = tokens_sql(col_sql)
+    return f"size(filter({toks}, x -> x IN ({_sql_in(STOPWORDS[lang])})))"
+
+
+def predict_language_sql(col_sql: str) -> str:
+    """SQL twin of :func:`predict_language` — same CASE branch order,
+    same left-assoc AND nesting, same >=/> tie rules."""
+    scores = {lang: lang_score_sql(col_sql, lang) for lang in LANG_PRIORITY}
+    branches = []
+    for lang in LANG_PRIORITY:
+        cond = f"({scores[lang]} > 0)"
+        for other in LANG_PRIORITY:
+            if other != lang:
+                op = (">=" if LANG_PRIORITY.index(other)
+                      > LANG_PRIORITY.index(lang) else ">")
+                cond = f"({cond} AND ({scores[lang]} {op} {scores[other]}))"
+        branches.append(f"WHEN {cond} THEN {_sql_str(lang)}")
+    return "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+
+
 def quality_features(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:
@@ -297,10 +379,17 @@ def exact_substring_spans(
     # (same ``count >= min_dup`` predicate). Skew: a boilerplate gram's
     # rows already co-located in the old join's (h) partition.
     w_h = W.partitionBy("h")
+    # fresh staging name (r12 ADVICE): a caller with id_col="c" must not
+    # have its id column overwritten by the count staging column
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators.signals import (  # noqa: E501
+        _fresh,
+    )
+
+    (c_cnt,) = _fresh(hits, "_dup_c")
     marked = (
-        hits.withColumn("c", F.count(F.lit(1)).over(w_h))
-        .filter(F.col("c") >= min_dup)
-        .drop("c")
+        hits.withColumn(c_cnt, F.count(F.lit(1)).over(w_h))
+        .filter(F.col(c_cnt) >= min_dup)
+        .drop(c_cnt)
     )
     # gaps-and-islands over window-start positions: a new span starts when
     # this hit begins after every previous hit's end.

@@ -187,7 +187,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             st = os.stat(path)
         except OSError:
             continue
-        key = (app, path, st.st_mtime_ns, st.st_size)
+        # key includes (r12 ADVICE): the Python session identity — a
+        # spark.newSession() sibling shares applicationId but must not
+        # reuse a DataFrame bound to (and register views on) the other
+        # session — and, for directory-style datasets, the newest entry
+        # stat, because an in-place part-file overwrite can leave the
+        # directory's own stat unchanged.
+        inner = (0, 0, 0)
+        if os.path.isdir(path):
+            mt = sz = cnt = 0
+            for e in os.scandir(path):
+                s = e.stat()
+                mt = max(mt, s.st_mtime_ns)
+                sz += s.st_size
+                cnt += 1
+            inner = (mt, sz, cnt)
+        key = (app, id(spark), path, st.st_mtime_ns, st.st_size, inner)
         df = _TABLE_MEMO.get(key)
         if df is None:
             df = spark.read.parquet(path)

@@ -106,12 +106,17 @@ def test_box_calibration_shape_and_threads():
             pass
 
     cal = b.box_calibration(reps=1, mb=1, hasher=_NullHash)
+    # r13: + the second (memcpy) probe — ADDITIVE keys only, the sha256
+    # fields the normalization reads are untouched
     assert set(cal) == {"sha256_mb_per_s_1t", "sha256_mb_per_s_all",
-                        "threads"}
+                        "threads",
+                        "memcpy_mb_per_s_1t", "memcpy_mb_per_s_all"}
     import os
     assert cal["threads"] == os.cpu_count()
     assert cal["sha256_mb_per_s_1t"] > 0
     assert cal["sha256_mb_per_s_all"] > 0
+    assert cal["memcpy_mb_per_s_1t"] > 0
+    assert cal["memcpy_mb_per_s_all"] > 0
 
 
 def test_defer_target_sits_below_contamination_threshold():

@@ -296,3 +296,89 @@ def test_bs_sql_twin_expr_bit_equal(spark):
         got = out[f"e{i}"].values
         exp = out[f"c{i}"].values
         assert (got == exp).all(), f"pair {i}: {got} != {exp}"
+
+
+def test_curate_corpus_sql_twin_bit_equal(spark):
+    """curate_corpus + distinct_by_content build their expressions from
+    generated SQL-twin text (r13: one JVM parse instead of ~300 py4j
+    round trips per call — the q26 pattern applied to the corpus
+    pipeline). Only sound if the parsed trees compute the same values as
+    the Column builders they replaced — pinned here bit-exact on a
+    corpus that exercises every branch: all four languages + unknown,
+    quotes/backslashes in text (literal-escaping hazards), punctuation
+    splitting, the token/alpha filters, and a backticked column name."""
+    import struct
+
+    from build_a_market_data_etl_strategy_backtesting_engine_spark.operators import (
+        corpus,
+        dedup,
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "the cat of the house is in the garden and it is that for"),
+        (2, "der hund ist nicht ein tier und das ist mit der zeit gut"),
+        (3, "el perro es un animal y la casa de los gatos es que si"),
+        (4, "le chien est un animal et la maison de les chats est que"),
+        (5, "zzz qqq www " * 5),
+        (6, "short"),
+        (7, "the cat of the house is in the garden and it is that for"),
+        (8, "it's a \"quoted\" text with back\\slash and the of to in "
+            "and is it that for punctuation, too! (yes; really?)"),
+        (9, "1234 5678 !!! ??? ... ,,, the of to in and is it that for x"),
+        (10, "... !!! ??? ,,, ;;; der el le und y et un est"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # Column-API reference build (the pre-r13 implementation, verbatim)
+    def old_curate(d, min_tokens, max_tokens, min_alpha_ratio, langs):
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        d = (d.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+        c = F.col("text")
+        toks = text_ops.tokens("text")
+        d = d.select(
+            "*",
+            F.size(toks).alias("n_tokens"),
+            text_ops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+            text_ops.stopword_ratio("text").alias("stop_ratio"),
+            (F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+             / F.length(c)).alias("alpha_ratio"),
+            text_ops.predict_language("text").alias("pred_lang"),
+        )
+        d = d.filter((F.col("n_tokens") >= min_tokens)
+                     & (F.col("n_tokens") <= max_tokens)
+                     & (F.col("alpha_ratio") >= min_alpha_ratio))
+        if langs is not None:
+            d = d.filter(F.col("pred_lang").isin(list(langs)))
+        return d
+
+    def bits(v):
+        return struct.pack(">d", v) if isinstance(v, float) else v
+
+    for langs in (("en",), ("en", "de", "es", "fr"), None):
+        for min_tok, min_alpha in ((10, 0.5), (1, 0.0), (3, 0.25)):
+            a = old_curate(docs, min_tok, 1_000_000, min_alpha,
+                           langs).orderBy("doc_id").collect()
+            b = corpus.curate_corpus(
+                docs, min_tokens=min_tok, min_alpha_ratio=min_alpha,
+                langs=langs).orderBy("doc_id").collect()
+            assert len(a) == len(b) and len(a) > 0 or (min_tok == 10)
+            for ra, rb in zip(a, b):
+                da, db = ra.asDict(), rb.asDict()
+                assert list(da) == list(db)
+                for k in da:
+                    assert bits(da[k]) == bits(db[k]), (langs, min_tok, k)
+    # schema parity (names, types, nullability)
+    assert (old_curate(docs, 10, 1_000_000, 0.5, ("en",)).schema
+            == corpus.curate_corpus(docs).schema)
+
+    # backticked identifiers must be quoted into the generated SQL
+    weird = docs.select(F.col("doc_id").alias("id`x"),
+                        F.col("text").alias("body`y"))
+    out = corpus.curate_corpus(weird, min_tokens=1, min_alpha_ratio=0.0,
+                               langs=None, text_col="body`y",
+                               doc_id_col="id`x")
+    assert out.count() == 9  # 10 rows minus 1 exact duplicate
+    assert dedup.distinct_by_content(
+        weird, text_col="body`y", doc_id_col="id`x").count() == 9

@@ -49,38 +49,44 @@ def main():
     bench._materialize = lambda df: captured.__setitem__("df", df)
 
     out = {}
-    for name, fn in bench.BENCHES.items():
-        if only and name not in only:
-            continue
-        spark.sparkContext.setJobDescription(f"breakdown: {name}")
-        # untimed first full run (cold: codegen, AQE, broadcast)
-        captured.clear()
-        t0 = time.perf_counter()
-        fn(spark, args.sf_dir)
-        build_s = time.perf_counter() - t0
-        df = captured["df"]
-        real_mat(df)
-        execs = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            real_mat(df)
-            execs.append(time.perf_counter() - t0)
-        # rebuild each rep to measure steady-state construction
-        builds = [build_s]
-        for _ in range(args.reps - 1):
+    try:
+        for name, fn in bench.BENCHES.items():
+            if only and name not in only:
+                continue
+            spark.sparkContext.setJobDescription(f"breakdown: {name}")
+            # untimed first full run (cold: codegen, AQE, broadcast)
             captured.clear()
             t0 = time.perf_counter()
             fn(spark, args.sf_dir)
-            builds.append(time.perf_counter() - t0)
-        out[name] = {
-            "build_s": [round(b, 3) for b in builds],
-            "exec_s": [round(e, 3) for e in execs],
-            "build_min": round(min(builds), 3),
-            "exec_min": round(min(execs), 3),
-        }
-        print(f"{name:20s} build={out[name]['build_min']:6.3f}s "
-              f"exec={out[name]['exec_min']:6.3f}s  "
-              f"(builds={out[name]['build_s']} execs={out[name]['exec_s']})")
+            build_s = time.perf_counter() - t0
+            df = captured["df"]
+            real_mat(df)
+            execs = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                real_mat(df)
+                execs.append(time.perf_counter() - t0)
+            # rebuild each rep to measure steady-state construction
+            builds = [build_s]
+            for _ in range(args.reps - 1):
+                captured.clear()
+                t0 = time.perf_counter()
+                fn(spark, args.sf_dir)
+                builds.append(time.perf_counter() - t0)
+            out[name] = {
+                "build_s": [round(b, 3) for b in builds],
+                "exec_s": [round(e, 3) for e in execs],
+                "build_min": round(min(builds), 3),
+                "exec_min": round(min(execs), 3),
+            }
+            print(f"{name:20s} build={out[name]['build_min']:6.3f}s "
+                  f"exec={out[name]['exec_min']:6.3f}s  "
+                  f"(builds={out[name]['build_s']} "
+                  f"execs={out[name]['exec_s']})")
+    finally:
+        # restore: anything importing bench in this process afterwards
+        # must see the real materializer (r12 ADVICE)
+        bench._materialize = real_mat
     print(json.dumps(out))
     spark.stop()
 

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--out", default="/tmp/bench_plans")
     ap.add_argument("--suffix", default="")
     ap.add_argument("--only", default="")
+    ap.add_argument("--executed", action="store_true",
+                    help="also run each workload through the noop sink "
+                         "and dump the AQE-final executed plan")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     only = {s.strip() for s in args.only.split(",") if s.strip()}
@@ -41,22 +44,40 @@ def main():
     def _capture(df):
         captured["df"] = df
 
+    real_mat = bench._materialize
     bench._materialize = _capture
-    bench._ensure_media_corpus(spark)
-    for name, fn in bench.BENCHES.items():
-        if only and name not in only:
-            continue
-        captured.clear()
-        fn(spark, args.sf_dir)
-        df = captured["df"]
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        path = os.path.join(args.out, f"{name}{args.suffix}.txt")
-        with open(path, "w") as fh:
-            fh.write(buf.getvalue())
-        n_exch = buf.getvalue().count("+- Exchange")
-        print(f"{name:20s} -> {path}  (tree exchanges={n_exch})")
+    try:
+        bench._ensure_media_corpus(spark)
+        for name, fn in bench.BENCHES.items():
+            if only and name not in only:
+                continue
+            captured.clear()
+            fn(spark, args.sf_dir)
+            df = captured["df"]
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            path = os.path.join(args.out, f"{name}{args.suffix}.txt")
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+            n_exch = buf.getvalue().count("+- Exchange")
+            print(f"{name:20s} -> {path}  (tree exchanges={n_exch})")
+            if args.executed:
+                # run the noop sink, THEN dump the AQE-final physical
+                # plan (r12 VERDICT #7: static dumps cannot show
+                # ReusedExchange / AQEShuffleRead decisions)
+                real_mat(df)
+                ex = df._jdf.queryExecution().executedPlan().toString()
+                xpath = os.path.join(
+                    args.out, f"{name}{args.suffix}_executed.txt")
+                with open(xpath, "w") as fh:
+                    fh.write(ex)
+                print(f"{name:20s} -> {xpath}  "
+                      f"(reused_exchanges={ex.count('ReusedExchange')})")
+    finally:
+        # restore: anything importing bench in this process afterwards
+        # must see the real materializer (r12 ADVICE)
+        bench._materialize = real_mat
     spark.stop()
 
 
